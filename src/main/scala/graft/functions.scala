@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftshim.{shims => ExpressionUtils}
+
+import graft.detect._
+
+/** Column-level entry points for the engine's custom expressions, mirroring
+  * `org.apache.spark.sql.functions`. Also registers SQL names so the same
+  * operators are reachable from `spark.sql(...)`. */
+object functions {
+  private def col1(f: org.apache.spark.sql.catalyst.expressions.Expression =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column =
+    ExpressionUtils.column(f(ExpressionUtils.expression(c)))
+
+  /** Full rule-layer candidate pipeline: array of candidates in reference
+    * detector order. */
+  def pii_candidates(text: Column): Column = col1(PiiCandidatesExpr)(text)
+
+  /** Offline NER provider spans (EMAIL/PHONE regex fallback). */
+  def ner_spans(text: Column): Column = col1(NerSpansExpr)(text)
+
+  /** Shape-preserving mask. */
+  def mask_token(s: Column): Column = col1(MaskTokenExpr)(s)
+
+  /** Redact candidate spans out of the text (length-preserving). */
+  def redact_spans(text: Column, spans: Column): Column =
+    ExpressionUtils.column(
+      RedactSpansExpr(ExpressionUtils.expression(text), ExpressionUtils.expression(spans)))
+
+  def luhn(s: Column): Column = col1(LuhnExpr)(s)
+  def verhoeff(s: Column): Column = col1(VerhoeffExpr)(s)
+
+  /** Register all custom functions for SQL use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("pii_candidates", es => PiiCandidatesExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ner_spans", es => NerSpansExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("mask_token", es => MaskTokenExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("redact_spans", es => RedactSpansExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("luhn", es => LuhnExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("verhoeff", es => VerhoeffExpr(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,296 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force cosine top-k, LSH-bucketed ANN), and text analysis
+  * (language-ID heuristics, quality scoring, token stats, fingerprinting).
+  *
+  * Cross-engine determinism: every hash is md5-hex (identical in Spark and
+  * DuckDB); MinHash takes the lexicographic min over seeded md5 values;
+  * SimHash uses the top bit of each md5 hex digit. No engine-specific hash
+  * functions, no RNG.
+  *
+  * Scale design: all per-doc work is expression-level (no UDFs, no explode
+  * where an array fold suffices). The pairwise stages (LSH pair generation,
+  * ANN) only shuffle on bucket keys — the brute-force O(n·q) cosine is
+  * explicitly the small-q baseline, with the LSH bucket join as the scale
+  * path.
+  */
+object OpsQueries {
+
+  // ---- shared building blocks -------------------------------------------
+
+  /** Word tokens (split on single spaces — documents are single-spaced). */
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Word 3-gram shingles of a token array. */
+  private def shingles(toks: Column): Column =
+    transform(sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
+  private val ShinglesSql =
+    """list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+       i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"""
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands x 2 hashes
+
+  /** MinHash signature: per seed j, lexicographic min of md5(j|shingle). */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      j => array_min(transform(sh, x => md5(concat(j.cast("string"), lit("|"), x)))))
+
+  private val MinhashSigSql =
+    s"""list_transform(generate_series(0, ${NumHashes - 1}),
+        j -> list_min(list_transform($ShinglesSql, x -> md5(j::VARCHAR || '|' || x))))"""
+
+  /** SimHash over 32 "bits" = top bit of each md5 hex digit of each token;
+    * bit b of the fingerprint is 1 iff sum over tokens of ±1 >= 0. */
+  private def simhashBits(toks: Column): Column =
+    concat_ws("", transform(sequence(lit(1), lit(32)), b =>
+      when(aggregate(toks, lit(0),
+        (acc, tk) => acc + when(substring(md5(tk), 1, 32).substr(b, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        >= 0, "1").otherwise("0")))
+
+  private val SimhashBitsSql =
+    """array_to_string(list_transform(generate_series(1, 32), b ->
+         CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
+           CASE WHEN substr(md5(tk), b, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
+         THEN '1' ELSE '0' END), '')"""
+
+  /** Cosine similarity of two float-array columns, accumulated in double in
+    * element order (deterministic IEEE on both engines). */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform($a, v -> v::DOUBLE * v::DOUBLE)))
+           * sqrt(list_sum(list_transform($b, v -> v::DOUBLE * v::DOUBLE)))))"""
+
+  /** LSH signs: 8 pseudo-random hyperplanes; component (p, i) is ±1 from the
+    * top bit of md5("p_i"); bucket = sign-bit string of the 8 projections. */
+  private def lshBucket(vec: Column): Column =
+    concat_ws("", transform(sequence(lit(0), lit(7)), p =>
+      when(aggregate(zip_with(vec, sequence(lit(0), lit(63)), (v, i) =>
+        v.cast("double") * when(substring(md5(concat(p.cast("string"), lit("_"), i.cast("string"))), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")))
+
+  private val LshBucketSql =
+    """array_to_string(list_transform(generate_series(0, 7), p ->
+         CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+           embedding[i]::DOUBLE * (CASE WHEN substr(md5(p::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1)
+             IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END))) >= 0
+         THEN '1' ELSE '0' END), '')"""
+
+  // ---- queries -----------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy on content (map-side combine, one shuffle).
+    QueryDef("x01_dedup_exact",
+      """SELECT md5(text) AS fp, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS representative
+         FROM documents GROUP BY md5(text)""") { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("representative"))
+    },
+
+    // MinHash signatures + LSH band hashes (the dedup scale path: docs
+    // sharing a band hash become candidate pairs with one bucket-key shuffle).
+    QueryDef("x02_minhash_bands",
+      s"""SELECT doc_id, CAST(band AS INT) AS band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+          FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+               (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+          WHERE len(sig) > 0 AND sig[1] IS NOT NULL""") { (s, d) =>
+      t(s, d, "documents").filter(length(col("text")) > 0)
+        .withColumn("sig", minhashSig(shingles(tokens(col("text")))))
+        .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+        .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+          b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
+        .select(col("doc_id"), col("band").cast("int").as("band"), col("band_hash"))
+    },
+
+    // LSH candidate pairs + exact n-gram Jaccard verification of each pair.
+    QueryDef("x03_minhash_pairs",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+            FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents)
+          SELECT p.d1, p.d2,
+            round(len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1), 6) AS jaccard
+          FROM pairs p JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2""") { (s, d) =>
+      val docs = t(s, d, "documents").filter(length(col("text")) > 0)
+        .withColumn("sig", minhashSig(shingles(tokens(col("text")))))
+        .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+      val bands = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+          b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
+      val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("s"))
+      pairs.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          round(size(array_intersect(col("s1.s"), col("s2.s"))).cast("double")
+            / greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)), 6).as("jaccard"))
+    },
+
+    // SimHash fingerprints.
+    QueryDef("x04_simhash",
+      s"""SELECT doc_id, $SimhashBitsSql AS simhash FROM documents""") { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"), simhashBits(tokens(col("text"))).as("simhash"))
+    },
+
+    // n-gram Jaccard near-dup score between consecutive doc ids (the exact
+    // verification kernel; the LSH stage above supplies candidates at scale).
+    QueryDef("x05_ngram_jaccard",
+      s"""WITH sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents)
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+            round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+              / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
+          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""") { (s, d) =>
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("s"))
+      sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          round(size(array_intersect(col("a.s"), col("b.s"))).cast("double")
+            / greatest(size(array_union(col("a.s"), col("b.s"))), lit(1)), 6).as("jaccard"))
+    },
+
+    // Brute-force cosine top-k: baseline ANN. Queries broadcast; candidates
+    // scanned once; per-query top-k via window.
+    QueryDef("x06_cosine_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8)
+          SELECT qid, vec_id, rank, cos FROM (
+            SELECT q.qid, e.vec_id,
+              round(${cosineSql("q.qe", "e.embedding")}, 5) AS cos,
+              CAST(row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${cosineSql("q.qe", "e.embedding")} DESC, e.vec_id) AS INT) AS rank
+            FROM q, embeddings e WHERE e.vec_id <> q.qid)
+          WHERE rank <= 5""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rawcos", cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
+    },
+
+    // LSH-bucketed ANN: random-hyperplane signature buckets; neighbors are
+    // only searched within the query's bucket (the 100 TB scale path: the
+    // cross join above becomes a bucket-key equi-join).
+    QueryDef("x07_ann_lsh",
+      s"""WITH b AS (SELECT vec_id, embedding, $LshBucketSql AS bucket FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 32)
+          SELECT qid, vec_id, rank, cos FROM (
+            SELECT q.qid, b.vec_id,
+              round(${cosineSql("q.qe", "b.embedding")}, 5) AS cos,
+              CAST(row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${cosineSql("q.qe", "b.embedding")} DESC, b.vec_id) AS INT) AS rank
+            FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.qid)
+          WHERE rank <= 3""") { (s, d) =>
+      val b = t(s, d, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
+      val q = b.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      val w = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))
+      b.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rawcos", cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
+    },
+
+    // Language-ID heuristic: stopword hits per language, argmax with
+    // first-in-list tie-break.
+    QueryDef("x08_langid",
+      """WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id, lang,
+           CAST(len(list_filter(toks, t -> list_contains(['the','a','fast','slow','big','small'], t))) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(toks, t -> list_contains(['el','la','los','rapido'], t))) AS BIGINT) AS es_hits,
+           CASE WHEN len(list_filter(toks, t -> list_contains(['el','la','los','rapido'], t)))
+                   > len(list_filter(toks, t -> list_contains(['the','a','fast','slow','big','small'], t)))
+                THEN 'es' ELSE 'en' END AS predicted
+         FROM s""") { (s, d) =>
+      val en = array(Seq("the", "a", "fast", "slow", "big", "small").map(lit): _*)
+      val es = array(Seq("el", "la", "los", "rapido").map(lit): _*)
+      val toks = tokens(col("text"))
+      def hits(lst: Column) = size(filter(toks, tk => array_contains(lst, tk))).cast("long")
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        hits(en).as("en_hits"), hits(es).as("es_hits"),
+        when(hits(es) > hits(en), "es").otherwise("en").as("predicted"))
+    },
+
+    // Quality scoring: token stats + stopword ratio + a fused quality score.
+    QueryDef("x09_quality",
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           length(text) AS n_chars,
+           round(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a'], t)))::DOUBLE
+             / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+           round(length(text)::DOUBLE / greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len
+         FROM documents""") { (s, d) =>
+      val toks = tokens(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(size(filter(toks, tk => tk.isin("the", "a"))).cast("double")
+          / greatest(size(toks), lit(1)), 6).as("stopword_ratio"),
+        round(length(col("text")).cast("double") / greatest(size(toks), lit(1)), 6).as("avg_token_len"))
+    },
+
+    // Corpus token histogram: top 20 tokens.
+    QueryDef("x10_top_tokens",
+      """SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""") { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    },
+
+    // Document fingerprint: md5 of whitespace-normalized lowercase text.
+    QueryDef("x11_fingerprint",
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    },
+
+    // Token counting with a BPE-ish word/punct regex (scale-stable
+    // regexp_count, no explode).
+    QueryDef("x12_token_counts",
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS BIGINT) AS n_punct
+         FROM documents""") { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).cast("long").as("n_words"),
+        size(expr("regexp_extract_all(text, '[^A-Za-z0-9_\\\\s]', 0)")).cast("long").as("n_punct"))
+    })
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.t
+
+/** The relational operator surface of SURVEY §2.2/2.4/2.5/2.6/2.7/2.8 expressed
+  * over the TPC-H-ish testdata.
+  *
+  * Float determinism: money columns are exact 2-decimal doubles, so sums are
+  * done in integer cents (`round(x*100)::long`) — exact, order-independent,
+  * and identical in Spark and DuckDB regardless of aggregation order. Final
+  * outputs convert back via double division, which is deterministic IEEE on
+  * identical inputs.
+  */
+object RelationalQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1/A5-style aggregation over the big fact table (TPC-H Q1 shape).
+    QueryDef("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).cast("double") / 10000)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Filter + projection; predicates and column pruning push to the parquet scan.
+    QueryDef("q02_filter_project",
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+           AND l_discount >= 0.05 AND l_quantity < 10""") { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_discount") >= 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    },
+
+    // Join + agg + top-k (TPC-H Q3 shape): revenue per order for one segment.
+    QueryDef("q03_top_revenue_orders",
+      """SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         GROUP BY o.o_orderkey, o.o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, d) =>
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+      val l = t(s, d, "lineitem").select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_c"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg((sum("rev_c").cast("double") / 10000).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    },
+
+    // Multi-join with broadcast dims (TPC-H Q5 shape): revenue by nation.
+    QueryDef("q04_revenue_by_nation",
+      """SELECT n.n_name,
+         CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name IN ('ASIA','EUROPE')
+         GROUP BY n.n_name""") { (s, d) =>
+      val l = t(s, d, "lineitem").select(col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_c"))
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      val dims = broadcast(sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("s_suppkey").as("l_suppkey"), col("n_name")))
+      l.join(dims, "l_suppkey" :: Nil)
+        .groupBy("n_name")
+        .agg((sum("rev_c").cast("double") / 10000).as("revenue"))
+    },
+
+    // Window function: top-3 orders per customer by totalprice.
+    QueryDef("q05_top_orders_per_customer",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""") { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    },
+
+    // Distinct aggregates.
+    QueryDef("q06_distinct_agg",
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Set operations: union distinct + except.
+    QueryDef("q07_setops",
+      """SELECT nk, 'both_pool' AS src FROM
+           (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier)
+         UNION ALL
+         SELECT nk, 'cust_only' AS src FROM
+           (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier)""") { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val sup = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      c.union(sup).distinct().withColumn("src", lit("both_pool"))
+        .unionByName(c.except(sup).withColumn("src", lit("cust_only")))
+    },
+
+    // Semi/anti joins: customers with vs without orders, per segment.
+    QueryDef("q08_semi_anti",
+      """SELECT c_mktsegment,
+         count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with,
+         count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without
+         FROM customer c GROUP BY c_mktsegment""") { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").select("o_custkey")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+    },
+
+    // Global top-k (TakeOrderedAndProject, no full sort).
+    QueryDef("q09_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""") { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    },
+
+    // Tumbling-window aggregation over the event stream table (batch twin of
+    // the Structured Streaming pipeline in graft.streaming).
+    QueryDef("q10_events_tumbling",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+         FROM events GROUP BY 1, 2""") { (s, d) =>
+      QueryDef.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))).cast("double") / 100).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // Sessionization: 30-minute inactivity gap, via lag + running sum windows.
+    QueryDef("q11_sessionize",
+      """SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events) GROUP BY user_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      QueryDef.events(s, d)
+        .withColumn("gap", unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
+        .withColumn("is_new", when(col("gap") > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((lit(1) + sum("is_new")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // Rollup (grouping sets).
+    QueryDef("q12_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""") { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), (sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"))
+    },
+
+    // JSON extraction from the events props column (C22 JSON codec surface).
+    QueryDef("q13_json_props",
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
+         FROM events GROUP BY event_type""") { (s, d) =>
+      QueryDef.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type").agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+    },
+
+    // Date bucketing.
+    QueryDef("q14_orders_by_month",
+      """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+         FROM orders GROUP BY 1, 2""") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))).cast("double") / 100).as("sum_price"))
+    },
+
+    // Deterministic hash-based sampling (the cross-engine-stable analogue of
+    // the reference's TABLESAMPLE/ORDER BY rand() ladder, sampler.py:163-204).
+    QueryDef("q15_sample_hash",
+      """SELECT c_custkey, c_name FROM customer
+         WHERE substr(md5(c_custkey::VARCHAR), 1, 1) IN ('0','1')""") { (s, d) =>
+      t(s, d, "customer")
+        .filter(substring(md5(col("c_custkey").cast("string")), 1, 1).isin("0", "1"))
+        .select("c_custkey", "c_name")
+    })
+}
