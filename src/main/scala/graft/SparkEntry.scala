@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PiiQueries, QueryDef, RelationalQueries}
+import graft.queries.{PiiQueries, PipelineQueries, QueryDef, RelationalQueries}
 import graft.ops.OpsQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   val all: Seq[QueryDef] =
-    RelationalQueries.defs ++ PiiQueries.defs ++ OpsQueries.defs
+    RelationalQueries.defs ++ PiiQueries.defs ++ PipelineQueries.defs ++ OpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full offline PII scan (candidates → ensemble → argmax). */

@@ -1,0 +1,159 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer, StandardScaler}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.PiiTypes
+
+/** Embedding classifier (reference: embeddings.py).
+  *
+  * The reference encodes sanitized context windows with SBERT and fits a
+  * one-vs-rest scaled LogisticRegression per PII type (embeddings.py:101-138).
+  * Its tested path is OFFLINE: with no classifier, `predict_proba` returns
+  * all-zero neutral probabilities (embeddings.py:76-80) — that neutral path is
+  * the semantic contract and is what [[EmbedModel.neutral]] reproduces.
+  *
+  * The trainable path replaces SBERT with a deterministic hashed bag-of-chars
+  * featurizer (the container has no model weights; the reference's own
+  * offline fallback is seeded noise, documented non-reproducible on JVM —
+  * SURVEY §7.4) and MLlib StandardScaler(withMean=false) + per-type
+  * LogisticRegression with balanced class weights, keeping the degenerate-
+  * class constant estimators (embeddings.py:113-122).
+  */
+class EmbedModel(
+    val classifiers: Map[String, Either[Double, (Vector, Double, Array[Double], Double)]]) {
+  // Left(constProb) for degenerate classes; Right((coef, intercept, scalerStd, _)) for LR.
+
+  def isNeutral: Boolean = classifiers.isEmpty
+
+  /** probs per type for each context row; neutral = all zeros
+    * (embeddings.py:76-80). Adds one `embed_<TYPE>` column per type. */
+  def predictProba(contexts: DataFrame, textCol: String): DataFrame = {
+    if (isNeutral) {
+      PiiTypes.ALL.foldLeft(contexts)((df, t) => df.withColumn(s"embed_$t", lit(0.0)))
+    } else {
+      val feats = EmbedModel.featurize(contexts, textCol)
+      PiiTypes.ALL.foldLeft(feats) { (df, t) =>
+        classifiers.get(t) match {
+          case Some(Left(const)) => df.withColumn(s"embed_$t", lit(const))
+          case Some(Right((coef, intercept, std, _))) =>
+            val coefB = coef.toArray
+            val scoreUdf = udf { v: Vector =>
+              var z = intercept
+              v.foreachActive { (i, x) =>
+                val s = if (std(i) == 0.0) 0.0 else x / std(i)
+                z += coefB(i) * s
+              }
+              1.0 / (1.0 + math.exp(-z))
+            }
+            df.withColumn(s"embed_$t", scoreUdf(col("features")))
+          case None => df.withColumn(s"embed_$t", lit(0.0))
+        }
+      }.drop("features")
+    }
+  }
+}
+
+object EmbedModel {
+  val NumFeatures = 512
+
+  /** Neutral (offline) model: predict_proba == zeros for every type. */
+  def neutral: EmbedModel = new EmbedModel(Map.empty)
+
+  /** Deterministic featurizer: hashed 2-5 char n-gram counts. */
+  def featurize(df: DataFrame, textCol: String): DataFrame = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("toks")
+      .setPattern("\\S").setGaps(false).setToLowercase(true).setMinTokenLength(1)
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(NumFeatures)
+    tf.transform(tok.transform(df)).drop("toks")
+  }
+
+  /** One-vs-rest fit with the reference's degenerate-class guards:
+    * 0 positives → constant 0.0, all positives → constant 1.0
+    * (embeddings.py:113-122).
+    *
+    * @param labeled (textCol, labelCol) rows; labelCol holds the gold type */
+  def fit(labeled: DataFrame, textCol: String, labelCol: String): EmbedModel = {
+    val spark = labeled.sparkSession
+    val feats = featurize(labeled, textCol).cache()
+    val n = feats.count()
+    val scaler = new StandardScaler().setWithMean(false).setWithStd(true)
+      .setInputCol("features").setOutputCol("scaled")
+    val scalerModel = scaler.fit(feats)
+    val std = scalerModel.std.toArray
+    val classifiers = PiiTypes.ALL.flatMap { t =>
+      val withY = feats.withColumn("y", when(col(labelCol) === t, 1.0).otherwise(0.0))
+      val pos = withY.agg(sum("y")).head.getDouble(0)
+      if (pos == 0) Some(t -> Left(0.0))
+      else if (pos == n) Some(t -> Left(1.0))
+      else {
+        // balanced class weights (class_weight="balanced")
+        val wPos = n / (2.0 * pos)
+        val wNeg = n / (2.0 * (n - pos))
+        val weighted = scalerModel.transform(withY)
+          .withColumn("w", when(col("y") === 1.0, wPos).otherwise(wNeg))
+          .select(col("scaled").as("features"), col("y").as("label"), col("w"))
+        val lr = new LogisticRegression().setMaxIter(200).setWeightCol("w")
+          .setRegParam(1.0 / n) // ~ liblinear C=1.0 (1/(n·C) scaled loss)
+        val m = lr.fit(weighted)
+        Some(t -> Right((m.coefficients, m.intercept, std, pos)))
+      }
+    }.toMap
+    feats.unpersist()
+    new EmbedModel(classifiers)
+  }
+}
+
+/** Platt calibrator fit (ensemble.py:170-189): per type, a 1-feature logistic
+  * regression of raw ensemble score vs (gold == type), with identity (1,0)
+  * for degenerate label distributions. Solved by damped Newton on the
+  * L2-regularized logistic loss (liblinear's objective, C=1). The data is 11
+  * tiny driver-side series — no distribution needed (the heavy part, raw
+  * score computation, IS distributed upstream). */
+object CalibratorFit {
+
+  def fit(rawScores: Seq[Map[String, Double]], labels: Seq[Option[String]]): graft.ensemble.Calibrator = {
+    val models = PiiTypes.ALL.map { t =>
+      val x = rawScores.map(_.getOrElse(t, 0.0)).toArray
+      val y = labels.map(l => if (l.contains(t)) 1.0 else 0.0).toArray
+      val pos = y.sum
+      if (pos == 0 || pos == y.length) t -> (1.0, 0.0)
+      else t -> newton1d(x, y)
+    }.toMap
+    graft.ensemble.Calibrator(models)
+  }
+
+  /** Damped Newton for min_w,b  0.5(w²+b²) + C·Σ log(1+exp(-ŷ(wx+b))),
+    * ŷ∈{-1,1}, C=1 (liblinear penalizes the intercept via augmentation). */
+  private def newton1d(x: Array[Double], y01: Array[Double]): (Double, Double) = {
+    val y = y01.map(v => if (v > 0.5) 1.0 else -1.0)
+    var w = 0.0; var b = 0.0
+    val C = 1.0
+    for (_ <- 0 until 100) {
+      var g0 = w; var g1 = b
+      var h00 = 1.0; var h01 = 0.0; var h11 = 1.0
+      var i = 0
+      while (i < x.length) {
+        val z = y(i) * (w * x(i) + b)
+        val s = 1.0 / (1.0 + math.exp(z))       // σ(-z)
+        val d = s * (1.0 - s)
+        g0 += C * (-y(i) * x(i) * s)
+        g1 += C * (-y(i) * s)
+        h00 += C * d * x(i) * x(i)
+        h01 += C * d * x(i)
+        h11 += C * d
+        i += 1
+      }
+      val det = h00 * h11 - h01 * h01
+      val dw = (h11 * g0 - h01 * g1) / det
+      val db = (h00 * g1 - h01 * g0) / det
+      w -= dw; b -= db
+      if (math.abs(dw) + math.abs(db) < 1e-10) return (w, b)
+    }
+    (w, b)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video as opaque `binary` columns
+  * with typed metadata, processed in executor-side batches.
+  *
+  * The decode kernels themselves are STUBBED (no image/audio libs in this
+  * container): [[FakeDecode]] derives deterministic pseudo-metadata and
+  * features from the bytes. Everything around the stub is real and tested —
+  * the binary schema, the `mapPartitions` iterator-to-iterator batch shape
+  * (one decoder instance per partition, the Scala analogue of a Pandas-UDF
+  * `mapInPandas` batch), the partitioning, and the downstream columnar
+  * feature handling.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, head_byte: Int,
+                           fp: String, feature: Array[Float])
+
+  /** The stub decode kernel: replace with a real codec (e.g. JNI/ONNX) by
+    * swapping this object; the pipeline shape is unchanged. */
+  object FakeDecode {
+    def features(bytes: Array[Byte], dims: Int = 8): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val fp = md.map("%02x".format(_)).mkString
+      val feat = Array.tabulate(dims)(i => ((md(i) & 0xff) / 255.0f))
+      MediaFeatures(0L, bytes.length, if (bytes.isEmpty) -1 else bytes(0) & 0xff, fp, feat)
+    }
+  }
+
+  /** Batched "decode": one kernel instance per partition, iterator in/out —
+    * no per-row setup, no driver collect. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder initialization happens here (stubbed)
+      it.map { row =>
+        FakeDecode.features(row.media).copy(doc_id = row.doc_id)
+      }
+    }
+  }
+
+  /** Documents-as-media adapter: casts text bytes into the binary column so
+    * the plumbing runs on the driver testdata. */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+      lit("text/plain").as("media_type")).as[MediaRow]
+  }
+}

@@ -73,7 +73,8 @@ object PiiQueries {
       .mkString("(", ")\nUNION ALL\n(", ")")
   }
 
-  private val candidatesCte =
+  /** Shared candidate CTE (also used by PipelineQueries oracles). */
+  val candidatesCteSql: String =
     s"""$IN, raw_cands AS (
           $candidatesSql
         ), cands AS (
@@ -92,7 +93,7 @@ object PiiQueries {
     // Rule-layer candidates (C1-C14): full 10-detector pipeline with checksum
     // gates, DOB boost, and the reference's candidate ordering.
     QueryDef("p01_pii_candidates",
-      s"""$candidatesCte
+      s"""$candidatesCteSql
           SELECT doc_id, candidate_idx, value, rule_label, rule_confidence FROM cands""") { (s, d) =>
       PiiInputs.df(s, d)
         .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
@@ -105,7 +106,7 @@ object PiiQueries {
     // normalization → argmax. Offline scores: w_rule·conf + 0.2·valid on the
     // rule label, sigmoid, normalized against 10 neutral sigmoid(0)=0.5 types.
     QueryDef("p02_pii_scan",
-      s"""$candidatesCte
+      s"""$candidatesCteSql
           SELECT doc_id, candidate_idx, value, rule_label AS label,
             round((1.0/(1.0+exp(-(0.6*rule_confidence + CASE WHEN valid THEN 0.2 ELSE 0.0 END))))
               / ((1.0/(1.0+exp(-(0.6*rule_confidence + CASE WHEN valid THEN 0.2 ELSE 0.0 END)))) + 5.0), 6) AS score

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.PiiTypes
+import graft.ensemble.{Calibrator, PiiEnsemble, Weights}
+import graft.functions.{ner_spans, pii_candidates}
+import graft.queries.PiiInputs.Sql
+import QueryDef.t
+
+/** Pipeline-surface queries wiring the library modules (NER merge A1,
+  * evaluator J1/A5-A7, sampler hit-rate A10, findings store S12/S13,
+  * multimodal plumbing) into the oracle gate. */
+object PipelineQueries {
+
+  private val IN = s"WITH pii_inputs AS (${PiiInputs.sql})"
+
+  /** Candidate CTE fragment shared with PiiQueries (same SQL, duplicated via
+    * accessor to keep each oracle self-contained). */
+  private def candsCte = PiiQueries.candidatesCteSql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // NER (offline provider) ∪ rules, merged per type by max score — the
+    // merge_with_rules operator (ner.py:202-228, A1). Offline NER emits
+    // EMAIL 0.99 / PHONE_NUMBER 0.90 via regex (ner.py:61-81); gate 0.60.
+    QueryDef("p06_ner_merge",
+      s"""$candsCte,
+          ner AS (
+            SELECT doc_id, '${PiiTypes.EMAIL}' AS label, 0.99 AS score
+            FROM pii_inputs, (SELECT unnest(generate_series(1, 100)) AS i) ii
+            WHERE i <= len(regexp_extract_all(text, ${Sql.EMAIL}))
+            UNION ALL
+            SELECT doc_id, '${PiiTypes.PHONE_NUMBER}' AS label, 0.90 AS score
+            FROM pii_inputs, (SELECT unnest(generate_series(1, 100)) AS i) ii
+            WHERE i <= len(regexp_extract_all(text, ${Sql.PHONE}))),
+          merged AS (
+            SELECT doc_id, label, score FROM ner WHERE score >= 0.60
+            UNION ALL
+            SELECT doc_id, rule_label AS label, rule_confidence AS score FROM cands)
+          SELECT doc_id, label, round(max(score), 6) AS score FROM merged GROUP BY doc_id, label""") { (s, d) =>
+      val in = PiiInputs.df(s, d)
+      val ner = in.select(col("doc_id"), explode(ner_spans(col("text"))).as("n"))
+        .filter(col("n.score") >= 0.60)
+        .select(col("doc_id"), col("n.label").as("label"), col("n.score").as("score"))
+      val rules = in.select(col("doc_id"), explode(pii_candidates(col("text"))).as("c"))
+        .select(col("doc_id"), col("c.rule_label").as("label"), col("c.rule_confidence").as("score"))
+      ner.unionByName(rules)
+        .groupBy("doc_id", "label")
+        .agg(round(max("score"), 6).as("score"))
+    },
+
+    // Greedy span matching + PRF report (J1 + A5-A7) through the distributed
+    // Evaluator. Gold = the EMAIL/SSN/MAC/DATE candidate spans plus one
+    // deliberately-unmatchable ADDRESS gold per doc (the IP span retyped), so
+    // tp, fp, AND fn paths all carry load. Oracle counts per-label matches
+    // (valid because gold spans coincide with prediction spans).
+    QueryDef("p07_eval_prf",
+      s"""$candsCte,
+          pred_counts AS (SELECT rule_label AS label, count(*) AS pc FROM cands GROUP BY 1),
+          gold_per_doc AS (
+            SELECT doc_id, rule_label AS label, count(*) AS gc FROM cands
+            WHERE rule_label IN ('EMAIL','SSN','MAC_ADDRESS','DATE') GROUP BY 1, 2
+            UNION ALL
+            SELECT doc_id, 'ADDRESS' AS label, 1 AS gc FROM pii_inputs),
+          gold_counts AS (SELECT label, CAST(sum(gc) AS BIGINT) AS gc FROM gold_per_doc GROUP BY 1),
+          types(label, ord) AS (VALUES ${PiiTypes.ALL.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")}),
+          tallies AS (
+            SELECT t.label,
+              CAST(least(coalesce(pc, 0), coalesce(gc, 0)) AS BIGINT) AS tp,
+              CAST(coalesce(pc, 0) - least(coalesce(pc, 0), coalesce(gc, 0)) AS BIGINT) AS fp,
+              CAST(coalesce(gc, 0) - least(coalesce(pc, 0), coalesce(gc, 0)) AS BIGINT) AS fn
+            FROM types t LEFT JOIN pred_counts p ON p.label = t.label
+                         LEFT JOIN gold_counts g ON g.label = t.label),
+          prf AS (
+            SELECT label, tp, fp, fn,
+              CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END AS precision,
+              CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END AS recall
+            FROM tallies),
+          prf2 AS (
+            SELECT label, tp, fp, fn, precision, recall,
+              CASE WHEN precision + recall = 0 THEN 0.0 ELSE 2 * precision * recall / (precision + recall) END AS f1
+            FROM prf)
+          SELECT 'type' AS scope, label, tp, fp, fn,
+            round(precision, 6) AS precision, round(recall, 6) AS recall, round(f1, 6) AS f1 FROM prf2
+          UNION ALL
+          SELECT 'micro', NULL, CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT), CAST(sum(fn) AS BIGINT),
+            round(CASE WHEN sum(tp) + sum(fp) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fp)) END, 6),
+            round(CASE WHEN sum(tp) + sum(fn) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fn)) END, 6),
+            round(CASE WHEN (CASE WHEN sum(tp) + sum(fp) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fp)) END)
+                     + (CASE WHEN sum(tp) + sum(fn) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fn)) END) = 0 THEN 0.0
+                 ELSE 2 * (CASE WHEN sum(tp) + sum(fp) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fp)) END)
+                        * (CASE WHEN sum(tp) + sum(fn) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fn)) END)
+                      / ((CASE WHEN sum(tp) + sum(fp) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fp)) END)
+                       + (CASE WHEN sum(tp) + sum(fn) = 0 THEN 0.0 ELSE sum(tp)::DOUBLE / (sum(tp) + sum(fn)) END)) END, 6)
+          FROM tallies
+          UNION ALL
+          SELECT 'macro', NULL, NULL, NULL, NULL,
+            round(avg(precision), 6), round(avg(recall), 6), round(avg(f1), 6) FROM prf2""") { (s, d) =>
+      val cands = PiiInputs.df(s, d)
+        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c")))
+      val preds = cands.select(col("doc_id"), col("idx").as("pred_idx"),
+        col("c.start").as("start"), col("c.end").as("end"), col("c.rule_label").as("label"))
+      val goldBase = cands
+        .filter(col("c.rule_label").isin("EMAIL", "SSN", "MAC_ADDRESS", "DATE"))
+        .select(col("doc_id"), col("c.start").as("start"), col("c.end").as("end"),
+          col("c.rule_label").as("type"))
+      val goldAddr = cands.filter(col("c.rule_label") === "IP_ADDRESS")
+        .select(col("doc_id"), col("c.start").as("start"), col("c.end").as("end"),
+          lit("ADDRESS").as("type"))
+      val gold = goldBase.unionByName(goldAddr)
+        .withColumn("gold_idx", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start", "type")))
+      val outcomes = graft.eval.Evaluator.matchOutcomes(preds, gold)
+      graft.eval.Evaluator.prfReport(outcomes)
+        .withColumn("precision", round(col("precision"), 6))
+        .withColumn("recall", round(col("recall"), 6))
+        .withColumn("f1", round(col("f1"), 6))
+    },
+
+    // Sampler hit rate (A10): detector hit fraction per derived column family.
+    QueryDef("q16_hit_rate",
+      s"""$IN, vals AS (
+            SELECT 'email' AS col_name, 'user' || c_custkey::VARCHAR || '@example.com' AS value FROM customer
+            UNION ALL
+            SELECT 'cc', lpad(((c_custkey*7919) % 10000)::VARCHAR, 4, '0') || ' ' || lpad(((c_custkey*104729) % 10000)::VARCHAR, 4, '0') || ' ' || lpad(((c_custkey*1299709) % 10000)::VARCHAR, 4, '0') || ' ' || lpad(((c_custkey*15485863) % 10000)::VARCHAR, 4, '0') FROM customer
+            UNION ALL
+            SELECT 'aadhaar', (2 + c_custkey % 8)::VARCHAR || lpad(((c_custkey*13) % 1000)::VARCHAR, 3, '0') || ' ' || lpad(((c_custkey*37) % 10000)::VARCHAR, 4, '0') || ' ' || lpad(((c_custkey*91) % 10000)::VARCHAR, 4, '0') FROM customer)
+          SELECT col_name, count(*) AS n,
+            round(avg(CASE col_name
+              WHEN 'email' THEN CASE WHEN regexp_matches(value, ${Sql.EMAIL}) THEN 1.0 ELSE 0.0 END
+              WHEN 'cc' THEN CASE WHEN ${Sql.luhn("value")} THEN 1.0 ELSE 0.0 END
+              ELSE CASE WHEN ${Sql.verhoeff("value")} THEN 1.0 ELSE 0.0 END END), 6) AS hit_rate
+          FROM vals GROUP BY col_name""") { (s, d) =>
+      import graft.functions.{luhn, verhoeff}
+      val c = t(s, d, "customer").select(col("c_custkey"))
+      def lp(x: org.apache.spark.sql.Column, n: Int) = lpad(x.cast("string"), n, "0")
+      val k = col("c_custkey")
+      val email = c.select(lit("email").as("col_name"),
+        concat(lit("user"), k.cast("string"), lit("@example.com")).as("value"))
+      val cc = c.select(lit("cc").as("col_name"),
+        concat(lp((k * 7919) % 10000, 4), lit(" "), lp((k * 104729) % 10000, 4), lit(" "),
+          lp((k * 1299709) % 10000, 4), lit(" "), lp((k * 15485863) % 10000, 4)).as("value"))
+      val aad = c.select(lit("aadhaar").as("col_name"),
+        concat((lit(2) + k % 8).cast("string"), lp((k * 13) % 1000, 3), lit(" "),
+          lp((k * 37) % 10000, 4), lit(" "), lp((k * 91) % 10000, 4)).as("value"))
+      email.unionByName(cc).unionByName(aad)
+        .withColumn("hit", when(col("col_name") === "email",
+            when(regexp_like(col("value"), lit(Rules2.emailRe)), 1.0).otherwise(0.0))
+          .when(col("col_name") === "cc", when(luhn(col("value")), 1.0).otherwise(0.0))
+          .otherwise(when(verhoeff(col("value")), 1.0).otherwise(0.0)))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n"), round(avg("hit"), 6).as("hit_rate"))
+    },
+
+    // Findings rollup (S12/S13 shape): per column_ref, sorted distinct types
+    // CSV + max confidence — the store's write payload, minus the timestamp.
+    QueryDef("q17_findings",
+      s"""$candsCte,
+          scored AS (
+            SELECT doc_id, rule_label,
+              (1.0/(1.0+exp(-(0.6*rule_confidence + CASE WHEN valid THEN 0.2 ELSE 0.0 END))))
+                / ((1.0/(1.0+exp(-(0.6*rule_confidence + CASE WHEN valid THEN 0.2 ELSE 0.0 END)))) + 5.0) AS score
+            FROM cands)
+          SELECT 'demo://customer/' || doc_id::VARCHAR AS column_ref,
+            string_agg(DISTINCT rule_label, ',' ORDER BY rule_label) AS types,
+            round(max(score), 6) AS confidence,
+            count(*) AS n_hits
+          FROM scored GROUP BY doc_id""") { (s, d) =>
+      PiiInputs.df(s, d)
+        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c")))
+        .withColumn("pred", PiiEnsemble.predictOffline(
+          col("c.rule_label"), col("c.rule_confidence"), col("c.validations"),
+          Calibrator.identity, Weights.runtimeDefault))
+        .groupBy("doc_id")
+        .agg(
+          array_join(sort_array(collect_set(col("c.rule_label"))), ",").as("types"),
+          round(max(col("pred.score")), 6).as("confidence"),
+          count(lit(1)).as("n_hits"))
+        .select(concat(lit("demo://customer/"), col("doc_id").cast("string")).as("column_ref"),
+          col("types"), col("confidence"), col("n_hits"))
+    },
+
+    // Multimodal plumbing: binary media column → per-partition batched
+    // "decode" (stubbed kernel) → typed features.
+    QueryDef("x13_multimodal",
+      """SELECT doc_id, length(text) AS n_bytes, ascii(substr(text, 1, 1)) AS head_byte,
+         md5(text) AS fp FROM documents""") { (s, d) =>
+      import graft.ops.Multimodal
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(t(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("head_byte").cast("int").as("head_byte"), col("fp"))
+    })
+
+  /** Regex literals reused by q16 (kept here to avoid a cyclic reference). */
+  private object Rules2 {
+    val emailRe: String = graft.detect.Rules.EMAIL_RE.pattern()
+  }
+}

@@ -1,0 +1,229 @@
+package graft.modules
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.catalog.{Connectors, WriteBack}
+import graft.config.Config
+import graft.core.PiiTypes
+import graft.data.Synth
+import graft.ml.{CalibratorFit, EmbedModel}
+import graft.sample.Sampler
+
+class SynthSpec extends SparkSpec {
+  test("gold span offsets slice back to their text (tests/test_datasets.py:4-9)") {
+    val ds = Synth.generate(spark, 50, seed = 1234).collect()
+    assert(ds.length == 50)
+    for (ex <- ds; l <- ex.labels)
+      assert(ex.text.substring(l.start, l.end) == l.text)
+  }
+
+  test("generated credit cards are Luhn-valid, dates ISO, generation is seed-deterministic") {
+    val a = Synth.generate(spark, 20, seed = 7).collect()
+    val b = Synth.generate(spark, 20, seed = 7).collect()
+    assert(a.toSeq == b.toSeq)
+    for (ex <- a; l <- ex.labels if l.`type` == PiiTypes.CREDIT_CARD)
+      assert(graft.core.Checksums.luhn(l.text))
+    for (ex <- a; l <- ex.labels if l.`type` == PiiTypes.DATE)
+      assert(l.text.matches("""\d{4}-\d{2}-\d{2}"""))
+  }
+
+  test("jsonl roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/out"
+    val ds = Synth.generate(spark, 10, seed = 3)
+    Synth.saveJsonl(ds, dir)
+    val back = Synth.loadJsonl(spark, dir).collect().sortBy(_.text)
+    assert(back.toSeq == ds.collect().toSeq.sortBy(_.text))
+  }
+
+  test("synthetic examples flow through the detection pipeline") {
+    import spark.implicits._
+    val df = Synth.generate(spark, 30, seed = 11).toDF()
+    val n = df.select(explode(graft.functions.pii_candidates(col("text")))).count()
+    assert(n > 30) // every template embeds multiple detectable values
+  }
+}
+
+class ConfigSpec extends AnyFunSuite {
+  val yaml =
+    """ai:
+      |  mode: strict
+      |  ner:
+      |    enabled: false
+      |    confidence_min: 0.7
+      |  ensemble:
+      |    weights:
+      |      rules: 0.5
+      |    decision_threshold: 0.6
+      |""".stripMargin
+
+  test("yaml parse + defaults merge") {
+    val c = Config.load(Some(yaml), env = Map.empty)
+    assert(c.mode == "strict")
+    assert(!c.ner.enabled)
+    assert(c.ner.confidenceMin == 0.7)
+    assert(c.ner.provider == "presidio") // default survives partial override
+    assert(c.ensemble.wRule == 0.5)
+    assert(c.ensemble.wNer == 0.3)
+    assert(c.ensemble.decisionThreshold == 0.6)
+  }
+
+  test("CPS_ env overrides with __ nesting and coercion (config.py:132-169)") {
+    val c = Config.load(Some(yaml), env = Map(
+      "CPS_AI__NER__ENABLED" -> "yes",
+      "CPS_AI__ENSEMBLE__DECISION_THRESHOLD" -> "0.8",
+      "CPS_AI__LLM__CACHE_TTL_MINUTES" -> "60",
+      "UNRELATED" -> "x"))
+    assert(c.ner.enabled)
+    assert(c.ensemble.decisionThreshold == 0.8)
+    assert(c.llm.cacheTtlMinutes == 60)
+  }
+
+  test("unknown keys are rejected (pydantic extra=forbid parity)") {
+    intercept[IllegalArgumentException] {
+      Config.load(Some("ai:\n  bogus_key: 1\n"), env = Map.empty)
+    }
+  }
+
+  test("primitive coercion table (C28)") {
+    assert(Config.coerce("true") == true)
+    assert(Config.coerce("on") == true)
+    assert(Config.coerce("off") == false)
+    assert(Config.coerce("3.5") == 3.5)
+    assert(Config.coerce("42") == 42)
+    assert(Config.coerce("hello") == "hello")
+  }
+}
+
+class SamplerSpec extends SparkSpec {
+  private lazy val customers = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+
+  test("rand mode: n distinct non-null values, seed-deterministic") {
+    val a = Sampler.sampleColumn(customers, "c_name", 5, mode = Sampler.Rand(42)).collect().toSet
+    val b = Sampler.sampleColumn(customers, "c_name", 5, mode = Sampler.Rand(42)).collect().toSet
+    assert(a.size == 5)
+    assert(a == b)
+  }
+
+  test("where predicate narrows the pool (F2)") {
+    val got = Sampler.sampleColumn(customers, "c_name", 100,
+      where = Some("c_mktsegment = 'BUILDING'"), mode = Sampler.HashPrefix(Seq("0", "1", "2", "3")))
+      .collect().map(_.getString(0)).toSet
+    val pool = customers.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_name").collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty && got.subsetOf(pool))
+  }
+
+  test("hit rate over sampled values") {
+    import spark.implicits._
+    val vals = Seq("a@b.com", "c@d.org", "nope", "x@y.net").toDF("v")
+    val hr = Sampler.hitRate(vals, "v", col("v").rlike("@"))
+      .collect().head
+    assert(hr.getLong(0) == 4)
+    assert(hr.getDouble(1) == 0.75)
+  }
+}
+
+class WriteBackSpec extends SparkSpec {
+  test("sorted csv + change detection idempotency (glue.py:207-219)") {
+    assert(WriteBack.sortedCsv(Seq("PHONE_NUMBER", "EMAIL", "EMAIL")) == "EMAIL,PHONE_NUMBER")
+    val first = WriteBack.updatedProperties(Map.empty, "c1", isPii = true, Seq("EMAIL"))
+    assert(first.contains(Map("pii" -> "true", "cps.pii_types.col.c1" -> "EMAIL")))
+    // re-applying the same state is a no-op
+    assert(WriteBack.updatedProperties(first.get, "c1", isPii = true, Seq("EMAIL")).isEmpty)
+  }
+
+  test("comment append-if-absent with 255 cap (C26)") {
+    assert(WriteBack.appendComment("", "PII: EMAIL") == "PII: EMAIL")
+    assert(WriteBack.appendComment("existing", "PII: EMAIL") == "existing PII: EMAIL")
+    assert(WriteBack.appendComment("has PII: EMAIL already", "PII: EMAIL") == "has PII: EMAIL already")
+    assert(WriteBack.appendComment("x" * 300, "note").length == 255)
+  }
+
+  test("glob to regex (C23 fnmatch parity)") {
+    assert(Connectors.globMatch("*", "anything"))
+    assert(Connectors.globMatch("db_?", "db_1"))
+    assert(!Connectors.globMatch("db_?", "db_12"))
+    assert(Connectors.globMatch("sales*", "sales_2024"))
+    assert(!Connectors.globMatch("sales*", "presales"))
+  }
+
+  test("applyTags is idempotent over a real session-catalog table") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS demo")
+    spark.sql("DROP TABLE IF EXISTS demo.users")
+    spark.sql("CREATE TABLE demo.users (email STRING, phone STRING) USING parquet")
+    val findings = Seq(("demo", "users", "email", Seq("EMAIL")),
+      ("demo", "users", "phone", Seq("PHONE_NUMBER")))
+      .toDF("schema", "table", "column", "types")
+    assert(WriteBack.applyTags(spark, findings) == 1)  // applied once
+    assert(WriteBack.applyTags(spark, findings) == 0)  // second run: no-op
+    val props = spark.sql("SHOW TBLPROPERTIES demo.users").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("cps.pii_types.col.email") == "EMAIL")
+    assert(props("pii") == "true")
+  }
+
+  test("iterColumns enumerates the session catalog with glob filters") {
+    val cols = Connectors.iterColumns(spark, Seq("demo"), Seq("use*")).collect()
+    assert(cols.map(_.column).toSet == Set("email", "phone"))
+    assert(cols.head.ref.startsWith("hms://demo/users/"))
+  }
+}
+
+class EmbedSpec extends SparkSpec {
+  test("neutral model returns zeros for every type (embeddings.py:76-80)") {
+    import spark.implicits._
+    val df = Seq("ctx a", "ctx b").toDF("context")
+    val out = EmbedModel.neutral.predictProba(df, "context")
+    for (t <- PiiTypes.ALL)
+      assert(out.select(s"embed_$t").as[Double].collect().forall(_ == 0.0))
+  }
+
+  test("degenerate classes get constant estimators (embeddings.py:113-122)") {
+    import spark.implicits._
+    val labeled = Seq(("looks like mail ctx", "EMAIL"), ("other mail", "EMAIL"),
+      ("phone ctx", "PHONE_NUMBER"), ("phone two", "PHONE_NUMBER")).toDF("context", "label")
+    val m = EmbedModel.fit(labeled, "context", "label")
+    // never-seen type -> constant 0
+    assert(m.classifiers(PiiTypes.SSN) == Left(0.0))
+    // trained classes separate their own examples
+    val out = m.predictProba(labeled, "context").collect()
+    for (r <- out) {
+      val pEmail = r.getDouble(r.fieldIndex("embed_EMAIL"))
+      val pPhone = r.getDouble(r.fieldIndex("embed_PHONE_NUMBER"))
+      if (r.getString(1) == "EMAIL") assert(pEmail > pPhone)
+      else assert(pPhone > pEmail)
+    }
+  }
+
+  test("calibrator fit: degenerate guards and monotone separation (ensemble.py:170-189)") {
+    val scores = Seq(0.1, 0.2, 0.8, 0.9).map(s => Map("EMAIL" -> s))
+    val labels = Seq(None, None, Some("EMAIL"), Some("EMAIL"))
+    val c = CalibratorFit.fit(scores, labels)
+    val (a, b) = c.models("EMAIL")
+    assert(a > 0) // higher raw score -> higher calibrated prob
+    val sig = (x: Double) => 1.0 / (1.0 + math.exp(-(a * x + b)))
+    assert(sig(0.9) > sig(0.1))
+    // untouched types fall back to identity
+    assert(c.models("SSN") == ((1.0, 0.0)))
+    // all-positive degenerate -> identity
+    val c2 = CalibratorFit.fit(scores, Seq.fill(4)(Some("EMAIL")))
+    assert(c2.models("EMAIL") == ((1.0, 0.0)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("binary plumbing: batched decode produces typed features") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val feats = graft.ops.Multimodal.decodeFeatures(
+      graft.ops.Multimodal.mediaFromDocuments(docs)).collect()
+    assert(feats.length == docs.count())
+    for (f <- feats.take(10)) {
+      assert(f.fp.length == 32)
+      assert(f.feature.length == 8)
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+}

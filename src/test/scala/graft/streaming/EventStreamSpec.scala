@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.QueryDef
+
+/** Structured Streaming over the events table: the streaming tumbling agg
+  * must converge to the batch twin (q10_events_tumbling). */
+class EventStreamSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling agg over the finite events dir matches batch") {
+    val q = EventStream.runOnce(spark, sf, "events_agg_test")
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val streamed = spark.table("events_agg_test").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.SparkEntry.queries("q10_events_tumbling")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("foreachBatch parquet sink writes the aggregate") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toString
+    val q = EventStream.toParquetBatches(
+      EventStream.tumblingAgg(EventStream.readEvents(spark, sf)),
+      s"$tmp/out", s"$tmp/ckpt")
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() > 0)
+    assert(out.columns.contains("batch_id"))
+  }
+}
