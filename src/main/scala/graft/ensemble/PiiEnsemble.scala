@@ -113,11 +113,41 @@ object PiiEnsemble {
   }
 
   /** Full offline prediction columns for an exploded candidate frame:
-    * struct(probs, label, score). */
+    * struct(probs, label, score).
+    *
+    * NOTE: this single-Column form splices the whole chain into one
+    * expression tree; higher-order functions are interpreted (no codegen CSE)
+    * so shared stages get re-evaluated per reference. Fine for CLI-sized
+    * inputs; for datasets use [[withPredictionOffline]], which materializes
+    * each stage as a column (CollapseProject keeps non-cheap multi-referenced
+    * projections as separate stages, so each stage evaluates once per row). */
   def predictOffline(ruleLabel: Column, ruleConf: Column, validations: Column,
                      calib: Calibrator = Calibrator.identity,
                      w: Weights = Weights.runtimeDefault): Column =
     normalizeArgmax(calibrate(rawScoresOffline(ruleLabel, ruleConf, validations, w), calib))
+
+  /** Staged offline prediction over a DataFrame — the scale path. Adds
+    * `out` = struct(probs, label, score). */
+  def withPredictionOffline(df: org.apache.spark.sql.DataFrame,
+                            ruleLabel: Column, ruleConf: Column, validations: Column,
+                            calib: Calibrator = Calibrator.identity,
+                            w: Weights = Weights.runtimeDefault,
+                            out: String = "pred"): org.apache.spark.sql.DataFrame = {
+    val withStages = df
+      .withColumn("__scores", rawScoresOffline(ruleLabel, ruleConf, validations, w))
+      .withColumn("__praw", calibrate(col("__scores"), calib))
+      .withColumn("__ssum0", aggregate(col("__praw"), lit(0.0), (acc, x) => acc + x))
+      .withColumn("__ssum", when(col("__ssum0") === 0.0, lit(1.0)).otherwise(col("__ssum0")))
+      .withColumn("__probs", transform(col("__praw"), p => p / col("__ssum")))
+      .withColumn("__best", array_max(zip_with(col("__probs"), sequence(lit(0), lit(nTypes - 1)),
+        (p, i) => struct(p.as("p"), (-i).as("ni")))))
+    withStages
+      .withColumn(out, struct(
+        col("__probs").as("probs"),
+        element_at(typesCol, -col("__best").getField("ni") + 1).as("label"),
+        col("__best").getField("p").as("score")))
+      .drop("__scores", "__praw", "__ssum0", "__ssum", "__probs", "__best")
+  }
 
   /** Full prediction with live NER/embed signal maps. */
   def predict(ruleLabel: Column, ruleConf: Column, validations: Column,

@@ -52,12 +52,33 @@ object OpsQueries {
         j -> list_min(list_transform($ShinglesSql, x -> md5(j::VARCHAR || '|' || x))))"""
 
   /** SimHash over 32 "bits" = top bit of each md5 hex digit of each token;
-    * bit b of the fingerprint is 1 iff sum over tokens of ±1 >= 0. */
-  private def simhashBits(toks: Column): Column =
+    * bit b of the fingerprint is 1 iff sum over tokens of ±1 >= 0.
+    * Takes PRE-HASHED tokens (md5 hex strings) so each token hashes once,
+    * not once per bit — higher-order functions are interpreted, no CSE. */
+  private def simhashBits(tokHashes: Column): Column =
     concat_ws("", transform(sequence(lit(1), lit(32)), b =>
-      when(aggregate(toks, lit(0),
-        (acc, tk) => acc + when(substring(md5(tk), 1, 32).substr(b, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      when(aggregate(tokHashes, lit(0),
+        (acc, h) => acc + when(h.substr(b, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
         >= 0, "1").otherwise("0")))
+
+  /** Staged doc → (doc_id, band, band_hash) frame: tokens, shingles, and the
+    * MinHash signature are materialized as columns so each evaluates once per
+    * row (splicing the trees into downstream lambdas would re-evaluate them
+    * per reference — interpreted HOFs do no common-subexpression elimination). */
+  private def bandsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks")))
+      .withColumn("sig", MinHashSigExpr.minhash_sig(col("sh"), NumHashes))
+      .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+        b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
+
+  /** Staged doc → (doc_id, s: distinct shingle set). */
+  private def shingleSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks")))
+      .select(col("doc_id"), array_distinct(col("sh")).as("s"))
 
   private val SimhashBitsSql =
     """array_to_string(list_transform(generate_series(1, 32), b ->
@@ -116,11 +137,7 @@ object OpsQueries {
           FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
                (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
           WHERE len(sig) > 0 AND sig[1] IS NOT NULL""") { (s, d) =>
-      t(s, d, "documents").filter(length(col("text")) > 0)
-        .withColumn("sig", minhashSig(shingles(tokens(col("text")))))
-        .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
-        .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
-          b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
+      bandsDf(t(s, d, "documents"))
         .select(col("doc_id"), col("band").cast("int").as("band"), col("band_hash"))
     },
 
@@ -139,18 +156,12 @@ object OpsQueries {
             round(len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
               / greatest(len(list_distinct(s1.s || s2.s)), 1), 6) AS jaccard
           FROM pairs p JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2""") { (s, d) =>
-      val docs = t(s, d, "documents").filter(length(col("text")) > 0)
-        .withColumn("sig", minhashSig(shingles(tokens(col("text")))))
-        .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
-      val bands = docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
-          b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
+      val bands = bandsDf(t(s, d, "documents"))
       val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("s"))
+      val sh = shingleSets(t(s, d, "documents"))
       pairs.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
@@ -161,7 +172,9 @@ object OpsQueries {
     // SimHash fingerprints.
     QueryDef("x04_simhash",
       s"""SELECT doc_id, $SimhashBitsSql AS simhash FROM documents""") { (s, d) =>
-      t(s, d, "documents").select(col("doc_id"), simhashBits(tokens(col("text"))).as("simhash"))
+      t(s, d, "documents")
+        .withColumn("tokh", transform(tokens(col("text")), tk => md5(tk)))
+        .select(col("doc_id"), simhashBits(col("tokh")).as("simhash"))
     },
 
     // n-gram Jaccard near-dup score between consecutive doc ids (the exact
@@ -172,8 +185,7 @@ object OpsQueries {
             round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
               / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""") { (s, d) =>
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("s"))
+      val sh = shingleSets(t(s, d, "documents"))
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           round(size(array_intersect(col("a.s"), col("b.s"))).cast("double")

@@ -111,11 +111,11 @@ object PiiQueries {
             round((1.0/(1.0+exp(-(0.6*rule_confidence + CASE WHEN valid THEN 0.2 ELSE 0.0 END))))
               / ((1.0/(1.0+exp(-(0.6*rule_confidence + CASE WHEN valid THEN 0.2 ELSE 0.0 END)))) + 5.0), 6) AS score
           FROM cands""") { (s, d) =>
-      PiiInputs.df(s, d)
-        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
-        .withColumn("pred", PiiEnsemble.predictOffline(
+      PiiEnsemble.withPredictionOffline(
+          PiiInputs.df(s, d)
+            .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("candidate_idx", "c"))),
           col("c.rule_label"), col("c.rule_confidence"), col("c.validations"),
-          Calibrator.identity, Weights.runtimeDefault))
+          Calibrator.identity, Weights.runtimeDefault)
         .select(col("doc_id"), col("candidate_idx"), col("c.value").as("value"),
           col("pred.label").as("label"), round(col("pred.score"), 6).as("score"))
     },

@@ -167,11 +167,11 @@ object PipelineQueries {
             round(max(score), 6) AS confidence,
             count(*) AS n_hits
           FROM scored GROUP BY doc_id""") { (s, d) =>
-      PiiInputs.df(s, d)
-        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c")))
-        .withColumn("pred", PiiEnsemble.predictOffline(
+      PiiEnsemble.withPredictionOffline(
+          PiiInputs.df(s, d)
+            .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c"))),
           col("c.rule_label"), col("c.rule_confidence"), col("c.validations"),
-          Calibrator.identity, Weights.runtimeDefault))
+          Calibrator.identity, Weights.runtimeDefault)
         .groupBy("doc_id")
         .agg(
           array_join(sort_array(collect_set(col("c.rule_label"))), ",").as("types"),
