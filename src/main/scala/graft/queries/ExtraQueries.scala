@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import QueryDef.t
+
+/** Additional operator coverage: correlated/scalar subqueries and the
+  * Structured Streaming pipeline surfaced through the correctness gate. */
+object ExtraQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Scalar subquery: orders above the global average price.
+    QueryDef("q18_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)""") { (s, d) =>
+      val o = t(s, d, "orders")
+      o.createOrReplaceTempView("__orders_q18")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM __orders_q18
+               WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM __orders_q18)""")
+    },
+
+    // Correlated EXISTS subquery: customers holding an urgent order above
+    // their own average order value.
+    QueryDef("q19_correlated_subquery",
+      """SELECT c.c_custkey, c.c_name FROM customer c
+         WHERE EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT'
+             AND o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                                   WHERE o2.o_custkey = o.o_custkey))""") { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("__cust_q19")
+      t(s, d, "orders").createOrReplaceTempView("__ord_q19")
+      s.sql("""SELECT c.c_custkey, c.c_name FROM __cust_q19 c
+               WHERE EXISTS (
+                 SELECT 1 FROM __ord_q19 o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT'
+                   AND o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM __ord_q19 o2
+                                         WHERE o2.o_custkey = o.o_custkey))""")
+    },
+
+    // Structured Streaming end-to-end through the correctness gate: the
+    // watermarked tumbling aggregation runs as a real streaming query
+    // (AvailableNow over the events dir, memory sink) and must equal the
+    // batch oracle — same SQL as q10_events_tumbling.
+    QueryDef("s01_stream_tumbling",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+         FROM events GROUP BY 1, 2""") { (s, d) =>
+      val name = "s01_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runOnce(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      s.table(name)
+    })
+}
