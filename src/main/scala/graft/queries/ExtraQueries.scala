@@ -39,6 +39,33 @@ object ExtraQueries {
                                          WHERE o2.o_custkey = o.o_custkey))""")
     },
 
+    // Candidate feature vectors (C19, rules.py:169-180) for the EMAIL/CC
+    // candidates — surface features + validation/rule-label one-hots.
+    QueryDef("p08_feature_vector",
+      s"""${PiiQueries.candidatesCteSql}
+          SELECT doc_id, candidate_idx, length(value) AS len,
+            contains(value, '@') AS has_at, contains(value, '.') AS has_dot,
+            length(regexp_replace(value, '[^0-9]', '', 'g')) > 0 AS has_digits,
+            round(length(regexp_replace(value, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(value), 1), 6) AS digits_ratio,
+            rule_confidence AS rule_conf,
+            CASE WHEN valid AND rule_label = 'CREDIT_CARD' THEN true ELSE false END AS val_cc,
+            CASE WHEN rule_label = 'EMAIL' THEN 1 ELSE 0 END AS rule_is_email
+          FROM cands WHERE rule_label IN ('EMAIL', 'CREDIT_CARD')""") { (s, d) =>
+      import graft.functions.pii_candidates
+      PiiInputs.df(s, d)
+        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
+        .filter(col("c.rule_label").isin("EMAIL", "CREDIT_CARD"))
+        .withColumn("fv", graft.detect.Features.featureVector(
+          col("c.value"), col("c.rule_label"), col("c.rule_confidence"), col("c.validations")))
+        .select(col("doc_id"), col("candidate_idx"),
+          col("fv.len").as("len"), col("fv.has_at").as("has_at"), col("fv.has_dot").as("has_dot"),
+          col("fv.has_digits").as("has_digits"),
+          round(col("fv.digits_ratio"), 6).as("digits_ratio"),
+          col("fv.rule_conf").as("rule_conf"),
+          col("fv.val_CREDIT_CARD").as("val_cc"),
+          col("fv.rule_is_EMAIL").as("rule_is_email"))
+    },
+
     // Structured Streaming end-to-end through the correctness gate: the
     // watermarked tumbling aggregation runs as a real streaming query
     // (AvailableNow over the events dir, memory sink) and must equal the
