@@ -67,9 +67,7 @@ object OpsQueries {
     * per reference — interpreted HOFs do no common-subexpression elimination). */
   private def bandsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.filter(length(col("text")) > 0)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("sh", shingles(col("toks")))
-      .withColumn("sig", MinHashSigExpr.minhash_sig(col("sh"), NumHashes))
+      .withColumn("sig", MinHashFromTokensExpr.minhash_from_tokens(tokens(col("text")), NumHashes))
       .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
         b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
@@ -173,8 +171,7 @@ object OpsQueries {
     QueryDef("x04_simhash",
       s"""SELECT doc_id, $SimhashBitsSql AS simhash FROM documents""") { (s, d) =>
       t(s, d, "documents")
-        .withColumn("tokh", transform(tokens(col("text")), tk => md5(tk)))
-        .select(col("doc_id"), simhashBits(col("tokh")).as("simhash"))
+        .select(col("doc_id"), SimHash32Expr.simhash32(tokens(col("text"))).as("simhash"))
     },
 
     // n-gram Jaccard near-dup score between consecutive doc ids (the exact

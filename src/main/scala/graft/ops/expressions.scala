@@ -68,3 +68,112 @@ object MinHashSigExpr {
     org.apache.spark.sql.graftshim.shims.column(
       MinHashSigExpr(org.apache.spark.sql.graftshim.shims.expression(shingles), k))
 }
+
+/** `minhash_from_tokens(tokens, k, n)` → the same signature as
+  * `minhash_sig(shingles(tokens), k)` with word n-gram shingles built on the
+  * fly (shingle string = tokens i..i+n-1 joined by one space), skipping the
+  * materialization of the shingle array entirely — one digest buffer, zero
+  * intermediate UTF8String allocation per shingle per seed. */
+case class MinHashFromTokensExpr(child: Expression, numHashes: Int, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val nSh = math.max(nTok - (shingleLen - 1), 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // pre-fetch token bytes once
+    val toks = Array.tabulate(nTok)(i => if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes)
+    val space = " ".getBytes
+    val mins = Array.fill[Array[Byte]](numHashes)(null)
+    var j = 0
+    while (j < numHashes) {
+      val prefix = (j.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < nSh) {
+        md.reset()
+        md.update(prefix)
+        var t = 0
+        while (t < shingleLen) {
+          if (t > 0) md.update(space)
+          md.update(toks(i + t))
+          t += 1
+        }
+        val dig = md.digest()
+        if (mins(j) == null || MinHashFromTokensExpr.unsignedLt(dig, mins(j))) mins(j) = dig
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map { m =>
+      if (m == null) null
+      else UTF8String.fromString(m.map("%02x".format(_)).mkString)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashFromTokensExpr = copy(child = c)
+  override def prettyName: String = "minhash_from_tokens"
+}
+
+object MinHashFromTokensExpr {
+  private[ops] def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  def minhash_from_tokens(tokens: Column, k: Int, shingleLen: Int = 3): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      MinHashFromTokensExpr(org.apache.spark.sql.graftshim.shims.expression(tokens), k, shingleLen))
+}
+
+/** `simhash32(tokens)` → 32-char '0'/'1' string: bit b is 1 iff the sum over
+  * tokens of ±1 (sign = top bit of the b-th md5 hex digit of the token) is
+  * >= 0. Semantically identical to the HOF form over pre-hashed tokens (and
+  * its DuckDB oracle), one digest per token. */
+case class SimHash32Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val dig = md.digest(arr.getUTF8String(i).getBytes)
+        // hex digit b (1-based in the HOF form) = high/low nibble of byte b/2;
+        // its "top bit" (8..f) is nibble >= 8.
+        var b = 0
+        while (b < 32) {
+          val byte = dig(b >> 1) & 0xff
+          val nibble = if ((b & 1) == 0) byte >> 4 else byte & 0x0f
+          counts(b) += (if (nibble >= 8) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    var b = 0
+    while (b < 32) { sb.append(if (counts(b) >= 0) '1' else '0'); b += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash32Expr = copy(c)
+  override def prettyName: String = "simhash32"
+}
+
+object SimHash32Expr {
+  def simhash32(tokens: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      SimHash32Expr(org.apache.spark.sql.graftshim.shims.expression(tokens)))
+}
