@@ -155,4 +155,31 @@ object PiiEnsemble {
               calib: Calibrator = Calibrator.identity,
               w: Weights = Weights.runtimeDefault): Column =
     normalizeArgmax(calibrate(rawScores(ruleLabel, ruleConf, validations, nerSig, embedProbs, w), calib))
+
+  /** Staged full-signal prediction over a DataFrame (the scale path, like
+    * [[withPredictionOffline]] but with live NER/embed maps). */
+  def withPrediction(df: org.apache.spark.sql.DataFrame,
+                     ruleLabel: Column, ruleConf: Column, validations: Column,
+                     nerSig: Column, embedProbs: Column,
+                     calib: Calibrator = Calibrator.identity,
+                     w: Weights = Weights.runtimeDefault,
+                     out: String = "pred"): org.apache.spark.sql.DataFrame = {
+    val withStages = df
+      .withColumn("__scores", rawScores(ruleLabel, ruleConf, validations, nerSig, embedProbs, w))
+      .withColumn("__praw", calibrate(col("__scores"), calib))
+      .withColumn("__ssum0", aggregate(col("__praw"), lit(0.0), (acc, x) => acc + x))
+      .withColumn("__ssum", when(col("__ssum0") === 0.0, lit(1.0)).otherwise(col("__ssum0")))
+      .withColumn("__probs", transform(col("__praw"), p => p / col("__ssum")))
+      .withColumn("__best", array_max(zip_with(col("__probs"), sequence(lit(0), lit(nTypes - 1)),
+        (p, i) => struct(p.as("p"), (-i).as("ni")))))
+    withStages
+      .withColumn(out, struct(
+        col("__probs").as("probs"),
+        element_at(typesCol, -col("__best").getField("ni") + 1).as("label"),
+        col("__best").getField("p").as("score")))
+      .drop("__scores", "__praw", "__ssum0", "__ssum", "__probs", "__best")
+  }
+
+  /** Raw per-type score array → named map column aligned to PiiTypes.ALL. */
+  def scoresToMap(scores: Column): Column = map_from_arrays(typesCol, scores)
 }
