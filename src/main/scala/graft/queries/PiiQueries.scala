@@ -73,6 +73,90 @@ object PiiQueries {
       .mkString("(", ")\nUNION ALL\n(", ")")
   }
 
+  /** Template algebra shared by the p03/p04 oracles: SQL fragments (over a
+    * `customer` row aliased `c_custkey`) for each derived-text piece, the
+    * reconstructed redacted text, and the candidate span list with offsets
+    * computed by length arithmetic. */
+  private object Tpl {
+    val c = "c_custkey"
+    val g1 = s"lpad((($c*7919) % 10000)::VARCHAR, 4, '0')"
+    val g2 = s"lpad((($c*104729) % 10000)::VARCHAR, 4, '0')"
+    val g3 = s"lpad((($c*1299709) % 10000)::VARCHAR, 4, '0')"
+    val g4 = s"lpad((($c*15485863) % 10000)::VARCHAR, 4, '0')"
+    val cc = s"($g1 || ' ' || $g2 || ' ' || $g3 || ' ' || $g4)"
+    val aad = s"((2 + $c % 8)::VARCHAR || lpad((($c*13) % 1000)::VARCHAR, 3, '0') || ' ' || lpad((($c*37) % 10000)::VARCHAR, 4, '0') || ' ' || lpad((($c*91) % 10000)::VARCHAR, 4, '0'))"
+    val pan = s"(CASE WHEN $c % 3 = 0 THEN lower(chr(65 + ($c % 26)::INT) || 'BCDE' || lpad(($c % 10000)::VARCHAR, 4, '0') || chr(65 + (($c*5) % 26)::INT)) ELSE chr(65 + ($c % 26)::INT) || 'BCDE' || lpad(($c % 10000)::VARCHAR, 4, '0') || chr(65 + (($c*5) % 26)::INT) END)"
+    val email = s"('user' || $c::VARCHAR || '@example.com')"
+    val ssn = s"(lpad((100 + $c % 900)::VARCHAR, 3, '0') || '-' || lpad((10 + ($c*3) % 90)::VARCHAR, 2, '0') || '-' || lpad((1000 + ($c*7) % 9000)::VARCHAR, 4, '0'))"
+    val ip = s"('10.' || ($c % 256)::VARCHAR || '.' || (($c*3) % 256)::VARCHAR || '.' || (1 + ($c*7) % 254)::VARCHAR)"
+    val mac = s"(substr(md5($c::VARCHAR),1,2) || ':' || substr(md5($c::VARCHAR),3,2) || ':' || substr(md5($c::VARCHAR),5,2) || ':' || substr(md5($c::VARCHAR),7,2) || ':' || substr(md5($c::VARCHAR),9,2) || ':' || substr(md5($c::VARCHAR),11,2))"
+    val date = s"('2024-' || lpad((1 + $c % 12)::VARCHAR, 2, '0') || '-' || lpad((1 + ($c*3) % 28)::VARCHAR, 2, '0'))"
+
+    // Aadhaar-in-card gate conditions: the AADHAAR regex scan inside the
+    // 4x4-digit card matches groups 1-3 when g1 starts 2-9 (consuming the
+    // scan), else groups 2-4 when g2 starts 2-9.
+    val inCardA = s"(substr($g1,1,1) BETWEEN '2' AND '9' AND ${Sql.verhoeff(s"($g1 || $g2 || $g3)")})"
+    val inCardB = s"(substr($g1,1,1) NOT BETWEEN '2' AND '9' AND substr($g2,1,1) BETWEEN '2' AND '9' AND ${Sql.verhoeff(s"($g2 || $g3 || $g4)")})"
+
+    /** Redacted text reconstruction (p03): Luhn-valid card masks the whole
+      * card (overlapping aadhaar-in-card is then skipped, redaction.py:38-40);
+      * otherwise only a Verhoeff-valid in-card aadhaar pattern is masked. */
+    val redactedSql: String = {
+      val ccSection =
+        s"""CASE WHEN ${Sql.luhn(cc)} THEN ${Sql.mask(cc)}
+            WHEN $inCardA THEN ${Sql.mask(s"($g1 || ' ' || $g2 || ' ' || $g3)")} || ' ' || $g4
+            WHEN $inCardB THEN $g1 || ' ' || ${Sql.mask(s"($g2 || ' ' || $g3 || ' ' || $g4)")}
+            ELSE $cc END"""
+      s"""('Xxxxxxx Xxxx ' || chr(65 + (($c*11) % 26)::INT) || 'mith <' || ${Sql.mask(email)} || '> or call (000) 000-0000. Card '
+          || ($ccSection)
+          || ' SSN 000-00-0000 IP ' || ${Sql.mask(ip)} || ' MAC ' || ${Sql.mask(mac)}
+          || ' Aadhaar ' || (CASE WHEN ${Sql.verhoeff(aad)} THEN ${Sql.mask(aad)} ELSE $aad END)
+          || ' PAN ' || ${Sql.mask(pan)}
+          || ' ' || (CASE WHEN $c % 4 = 0 THEN 'DOB: ' ELSE 'on ' END) || ${Sql.mask(date)} || '.')"""
+    }
+
+    /** Candidate (start, end) span list in candidate_idx order, offsets by
+      * cumulative length arithmetic. Fixed-length pieces: name 10, phone 14,
+      * card 19, ssn 11, mac 17, aadhaar 14, pan 10, date 10. */
+    val spanListSql: String = {
+      val ck = s"length($c::VARCHAR)"
+      val emailS = "20"
+      val emailE = s"(36 + $ck)"                 // 20 + len('user'+ck+'@example.com')
+      val phoneS = s"($emailE + 10)"             // '> or call '
+      val phoneE = s"($phoneS + 14)"
+      val cardS = s"($phoneE + 7)"               // '. Card '
+      val cardE = s"($cardS + 19)"
+      val ssnS = s"($cardE + 5)"                 // ' SSN '
+      val ssnE = s"($ssnS + 11)"
+      val ipS = s"($ssnE + 4)"                   // ' IP '
+      val ipE = s"($ipS + length($ip))"
+      val macS = s"($ipE + 5)"                   // ' MAC '
+      val macE = s"($macS + 17)"
+      val aadS = s"($macE + 9)"                  // ' Aadhaar '
+      val aadE = s"($aadS + 14)"
+      val panS = s"($aadE + 5)"                  // ' PAN '
+      val panE = s"($panS + 10)"
+      val dateS = s"($panE + 1 + (CASE WHEN $c % 4 = 0 THEN 5 ELSE 3 END))"
+      val dateE = s"($dateS + 10)"
+      def span(s0: String, e0: String) = s"{'s': ($s0)::INT, 'e': ($e0)::INT}"
+      s"""list_filter([
+            ${span(emailS, emailE)},
+            ${span(phoneS, phoneE)},
+            CASE WHEN ${Sql.luhn(cc)} THEN ${span(cardS, cardE)} ELSE NULL END,
+            ${span(ssnS, ssnE)},
+            ${span(ipS, ipE)},
+            ${span(macS, macE)},
+            CASE WHEN $inCardA THEN ${span(cardS, s"$cardS + 14")}
+                 WHEN $inCardB THEN ${span(s"$cardS + 5", cardE)}
+                 ELSE NULL END,
+            CASE WHEN ${Sql.verhoeff(aad)} THEN ${span(aadS, aadE)} ELSE NULL END,
+            ${span(panS, panE)},
+            ${span(dateS, dateE)},
+            {'s': 0, 'e': 12}
+          ], sp -> sp IS NOT NULL)"""
+    }
+  }
+
   /** Shared candidate CTE (also used by PipelineQueries oracles). */
   val candidatesCteSql: String =
     s"""$IN, raw_cands AS (
@@ -122,52 +206,29 @@ object PiiQueries {
 
     // Shape-preserving redaction of every candidate span (C15/C16), checked
     // against a template-algebra oracle that reconstructs the redacted text
-    // piecewise (the only template-aware oracle; all gate decisions — Luhn,
-    // Verhoeff, overlap-skip — are still computed, not assumed).
-    QueryDef("p03_pii_redact", {
-      val c = "c_custkey"
-      val g1 = s"lpad((($c*7919) % 10000)::VARCHAR, 4, '0')"
-      val g2 = s"lpad((($c*104729) % 10000)::VARCHAR, 4, '0')"
-      val g3 = s"lpad((($c*1299709) % 10000)::VARCHAR, 4, '0')"
-      val g4 = s"lpad((($c*15485863) % 10000)::VARCHAR, 4, '0')"
-      val cc = s"($g1 || ' ' || $g2 || ' ' || $g3 || ' ' || $g4)"
-      val aad = s"((2 + $c % 8)::VARCHAR || lpad((($c*13) % 1000)::VARCHAR, 3, '0') || ' ' || lpad((($c*37) % 10000)::VARCHAR, 4, '0') || ' ' || lpad((($c*91) % 10000)::VARCHAR, 4, '0'))"
-      val pan = s"(CASE WHEN $c % 3 = 0 THEN lower(chr(65 + ($c % 26)::INT) || 'BCDE' || lpad(($c % 10000)::VARCHAR, 4, '0') || chr(65 + (($c*5) % 26)::INT)) ELSE chr(65 + ($c % 26)::INT) || 'BCDE' || lpad(($c % 10000)::VARCHAR, 4, '0') || chr(65 + (($c*5) % 26)::INT) END)"
-      val email = s"('user' || $c::VARCHAR || '@example.com')"
-      val ssn = s"(lpad((100 + $c % 900)::VARCHAR, 3, '0') || '-' || lpad((10 + ($c*3) % 90)::VARCHAR, 2, '0') || '-' || lpad((1000 + ($c*7) % 9000)::VARCHAR, 4, '0'))"
-      val ip = s"('10.' || ($c % 256)::VARCHAR || '.' || (($c*3) % 256)::VARCHAR || '.' || (1 + ($c*7) % 254)::VARCHAR)"
-      val mac = s"(substr(md5($c::VARCHAR),1,2) || ':' || substr(md5($c::VARCHAR),3,2) || ':' || substr(md5($c::VARCHAR),5,2) || ':' || substr(md5($c::VARCHAR),7,2) || ':' || substr(md5($c::VARCHAR),9,2) || ':' || substr(md5($c::VARCHAR),11,2))"
-      val date = s"('2024-' || lpad((1 + $c % 12)::VARCHAR, 2, '0') || '-' || lpad((1 + ($c*3) % 28)::VARCHAR, 2, '0'))"
-      // CC section: Luhn-valid card masks everything (overlapping aadhaar-in-cc
-      // is then skipped, redaction.py:38-40); otherwise a Verhoeff-valid
-      // 12-digit aadhaar-pattern inside the card (groups 1-3 when g1 starts
-      // 2-9, else groups 2-4 when g2 starts 2-9) is masked alone.
-      val ccSection =
-        s"""CASE WHEN ${Sql.luhn(cc)} THEN ${Sql.mask(cc)}
-            WHEN substr($g1,1,1) BETWEEN '2' AND '9' AND ${Sql.verhoeff(s"($g1 || $g2 || $g3)")}
-              THEN ${Sql.mask(s"($g1 || ' ' || $g2 || ' ' || $g3)")} || ' ' || $g4
-            WHEN substr($g1,1,1) NOT BETWEEN '2' AND '9' AND substr($g2,1,1) BETWEEN '2' AND '9' AND ${Sql.verhoeff(s"($g2 || $g3 || $g4)")}
-              THEN $g1 || ' ' || ${Sql.mask(s"($g2 || ' ' || $g3 || ' ' || $g4)")}
-            ELSE $cc END"""
-      s"""SELECT c_custkey AS doc_id,
-            'Xxxxxxx Xxxx ' || chr(65 + (($c*11) % 26)::INT) || 'mith <' || ${Sql.mask(email)} || '> or call (000) 000-0000. Card '
-            || ($ccSection)
-            || ' SSN 000-00-0000 IP ' || ${Sql.mask(ip)} || ' MAC ' || ${Sql.mask(mac)}
-            || ' Aadhaar ' || (CASE WHEN ${Sql.verhoeff(aad)} THEN ${Sql.mask(aad)} ELSE $aad END)
-            || ' PAN ' || ${Sql.mask(pan)}
-            || ' ' || (CASE WHEN $c % 4 = 0 THEN 'DOB: ' ELSE 'on ' END) || ${Sql.mask(date)} || '.'
-            AS redacted
-          FROM customer"""
-    }) { (s, d) =>
+    // piecewise (all gate decisions — Luhn, Verhoeff, overlap-skip — are
+    // still computed, not assumed).
+    QueryDef("p03_pii_redact",
+      s"""SELECT c_custkey AS doc_id, ${Tpl.redactedSql} AS redacted FROM customer""") { (s, d) =>
       PiiInputs.df(s, d)
         .select(col("doc_id"),
           redact_spans(col("text"), pii_candidates(col("text"))).as("redacted"))
     },
 
     // Sanitized per-candidate context windows (C18): ±48 chars of the
-    // redacted text around each span. Rows-only check (offsets make a SQL
-    // oracle disproportionate); invariants covered by ScalaTest.
-    QueryDef.noOracle("p04_pii_contexts") { (s, d) =>
+    // redacted text around each span, in candidate order. The oracle derives
+    // every span offset by template length-arithmetic (all pieces have
+    // computable lengths) with the same Luhn/Verhoeff gate CASEs as p03.
+    QueryDef("p04_pii_contexts",
+      s"""$IN, base AS (
+            SELECT c_custkey, doc_id, text, ${Tpl.redactedSql} AS redacted,
+              ${Tpl.spanListSql} AS cl
+            FROM customer JOIN pii_inputs ON doc_id = c_custkey)
+          SELECT doc_id, CAST(i - 1 AS INT) AS candidate_idx,
+            substr(redacted, greatest(0, cl[i].s - 48) + 1,
+                   least(length(text), cl[i].e + 48) - greatest(0, cl[i].s - 48)) AS context
+          FROM base, (SELECT unnest(generate_series(1, 20)) AS i) ii
+          WHERE i <= len(cl)""") { (s, d) =>
       val w = 48
       PiiInputs.df(s, d)
         .withColumn("cands", pii_candidates(col("text")))
