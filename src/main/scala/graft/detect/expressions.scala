@@ -3,6 +3,7 @@ package graft.detect
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -84,11 +85,13 @@ case class NerSpansExpr(child: Expression)
 /** `mask_token(s)`: digit→0, upper→X, lower→x, other unchanged
   * (redaction.py:16-26). Unicode-aware like Python's isdigit/isalpha, which
   * chained regexp_replace([0-9]…) would not be. */
-case class MaskTokenExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class MaskTokenExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(s: Any): Any =
     UTF8String.fromString(Redaction.maskToken(s.toString))
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.detect.Redaction.maskToken($c.toString()))")
   override protected def withNewChildInternal(c: Expression): MaskTokenExpr = copy(c)
   override def prettyName: String = "mask_token"
 }
@@ -113,16 +116,23 @@ case class RedactSpansExpr(left: Expression, right: Expression)
   override def prettyName: String = "redact_spans"
 }
 
-/** `luhn(s)` / `verhoeff(s)` checksum gates (rules.py:35-47, 51-86). */
-case class LuhnExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+/** `luhn(s)` / `verhoeff(s)` checksum gates (rules.py:35-47, 51-86).
+  * Fully codegen'd (static call into the pure checksum object) so they stay
+  * inside WholeStageCodegen spans rather than forcing an interpreted
+  * boundary. */
+case class LuhnExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(s: Any): Any = Checksums.luhn(s.toString)
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Checksums.luhn($c.toString())")
   override protected def withNewChildInternal(c: Expression): LuhnExpr = copy(c)
   override def prettyName: String = "luhn"
 }
-case class VerhoeffExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class VerhoeffExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(s: Any): Any = Checksums.verhoeff(s.toString)
+  override protected def doGenCode(ctx: codegen.CodegenContext, ev: codegen.ExprCode): codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Checksums.verhoeff($c.toString())")
   override protected def withNewChildInternal(c: Expression): VerhoeffExpr = copy(c)
   override def prettyName: String = "verhoeff"
 }
