@@ -94,6 +94,18 @@ object Evaluator {
       .toDF("doc_id", "kind", "label")
   }
 
+  /** Reference-exact GLOBAL pooling (eval.py:63-67 extends preds/golds across
+    * all examples and compares raw char offsets cross-example): collapse
+    * everything into one matching group. Exact parity, but inherently
+    * sequential — a single task processes the whole pool, so use only for
+    * eval-sized data; [[matchOutcomes]] (doc-scoped) is the scale form. */
+  def matchOutcomesGlobal(preds: DataFrame, gold: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    matchOutcomes(
+      preds.withColumn("doc_id", lit(0L)).coalesce(1),
+      gold.withColumn("doc_id", lit(0L)).coalesce(1))
+  }
+
   /** Per-type + micro + macro precision/recall/F1 (eval.py:53-76).
     * Output rows: (scope, label, tp, fp, fn, precision, recall, f1) where
     * scope ∈ type|micro|macro (macro carries null tallies). */

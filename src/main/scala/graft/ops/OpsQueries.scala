@@ -42,24 +42,9 @@ object OpsQueries {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands x 2 hashes
 
-  /** MinHash signature: per seed j, lexicographic min of md5(j|shingle). */
-  private def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      j => array_min(transform(sh, x => md5(concat(j.cast("string"), lit("|"), x)))))
-
   private val MinhashSigSql =
     s"""list_transform(generate_series(0, ${NumHashes - 1}),
         j -> list_min(list_transform($ShinglesSql, x -> md5(j::VARCHAR || '|' || x))))"""
-
-  /** SimHash over 32 "bits" = top bit of each md5 hex digit of each token;
-    * bit b of the fingerprint is 1 iff sum over tokens of ±1 >= 0.
-    * Takes PRE-HASHED tokens (md5 hex strings) so each token hashes once,
-    * not once per bit — higher-order functions are interpreted, no CSE. */
-  private def simhashBits(tokHashes: Column): Column =
-    concat_ws("", transform(sequence(lit(1), lit(32)), b =>
-      when(aggregate(tokHashes, lit(0),
-        (acc, h) => acc + when(h.substr(b, lit(1)).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-        >= 0, "1").otherwise("0")))
 
   /** Staged doc → (doc_id, band, band_hash) frame: tokens, shingles, and the
     * MinHash signature are materialized as columns so each evaluates once per
