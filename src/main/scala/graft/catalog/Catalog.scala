@@ -83,6 +83,29 @@ object WriteBack {
     merged.take(maxLen)
   }
 
+  /** Apply PII notes to column comments via native
+    * `ALTER TABLE … ALTER COLUMN … COMMENT` (S15/S17 application path) with
+    * append-if-absent change detection: re-running is a no-op. `findings`
+    * columns: (schema, table, column, types array). Returns comments changed. */
+  def applyColumnComments(spark: SparkSession, findings: DataFrame,
+                          maxLen: Int = 255): Int = {
+    val rows = findings.select("schema", "table", "column", "types").distinct().collect()
+    var changed = 0
+    for (r <- rows) {
+      val (db, tb, c) = (r.getString(0), r.getString(1), r.getString(2))
+      val note = s"PII: ${sortedCsv(r.getSeq[String](3))}"
+      val existing = spark.catalog.listColumns(db, tb).collect()
+        .find(_.name == c).flatMap(x => Option(x.description)).getOrElse("")
+      val merged = appendComment(existing, note, maxLen)
+      if (merged != existing) {
+        val quoted = merged.replace("'", "''")
+        spark.sql(s"ALTER TABLE `$db`.`$tb` ALTER COLUMN `$c` COMMENT '$quoted'")
+        changed += 1
+      }
+    }
+    changed
+  }
+
   /** Apply findings as table properties via Spark SQL. `findings` columns:
     * (schema, table, column, types array). Collects the (tiny, deduplicated)
     * finding set on the driver and issues one ALTER per table. */

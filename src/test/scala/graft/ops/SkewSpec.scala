@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.catalog.WriteBack
+
+class SkewSpec extends SparkSpec {
+  test("salted join returns exactly the plain join result") {
+    import spark.implicits._
+    // skewed probe: key 1 carries 90% of rows
+    val probe = (Seq.fill(900)(1) ++ (2 to 101)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "pv")
+    val build = (1 to 101).map(k => (k, s"dim_$k")).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k")).select("k", "pv", "bv").collect().toSet
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), n = 8)
+      .select("k", "pv", "bv").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 1000)
+  }
+}
+
+class ColumnCommentSpec extends SparkSpec {
+  test("column comment write-back appends once and is idempotent") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS demo_cc")
+    spark.sql("DROP TABLE IF EXISTS demo_cc.t")
+    spark.sql("CREATE TABLE demo_cc.t (email STRING COMMENT 'the email') USING parquet")
+    val findings = Seq(("demo_cc", "t", "email", Seq("PHONE_NUMBER", "EMAIL")))
+      .toDF("schema", "table", "column", "types")
+    assert(WriteBack.applyColumnComments(spark, findings) == 1)
+    assert(WriteBack.applyColumnComments(spark, findings) == 0) // no-op re-run
+    val desc = spark.catalog.listColumns("demo_cc", "t").collect().head.description
+    assert(desc == "the email PII: EMAIL,PHONE_NUMBER")
+  }
+}
