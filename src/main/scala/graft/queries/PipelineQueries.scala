@@ -97,8 +97,11 @@ object PipelineQueries {
           UNION ALL
           SELECT 'macro', NULL, NULL, NULL, NULL,
             round(avg(precision), 6), round(avg(recall), 6), round(avg(f1), 6) FROM prf2""") { (s, d) =>
+      // The candidate frame feeds preds AND two gold branches — without a
+      // materialization point the regex pipeline would run three times.
       val cands = PiiInputs.df(s, d)
         .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c")))
+        .localCheckpoint(false)
       val preds = cands.select(col("doc_id"), col("idx").as("pred_idx"),
         col("c.start").as("start"), col("c.end").as("end"), col("c.rule_label").as("label"))
       val goldBase = cands
