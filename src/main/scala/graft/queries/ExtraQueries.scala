@@ -43,7 +43,7 @@ object ExtraQueries {
     // candidates — surface features + validation/rule-label one-hots.
     QueryDef("p08_feature_vector",
       s"""${PiiQueries.candidatesCteSql}
-          SELECT doc_id, candidate_idx, length(value) AS len,
+          SELECT doc_id, candidate_idx, length(value)::INT AS len,
             contains(value, '@') AS has_at, contains(value, '.') AS has_dot,
             length(regexp_replace(value, '[^0-9]', '', 'g')) > 0 AS has_digits,
             round(length(regexp_replace(value, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(value), 1), 6) AS digits_ratio,

@@ -26,7 +26,7 @@ object PiiQueries {
   private def candidatesSql: String = {
     def simple(rank: Int, re: String, label: String, conf: String): String =
       s"""SELECT doc_id, $rank AS det_rank, i AS ordinal,
-            ms[i] AS value, '$label' AS rule_label, $conf AS rule_confidence, false AS valid
+            ms[i] AS value, '$label' AS rule_label, ($conf)::DOUBLE AS rule_confidence, false AS valid
           FROM (SELECT doc_id, regexp_extract_all(text, $re) AS ms FROM pii_inputs),
                (SELECT unnest(generate_series(1, 100)) AS i) ii
           WHERE i <= len(ms)"""
@@ -36,7 +36,7 @@ object PiiQueries {
     val phone = simple(1, Sql.PHONE, PiiTypes.PHONE_NUMBER, "0.85")
     val cc =
       s"""SELECT doc_id, 2 AS det_rank, i AS ordinal, ms[i] AS value,
-            '${PiiTypes.CREDIT_CARD}' AS rule_label, 0.9 AS rule_confidence, true AS valid
+            '${PiiTypes.CREDIT_CARD}' AS rule_label, 0.9::DOUBLE AS rule_confidence, true AS valid
           FROM (SELECT doc_id, regexp_extract_all(text, ${Sql.CC}) AS ms FROM pii_inputs),
                (SELECT unnest(generate_series(1, 100)) AS i) ii
           WHERE i <= len(ms) AND ${Sql.luhn("ms[i]")}"""
@@ -45,7 +45,7 @@ object PiiQueries {
     val mac = simple(5, Sql.MAC, PiiTypes.MAC_ADDRESS, "0.9")
     val aadhaar =
       s"""SELECT doc_id, 6 AS det_rank, i AS ordinal, ms[i] AS value,
-            '${PiiTypes.AADHAAR}' AS rule_label, 0.9 AS rule_confidence, true AS valid
+            '${PiiTypes.AADHAAR}' AS rule_label, 0.9::DOUBLE AS rule_confidence, true AS valid
           FROM (SELECT doc_id, regexp_extract_all(text, ${Sql.AADHAAR}) AS ms FROM pii_inputs),
                (SELECT unnest(generate_series(1, 100)) AS i) ii
           WHERE i <= len(ms) AND ${Sql.verhoeff("ms[i]")}"""
@@ -55,7 +55,7 @@ object PiiQueries {
     val date =
       s"""SELECT doc_id, 8 AS det_rank, i AS ordinal, ms[i] AS value,
             '${PiiTypes.DATE}' AS rule_label,
-            0.7 + (CASE WHEN ctx LIKE '%dob%' OR ctx LIKE '%birth%' THEN 0.1 ELSE 0.0 END) AS rule_confidence,
+            0.7::DOUBLE + (CASE WHEN ctx LIKE '%dob%' OR ctx LIKE '%birth%' THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) AS rule_confidence,
             false AS valid
           FROM (
             SELECT doc_id, ms, i, text,
@@ -259,7 +259,7 @@ object PiiQueries {
               row_number() OVER (PARTITION BY m.doc_id, m.field, k.label ORDER BY k.kw_rank) AS rn
             FROM meta m JOIN kw k ON strpos(lower(m.value), k.kw) > 0)
           SELECT doc_id, field, label AS rule_label, CAST(start AS INT) AS start,
-            substr(value, start + 1, length(kw)) AS value, 0.6 AS rule_confidence
+            substr(value, start + 1, length(kw)) AS value, 0.6::DOUBLE AS rule_confidence
           FROM hits WHERE rn = 1"""
     }) { (s, d) =>
       import s.implicits._

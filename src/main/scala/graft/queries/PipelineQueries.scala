@@ -27,11 +27,11 @@ object PipelineQueries {
     QueryDef("p06_ner_merge",
       s"""$candsCte,
           ner AS (
-            SELECT doc_id, '${PiiTypes.EMAIL}' AS label, 0.99 AS score
+            SELECT doc_id, '${PiiTypes.EMAIL}' AS label, 0.99::DOUBLE AS score
             FROM pii_inputs, (SELECT unnest(generate_series(1, 100)) AS i) ii
             WHERE i <= len(regexp_extract_all(text, ${Sql.EMAIL}))
             UNION ALL
-            SELECT doc_id, '${PiiTypes.PHONE_NUMBER}' AS label, 0.90 AS score
+            SELECT doc_id, '${PiiTypes.PHONE_NUMBER}' AS label, 0.90::DOUBLE AS score
             FROM pii_inputs, (SELECT unnest(generate_series(1, 100)) AS i) ii
             WHERE i <= len(regexp_extract_all(text, ${Sql.PHONE}))),
           merged AS (

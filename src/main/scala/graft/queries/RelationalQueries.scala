@@ -99,7 +99,7 @@ object RelationalQueries {
     QueryDef("q05_top_orders_per_customer",
       """SELECT o_custkey, o_orderkey, rn FROM (
            SELECT o_custkey, o_orderkey,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn
            FROM orders) WHERE rn <= 3""") { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, d, "orders")
@@ -210,7 +210,7 @@ object RelationalQueries {
 
     // Date bucketing.
     QueryDef("q14_orders_by_month",
-      """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority, count(*) AS n,
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, o_orderpriority, count(*) AS n,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
          FROM orders GROUP BY 1, 2""") { (s, d) =>
       t(s, d, "orders")
