@@ -1,0 +1,55 @@
+package graft.detect
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.PiiTypes
+
+/** Provider contract tests mirroring tests/test_ner.py:22-65 (fake provider
+  * injection, threshold gating, max-merge arithmetic). */
+class NerSpec extends SparkSpec {
+
+  /** Fake provider like the reference tests inject. */
+  object FakeProvider extends NerProvider {
+    override def analyzeBatch(texts: Iterator[String]): Iterator[Seq[NerSpan]] =
+      texts.map { t =>
+        Seq(
+          NerSpan(0, 4, t.take(4), PiiTypes.PERSON, 0.95),
+          NerSpan(5, 9, "weak", PiiTypes.PERSON, 0.30)) // below the 0.60 gate
+      }
+  }
+
+  test("confidence gate filters provider spans (ner.py:195-199)") {
+    import spark.implicits._
+    val df = Seq((1L, "John says hello")).toDF("id", "text")
+    val got = Ner.detectNerSpans(df, "id", "text", FakeProvider).collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(5) == 0.95)
+  }
+
+  test("offline provider emits EMAIL 0.99 / PHONE 0.90 via regex (ner.py:61-81)") {
+    import spark.implicits._
+    val df = Seq((7L, "mail a@b.co or (415) 555-1212 now")).toDF("id", "text")
+    val got = Ner.detectNerSpans(df, "id", "text").collect()
+      .map(r => (r.getString(4), r.getDouble(5))).toSet
+    assert(got == Set((PiiTypes.EMAIL, 0.99), (PiiTypes.PHONE_NUMBER, 0.90)))
+  }
+
+  test("empty provider yields nothing (offline Presidio parity)") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a@b.co")).toDF("id", "text")
+    assert(Ner.detectNerSpans(df, "id", "text", EmptyProvider).count() == 0)
+  }
+
+  test("max-merge with rules takes the per-type maximum (ner.py:202-228)") {
+    import spark.implicits._
+    val ner = Seq((1L, 0, 7, "a@b.com", PiiTypes.EMAIL, 0.99))
+      .toDF("id", "start", "end", "value", "label", "score")
+    val rules = Seq((1L, PiiTypes.EMAIL, 0.95), (1L, PiiTypes.SSN, 0.9))
+      .toDF("id", "rule_label", "rule_confidence")
+    val merged = Ner.mergeWithRules(ner, rules, "id").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toMap
+    assert(merged(PiiTypes.EMAIL) == 0.99) // NER wins over the 0.95 rule prior
+    assert(merged(PiiTypes.SSN) == 0.9)    // rules-only type passes through
+  }
+}

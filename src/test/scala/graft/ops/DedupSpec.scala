@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text").limit(60).cache()
+
+  test("dropNearDuplicates removes planted near-copies, keeps originals") {
+    import spark.implicits._
+    // plant near-dups: same text with one appended token, ids offset by 10000
+    val copies = docs.limit(20)
+      .select((col("doc_id") + 10000).as("doc_id"), concat(col("text"), lit(" extra")).as("text"))
+    val corpus = docs.unionByName(copies)
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", "text", threshold = 0.7)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // the driver's documents table contains ORGANIC near-dups (e.g. 8≈12,
+    // 0≈50 at jaccard ≥0.95) — those larger-id originals are legitimately
+    // dropped too, so expect originals minus organic id2s.
+    val organicDropped = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.7)
+      .select("id2").as[Long].collect().toSet
+    val originals = docs.select("doc_id").as[Long].collect().toSet
+    assert((originals -- organicDropped).forall(keptIds.contains))
+    assert(organicDropped.forall(id => !keptIds.contains(id)))
+    assert(copies.select("doc_id").as[Long].collect().forall(id => !keptIds.contains(id)))
+  }
+
+  test("nearDuplicatePairs reports jaccard >= threshold with id1 < id2") {
+    import spark.implicits._
+    val copies = docs.limit(5)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val pairs = Dedup.nearDuplicatePairs(docs.unionByName(copies), "doc_id", "text", 0.99)
+      .collect()
+    assert(pairs.length >= 5) // exact copies all surface
+    for (p <- pairs) {
+      assert(p.getLong(0) < p.getLong(1))
+      assert(p.getDouble(2) >= 0.99)
+    }
+  }
+
+  test("dropExactDuplicates keeps the min-id representative") {
+    import spark.implicits._
+    val corpus = Seq((1L, "same text here ok"), (2L, "same text here ok"), (3L, "unique one two"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+}
