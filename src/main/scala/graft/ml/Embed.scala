@@ -63,6 +63,36 @@ object EmbedModel {
   /** Neutral (offline) model: predict_proba == zeros for every type. */
   def neutral: EmbedModel = new EmbedModel(Map.empty)
 
+  /** JSON persistence replacing the reference's joblib (embeddings.py save/
+    * load); missing or corrupt file falls back to the neutral model — the
+    * same contract as Calibrator.load (ensemble.py:36-42).
+    * Format per type: {"const": p} or {"coef": [...], "intercept": b, "std": [...]}. */
+  def save(m: EmbedModel, path: String): Unit = {
+    def arr(xs: Iterable[Double]) = xs.mkString("[", ",", "]")
+    val body = m.classifiers.map {
+      case (t, Left(const)) => s""""$t": {"const": $const}"""
+      case (t, Right((coef, intercept, std, pos))) =>
+        s""""$t": {"coef": ${arr(coef.toArray)}, "intercept": $intercept, "std": ${arr(std.toIndexedSeq)}, "pos": $pos}"""
+    }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  }
+
+  def load(path: String): EmbedModel =
+    try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val constRe = """"([A-Z_]+)":\s*\{"const":\s*([-0-9.eE]+)\}""".r
+      val lrRe = """"([A-Z_]+)":\s*\{"coef":\s*\[([^\]]*)\],\s*"intercept":\s*([-0-9.eE]+),\s*"std":\s*\[([^\]]*)\],\s*"pos":\s*([-0-9.eE]+)\}""".r
+      val consts = constRe.findAllMatchIn(s).map(m =>
+        m.group(1) -> Left(m.group(2).toDouble)).toMap
+      val lrs = lrRe.findAllMatchIn(s).map { m =>
+        val coef = m.group(2).split(",").filter(_.nonEmpty).map(_.toDouble)
+        val std = m.group(4).split(",").filter(_.nonEmpty).map(_.toDouble)
+        m.group(1) -> Right((org.apache.spark.ml.linalg.Vectors.dense(coef),
+          m.group(3).toDouble, std, m.group(5).toDouble))
+      }.toMap
+      new EmbedModel(consts ++ lrs)
+    } catch { case _: Exception => neutral }
+
   /** Deterministic featurizer: hashed 2-5 char n-gram counts. */
   def featurize(df: DataFrame, textCol: String): DataFrame = {
     val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("toks")

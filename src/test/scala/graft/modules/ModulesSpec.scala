@@ -198,6 +198,21 @@ class EmbedSpec extends SparkSpec {
     }
   }
 
+  test("embed model json roundtrip and neutral fallback") {
+    import spark.implicits._
+    val labeled = Seq(("mail ctx one", "EMAIL"), ("mail ctx two", "EMAIL"),
+      ("phone ctx one", "PHONE_NUMBER"), ("phone ctx two", "PHONE_NUMBER")).toDF("context", "label")
+    val m = EmbedModel.fit(labeled, "context", "label")
+    val f = java.io.File.createTempFile("embed", ".json").getAbsolutePath
+    EmbedModel.save(m, f)
+    val back = EmbedModel.load(f)
+    // same predictions after roundtrip
+    val a = m.predictProba(labeled, "context").select("embed_EMAIL").as[Double].collect().toSeq
+    val b = back.predictProba(labeled, "context").select("embed_EMAIL").as[Double].collect().toSeq
+    assert(a == b)
+    assert(EmbedModel.load("/nope/missing.json").isNeutral)
+  }
+
   test("calibrator fit: degenerate guards and monotone separation (ensemble.py:170-189)") {
     val scores = Seq(0.1, 0.2, 0.8, 0.9).map(s => Map("EMAIL" -> s))
     val labels = Seq(None, None, Some("EMAIL"), Some("EMAIL"))
