@@ -127,6 +127,19 @@ object Config {
     }
   }
 
+  /** Load from a YAML file path (missing file → pure defaults + env). */
+  def loadFile(path: String, env: Map[String, String] = sys.env): AiConfig = {
+    val yaml =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      catch { case _: Exception => None }
+    load(yaml, env)
+  }
+
+  /** The engine weights for this config (EnsembleConfig carries the YAML
+    * defaults; the runtime dataclass default is Weights.runtimeDefault). */
+  def weights(c: AiConfig): graft.ensemble.Weights =
+    graft.ensemble.Weights(c.ensemble.wRule, c.ensemble.wNer, c.ensemble.wEmbed)
+
   /** Load: defaults <- yaml <- env. */
   def load(yaml: Option[String], env: Map[String, String] = sys.env): AiConfig = {
     val fromYaml = yaml.map(parseYaml).getOrElse(Map.empty)

@@ -66,6 +66,30 @@ object ExtraQueries {
           col("fv.rule_is_EMAIL").as("rule_is_email"))
     },
 
+    // As-of join: for each event, the user's most recent order at or before
+    // the event time. Spark has no native as-of operator; per the
+    // custom-operator preference order this composes built-ins — equi-join on
+    // the user key bounds the candidate set, the range predicate prunes, and
+    // a per-event window picks the latest (SURVEY §7.3 route (a); a custom
+    // SparkPlan would only pay off if the per-key order count were huge).
+    QueryDef("q20_asof_join",
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey)::INT AS rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         WHERE rn = 1""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = QueryDef.events(s, d).select("event_id", "user_id", "ts")
+      val o = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+      val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    },
+
     // Structured Streaming end-to-end through the correctness gate: the
     // watermarked tumbling aggregation runs as a real streaming query
     // (AvailableNow over the events dir, memory sink) and must equal the
