@@ -90,6 +90,24 @@ object ExtraQueries {
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
     },
 
+    // Pivot: per-source language histogram as columns (explicit pivot values
+    // — at scale, enumerating values up front avoids the extra pass Spark
+    // otherwise runs to discover them).
+    QueryDef("q21_pivot",
+      """SELECT source,
+           count(*) FILTER (WHERE lang = 'de') AS de,
+           count(*) FILTER (WHERE lang = 'en') AS en,
+           count(*) FILTER (WHERE lang = 'es') AS es,
+           count(*) FILTER (WHERE lang = 'fr') AS fr,
+           count(*) FILTER (WHERE lang = 'zh') AS zh
+         FROM documents GROUP BY source""") { (s, d) =>
+      t(s, d, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L) // pivot leaves NULL where no rows; count semantics = 0
+    },
+
     // Structured Streaming end-to-end through the correctness gate: the
     // watermarked tumbling aggregation runs as a real streaming query
     // (AvailableNow over the events dir, memory sink) and must equal the
