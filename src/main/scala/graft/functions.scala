@@ -31,6 +31,17 @@ object functions {
   def luhn(s: Column): Column = col1(LuhnExpr)(s)
   def verhoeff(s: Column): Column = col1(VerhoeffExpr)(s)
 
+  /** MinHash signature from a pre-shingled array. */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    graft.ops.MinHashSigExpr.minhash_sig(shingles, k)
+
+  /** MinHash signature with word n-gram shingles fused into the digest loop. */
+  def minhash_from_tokens(tokens: Column, k: Int, shingleLen: Int = 3): Column =
+    graft.ops.MinHashFromTokensExpr.minhash_from_tokens(tokens, k, shingleLen)
+
+  /** 32-bit SimHash fingerprint of a token array. */
+  def simhash32(tokens: Column): Column = graft.ops.SimHash32Expr.simhash32(tokens)
+
   /** Register all custom functions for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -40,5 +51,12 @@ object functions {
     reg.createOrReplaceTempFunction("redact_spans", es => RedactSpansExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("luhn", es => LuhnExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("verhoeff", es => VerhoeffExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig", es =>
+      graft.ops.MinHashSigExpr(es.head, es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_from_tokens", es =>
+      graft.ops.MinHashFromTokensExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        if (es.size > 2) es(2).eval().asInstanceOf[Number].intValue() else 3), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash32", es => graft.ops.SimHash32Expr(es.head), "scala_udf")
   }
 }
