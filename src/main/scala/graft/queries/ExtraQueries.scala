@@ -108,6 +108,23 @@ object ExtraQueries {
         .na.fill(0L) // pivot leaves NULL where no rows; count semantics = 0
     },
 
+    // Intersect (completing the union/except/intersect set-op family).
+    QueryDef("q22_intersect",
+      """SELECT nk FROM
+           (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier)""") { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+    },
+
+    // HLL sketch (approx_count_distinct): cross-engine sketch internals
+    // differ, so the gate only row-checks this one; the spec asserts the
+    // estimate lands within the documented error bound of the exact count.
+    QueryDef.noOracle("x14_approx_distinct") { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
     // Structured Streaming end-to-end through the correctness gate: the
     // watermarked tumbling aggregation runs as a real streaming query
     // (AvailableNow over the events dir, memory sink) and must equal the
