@@ -221,6 +221,53 @@ object OpsQueries {
         .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
     },
 
+    // IVF-style ANN: deterministic coarse quantization (centroids = the first
+    // 8 vectors, i.e. k-means with zero iterations) assigns every vector to
+    // its nearest centroid cell; queries search ONLY their own cell
+    // (nprobe=1). Same scale shape as a trained IVF: assignment is a
+    // broadcast-nested-loop over k centroids + argmin, search is a cell-key
+    // equi-join — more cells = smaller cells, never O(n²).
+    QueryDef("x15_ivf_ann",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT e.vec_id, e.embedding, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    di -> (e.embedding[di]::DOUBLE - c.ce[di]::DOUBLE) * (e.embedding[di]::DOUBLE - c.ce[di]::DOUBLE))),
+                  c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c)
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qe, cid FROM assigned WHERE vec_id >= 8 AND vec_id < 24)
+          SELECT qid, vec_id, rank, cos FROM (
+            SELECT q.qid, a.vec_id,
+              round(${cosineSql("q.qe", "a.embedding")}, 5) AS cos,
+              CAST(row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${cosineSql("q.qe", "a.embedding")} DESC, a.vec_id) AS INT) AS rank
+            FROM q JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.qid)
+          WHERE rank <= 3""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val cent = e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val dist2 = aggregate(zip_with(col("embedding"), col("ce"),
+        (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("d2", dist2)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select("vec_id", "embedding", "cid")
+      val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+      val wRank = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))
+      assigned.join(broadcast(q), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rawcos", cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(wRank).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
+    },
+
     // Language-ID heuristic: stopword hits per language, argmax with
     // first-in-list tie-break.
     QueryDef("x08_langid",
