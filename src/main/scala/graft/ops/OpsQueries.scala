@@ -139,12 +139,13 @@ object OpsQueries {
             round(len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
               / greatest(len(list_distinct(s1.s || s2.s)), 1), 6) AS jaccard
           FROM pairs p JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2""") { (s, d) =>
-      val bands = bandsDf(t(s, d, "documents"))
+      // both join sides + the shingle frames reuse materialized results
+      val bands = bandsDf(t(s, d, "documents")).localCheckpoint(false)
       val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sh = shingleSets(t(s, d, "documents"))
+      val sh = shingleSets(t(s, d, "documents")).localCheckpoint(false)
       pairs.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
@@ -167,7 +168,7 @@ object OpsQueries {
             round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
               / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""") { (s, d) =>
-      val sh = shingleSets(t(s, d, "documents"))
+      val sh = shingleSets(t(s, d, "documents")).localCheckpoint(false)
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           round(size(array_intersect(col("a.s"), col("b.s"))).cast("double")
