@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.detect._
+import graft.ops.{MinHashFromTokensExpr, MinHashSigExpr, SimHash32Expr}
+
+/** Session-extension entry point: enables the engine's SQL surface for any
+  * session without code changes, via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  * The same registrations are available programmatically through
+  * [[graft.functions.register]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("pii_candidates", "_FUNC_(text) - rule-layer PII candidates with offsets") {
+      es => PiiCandidatesExpr(es.head)
+    }
+    inject("ner_spans", "_FUNC_(text) - offline NER provider spans") {
+      es => NerSpansExpr(es.head)
+    }
+    inject("mask_token", "_FUNC_(s) - shape-preserving mask") {
+      es => MaskTokenExpr(es.head)
+    }
+    inject("redact_spans", "_FUNC_(text, spans) - splice masks over spans") {
+      es => RedactSpansExpr(es.head, es(1))
+    }
+    inject("luhn", "_FUNC_(s) - Luhn checksum gate") { es => LuhnExpr(es.head) }
+    inject("verhoeff", "_FUNC_(s) - Verhoeff checksum gate") { es => VerhoeffExpr(es.head) }
+    inject("minhash_sig", "_FUNC_(shingles, k) - MinHash signature") {
+      es => MinHashSigExpr(es.head, es(1).eval().asInstanceOf[Number].intValue())
+    }
+    inject("minhash_from_tokens", "_FUNC_(tokens, k[, n]) - fused shingle MinHash") {
+      es => MinHashFromTokensExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        if (es.size > 2) es(2).eval().asInstanceOf[Number].intValue() else 3)
+    }
+    inject("simhash32", "_FUNC_(tokens) - 32-bit SimHash fingerprint") {
+      es => SimHash32Expr(es.head)
+    }
+  }
+}

@@ -125,6 +125,25 @@ object ExtraQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
     },
 
+    // Argmax-per-group (TPC-H Q2 shape): the top-balance supplier per nation,
+    // window-based for deterministic tie-breaks (max_by would tie-break
+    // arbitrarily).
+    QueryDef("q23_argmax_per_group",
+      """SELECT n_name, s_suppkey, s_name, s_acctbal FROM (
+           SELECT n.n_name, s.s_suppkey, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY n.n_name ORDER BY s.s_acctbal DESC, s.s_suppkey)::INT AS rn
+           FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey)
+         WHERE rn = 1""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sup = t(s, d, "supplier")
+      val n = t(s, d, "nation").select("n_nationkey", "n_name")
+      val w = Window.partitionBy("n_name").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    },
+
     // Structured Streaming end-to-end through the correctness gate: the
     // watermarked tumbling aggregation runs as a real streaming query
     // (AvailableNow over the events dir, memory sink) and must equal the

@@ -10,4 +10,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to a live session's
+    * registry (the path getOrCreate runs at session build; `private[sql]`). */
+  def registerExtensionFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                                 spark: org.apache.spark.sql.SparkSession): Unit = {
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+    ()
+  }
 }
