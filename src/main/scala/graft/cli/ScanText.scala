@@ -36,6 +36,17 @@ object ScanText {
     val red = texts.toDF("text")
       .select(redact_spans(col("text"), pii_candidates(col("text"))).as("r")).collect()
     red.foreach(r => println("REDACTED: " + r.getString(0)))
+    // scrubbed structured debug log, like the reference's ensemble
+    // (ensemble.py:73-88): only sanitized context reaches the log payload
+    graft.util.SafeLog.withCorrelation() {
+      for (t <- texts) {
+        val spans = graft.detect.Rules.proposeCandidates(t)
+          .map(c => graft.core.Span(c.start, c.end, c.value))
+        graft.util.SafeLog.safeLog("scan_contexts",
+          details = Map("n_candidates" -> spans.size), level = "DEBUG",
+          text = Some(t), piiSpans = spans)
+      }
+    }
     spark.stop()
   }
 }
