@@ -60,6 +60,12 @@ object WriteBack {
   val PiiFlagKey = "pii"
   def typesKey(column: String) = s"cps.pii_types.col.$column"
 
+  /** Escape a string for interpolation inside a single-quoted SQL literal. */
+  private def sqlStr(s: String): String = s.replace("'", "''")
+
+  /** Escape an identifier for interpolation inside backtick quoting. */
+  private def ident(s: String): String = s.replace("`", "``")
+
   /** Sorted-CSV normalizer (C25). */
   def sortedCsv(types: Seq[String]): String = types.distinct.sorted.mkString(",")
 
@@ -98,8 +104,7 @@ object WriteBack {
         .find(_.name == c).flatMap(x => Option(x.description)).getOrElse("")
       val merged = appendComment(existing, note, maxLen)
       if (merged != existing) {
-        val quoted = merged.replace("'", "''")
-        spark.sql(s"ALTER TABLE `$db`.`$tb` ALTER COLUMN `$c` COMMENT '$quoted'")
+        spark.sql(s"ALTER TABLE `${ident(db)}`.`${ident(tb)}` ALTER COLUMN `${ident(c)}` COMMENT '${sqlStr(merged)}'")
         changed += 1
       }
     }
@@ -119,15 +124,15 @@ object WriteBack {
     for (row <- perTable) {
       val db = row.getString(0); val tb = row.getString(1)
       val colTypes = row.getMap[String, String](2)
-      val existing = spark.sql(s"SHOW TBLPROPERTIES `$db`.`$tb`")
+      val existing = spark.sql(s"SHOW TBLPROPERTIES `${ident(db)}`.`${ident(tb)}`")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       val wanted = colTypes.toSeq.sortBy(_._1).flatMap { case (c, csv) =>
         val k = typesKey(c)
         if (existing.get(k).contains(csv)) None else Some(k -> csv)
       } ++ (if (existing.get(PiiFlagKey).contains("true")) None else Some(PiiFlagKey -> "true"))
       if (wanted.nonEmpty) {
-        val props = wanted.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")
-        spark.sql(s"ALTER TABLE `$db`.`$tb` SET TBLPROPERTIES ($props)")
+        val props = wanted.map { case (k, v) => s"'${sqlStr(k)}'='${sqlStr(v)}'" }.mkString(", ")
+        spark.sql(s"ALTER TABLE `${ident(db)}`.`${ident(tb)}` SET TBLPROPERTIES ($props)")
         applied += 1
       }
     }

@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.feature.{HashingTF, RegexTokenizer, StandardScaler}
+import org.apache.spark.ml.feature.{HashingTF, NGram, RegexTokenizer, StandardScaler}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,8 +16,8 @@ import graft.core.PiiTypes
   * all-zero neutral probabilities (embeddings.py:76-80) — that neutral path is
   * the semantic contract and is what [[EmbedModel.neutral]] reproduces.
   *
-  * The trainable path replaces SBERT with a deterministic hashed bag-of-chars
-  * featurizer (the container has no model weights; the reference's own
+  * The trainable path replaces SBERT with a deterministic hashed char
+  * 1-5-gram featurizer (the container has no model weights; the reference's own
   * offline fallback is seeded noise, documented non-reproducible on JVM —
   * SURVEY §7.4) and MLlib StandardScaler(withMean=false) + per-type
   * LogisticRegression with balanced class weights, keeping the degenerate-
@@ -93,13 +93,20 @@ object EmbedModel {
       new EmbedModel(consts ++ lrs)
     } catch { case _: Exception => neutral }
 
-  /** Deterministic featurizer: hashed 2-5 char n-gram counts. */
+  /** Deterministic featurizer: hashed 2-5 char n-gram counts (plus the
+    * unigram chars), built from lowercased non-space characters. */
   def featurize(df: DataFrame, textCol: String): DataFrame = {
     val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("toks")
       .setPattern("\\S").setGaps(false).setToLowercase(true).setMinTokenLength(1)
-    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+    val chars = tok.transform(df)
+    val withGrams = (2 to 5).foldLeft(chars) { (d, n) =>
+      new NGram().setN(n).setInputCol("toks").setOutputCol(s"g$n").transform(d)
+    }
+    val all = withGrams.withColumn("grams",
+      concat(col("toks"), col("g2"), col("g3"), col("g4"), col("g5")))
+    val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
       .setNumFeatures(NumFeatures)
-    tf.transform(tok.transform(df)).drop("toks")
+    tf.transform(all).drop("toks", "g2", "g3", "g4", "g5", "grams")
   }
 
   /** One-vs-rest fit with the reference's degenerate-class guards:

@@ -23,10 +23,14 @@ object Dedup {
   /** Word tokens (single-space splitting, matching the query suite). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word 3-gram shingles of a token array (composable form). */
+  /** Word 3-gram shingles of a token array (composable form). Docs with
+    * fewer than 3 tokens yield an empty array — `sequence(1, 0)` counts DOWN
+    * on Spark and `element_at(toks, 0)` then throws, so guard explicitly. */
   def shingles(toks: Column): Column =
-    transform(sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   /** (id, band, band_hash) rows: the LSH bucket keys. `idCol`/`textCol` name
     * columns of `docs`. */

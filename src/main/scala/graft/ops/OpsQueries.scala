@@ -30,10 +30,15 @@ object OpsQueries {
   /** Word tokens (split on single spaces — documents are single-spaced). */
   private def tokens(text: Column): Column = split(text, " ")
 
-  /** Word 3-gram shingles of a token array. */
+  /** Word 3-gram shingles of a token array. Docs with fewer than 3 tokens
+    * yield an empty array — `sequence(1, 0)` would count DOWN on Spark
+    * (unlike DuckDB's empty `generate_series`) and then hit index 0 in
+    * `element_at`, so the degenerate case must be guarded explicitly. */
   private def shingles(toks: Column): Column =
-    transform(sequence(lit(1), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
 
   private val ShinglesSql =
     """list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),

@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("short docs (<3 tokens) survive shingling: empty shingle set, no crash") {
+    import spark.implicits._
+    val corpus = Seq((1L, "one"), (2L, "two words"), (3L, ""), (4L, "three token doc"),
+      (5L, "three token doc")).toDF("doc_id", "text")
+    // shingles() must yield [] for <3 tokens, not throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(Dedup.tokens(col("text"))).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty && sh(3L).isEmpty)
+    assert(sh(4L) == Seq("three token doc"))
+    val pairs = Dedup.nearDuplicatePairs(corpus, "doc_id", "text", 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("dropExactDuplicates keeps the min-id representative") {
     import spark.implicits._
     val corpus = Seq((1L, "same text here ok"), (2L, "same text here ok"), (3L, "unique one two"))
