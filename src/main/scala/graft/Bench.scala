@@ -25,6 +25,14 @@ object Bench {
     // plan, not first-call JIT + classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Streaming machinery warmup (state store, microbatch planner, sink
+    // codegen) — the streaming queries get the same JIT treatment as batch.
+    try {
+      val wq = streaming.EventStream.runOnce(spark, "/root/testdata/sf0.001",
+        "bench_stream_warmup", statePartitions = Some(2))
+      wq.awaitTermination(60000)
+      if (wq.isActive) wq.stop()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.all.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

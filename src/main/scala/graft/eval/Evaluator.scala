@@ -94,6 +94,47 @@ object Evaluator {
       .toDF("doc_id", "kind", "label")
   }
 
+  /** Single-pass form of [[matchOutcomes]]: both preds and golds arrive in ONE
+    * frame, so the upstream candidate pipeline is scanned once (no cache /
+    * checkpoint needed to feed separate pred and gold branches).
+    *
+    * @param tagged (doc_id, role 0=pred | 1=gold, ord, start, end, label);
+    *               preds matched in `ord` order, golds claimed in
+    *               (start, label) order — the same orders matchOutcomes gets
+    *               from pred_idx and a (start, type) row_number. */
+  def matchOutcomesTagged(tagged: DataFrame): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.select(col("doc_id").cast("long"), col("role").cast("int"),
+      col("ord").cast("long"), col("start").cast("int"), col("end").cast("int"),
+      col("label"))
+      .as[(Long, Int, Long, Int, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, rows) =>
+        val all = rows.toVector
+        val ps = all.filter(_._2 == 0).sortBy(_._3).map(r => (r._4, r._5, r._6))
+        val gs = all.filter(_._2 == 1).map(r => (r._4, r._5, r._6)).sortBy(g => (g._1, g._3))
+        val used = Array.fill(gs.size)(false)
+        val out = Vector.newBuilder[(Long, String, String)]
+        for ((s, e, l) <- ps) {
+          var matched = false
+          var j = 0
+          while (!matched && j < gs.size) {
+            val (g2s, g2e, gt) = gs(j)
+            if (!used(j) && s < g2e && g2s < e && l == gt) {
+              used(j) = true; matched = true
+              out += ((docId, "tp", gt))
+            }
+            j += 1
+          }
+          if (!matched) out += ((docId, "fp", Option(l).getOrElse(PiiTypes.ALL.head)))
+        }
+        for (j <- gs.indices; if !used(j)) out += ((docId, "fn", gs(j)._3))
+        out.result()
+      }
+      .toDF("doc_id", "kind", "label")
+  }
+
   /** Reference-exact GLOBAL pooling (eval.py:63-67 extends preds/golds across
     * all examples and compares raw char offsets cross-example): collapse
     * everything into one matching group. Exact parity, but inherently

@@ -154,9 +154,10 @@ object ExtraQueries {
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
          FROM events GROUP BY 1, 2""") { (s, d) =>
       val name = "s01_sink_" + math.abs(d.hashCode).toString
-      val q = graft.streaming.EventStream.runOnce(s, d, name)
+      val q = graft.streaming.EventStream.runOnce(s, d, name, statePartitions = Some(8))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
-      s.table(name)
+      // the memory sink registers in the stream's (child) session catalog
+      q.sparkSession.table(name)
     })
 }

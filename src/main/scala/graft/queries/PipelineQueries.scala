@@ -97,24 +97,23 @@ object PipelineQueries {
           UNION ALL
           SELECT 'macro', NULL, NULL, NULL, NULL,
             round(avg(precision), 6), round(avg(recall), 6), round(avg(f1), 6) FROM prf2""") { (s, d) =>
-      // The candidate frame feeds preds AND two gold branches — without a
-      // materialization point the regex pipeline would run three times.
-      val cands = PiiInputs.df(s, d)
-        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c")))
-        .localCheckpoint(false)
-      val preds = cands.select(col("doc_id"), col("idx").as("pred_idx"),
+      // Single pass over the regex pipeline: each candidate row fans out to a
+      // pred row plus (when its label qualifies) a gold row, so no
+      // materialization point is needed to feed separate branches.
+      val goldType = when(col("c.rule_label").isin("EMAIL", "SSN", "MAC_ADDRESS", "DATE"),
+          col("c.rule_label"))
+        .when(col("c.rule_label") === "IP_ADDRESS", lit("ADDRESS"))
+      val pred = struct(lit(0).as("role"), col("idx").cast("long").as("ord"),
         col("c.start").as("start"), col("c.end").as("end"), col("c.rule_label").as("label"))
-      val goldBase = cands
-        .filter(col("c.rule_label").isin("EMAIL", "SSN", "MAC_ADDRESS", "DATE"))
-        .select(col("doc_id"), col("c.start").as("start"), col("c.end").as("end"),
-          col("c.rule_label").as("type"))
-      val goldAddr = cands.filter(col("c.rule_label") === "IP_ADDRESS")
-        .select(col("doc_id"), col("c.start").as("start"), col("c.end").as("end"),
-          lit("ADDRESS").as("type"))
-      val gold = goldBase.unionByName(goldAddr)
-        .withColumn("gold_idx", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start", "type")))
-      val outcomes = graft.eval.Evaluator.matchOutcomes(preds, gold)
+      val goldRow = struct(lit(1).as("role"), lit(0L).as("ord"),
+        col("c.start").as("start"), col("c.end").as("end"), goldType.as("label"))
+      val tagged = PiiInputs.df(s, d)
+        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c")))
+        .select(col("doc_id"),
+          explode(concat(array(pred), filter(array(goldRow), _ => goldType.isNotNull))).as("r"))
+        .select(col("doc_id"), col("r.role").as("role"), col("r.ord").as("ord"),
+          col("r.start").as("start"), col("r.end").as("end"), col("r.label").as("label"))
+      val outcomes = graft.eval.Evaluator.matchOutcomesTagged(tagged)
       graft.eval.Evaluator.prfReport(outcomes)
         .withColumn("precision", round(col("precision"), 6))
         .withColumn("recall", round(col("recall"), 6))

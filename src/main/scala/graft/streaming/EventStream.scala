@@ -41,15 +41,28 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Run the streaming pipeline to completion over the (finite) events dir —
-    * the local-smoke form: memory sink + processAllAvailable. Returns the
-    * collected result table name. */
-  def runOnce(spark: SparkSession, dir: String, queryName: String = "events_agg"): StreamingQuery = {
-    val q = tumblingAgg(readEvents(spark, dir))
+    * the local-smoke form: memory sink + AvailableNow. Returns the running
+    * query; read results from `session.table(queryName)`.
+    *
+    * `statePartitions` sizes the stateful-agg shuffle: state cardinality is
+    * windows × event types (thousands), so the session default (one state
+    * store per shuffle partition, each with its own checkpoint files) is
+    * waste — the override runs in a child session so concurrent batch
+    * queries on the parent session are untouched. */
+  def runOnce(spark: SparkSession, dir: String, queryName: String = "events_agg",
+              statePartitions: Option[Int] = None): StreamingQuery = {
+    val session = statePartitions match {
+      case Some(n) =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s
+      case None => spark
+    }
+    tumblingAgg(readEvents(session, dir))
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-    q
   }
 
   /** foreachBatch sink: idempotent parquet append keyed by batch — the
