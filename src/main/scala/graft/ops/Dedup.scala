@@ -72,6 +72,54 @@ object Dedup {
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Verified embedding near-duplicate pairs (id1 < id2, cosine ≥ threshold).
+    * Candidates come from a random-hyperplane LSH bucket equi-join — the same
+    * scale shape as the MinHash path: shuffle ∝ 1 row/vector, never O(n²). */
+  def embeddingNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.lshBucket(col(vecCol), planes, dims).as("bucket"))
+    b.as("a").join(b.as("b"),
+      col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", VectorOps.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+  }
+
+  /** The vector set with embedding near-duplicates removed: every vector with
+    * a verified bucket-neighbor of smaller id is dropped (greedy min-id
+    * representative, matching [[dropNearDuplicates]]). */
+  def dropEmbeddingNearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
+                                  threshold: Double = 0.999,
+                                  planes: Int = 8, dims: Int = 64): DataFrame = {
+    val doomed = embeddingNearDupPairs(vecs, idCol, vecCol, threshold, planes, dims)
+      .select(col("id2").as(idCol)).distinct()
+    vecs.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-duplicate pairs: 32-bit signature, 2×16-bit LSH bands for
+    * candidates, exact Hamming-distance verification ≤ maxHamming. Pairs whose
+    * differing bits straddle both halves at distance > 1 can be missed — the
+    * standard banding recall tradeoff, verified-candidates semantics like the
+    * MinHash path. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      SimHash32Expr.simhash32(tokens(col(textCol))).as("s"))
+    val bands = sh.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(1)),
+        b => col("s").substr(b * 16 + 1, lit(16)))).as(Seq("band", "bits")))
+    val cand = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.bits") === col("y.bits")
+        && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
+    cand.join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id"))
+      .withColumn("hamming", VectorOps.hammingBits(col("s1.s"), col("s2.s"), 32).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Exact dedup: one representative (min id) per identical text. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val reps = docs.groupBy(md5(col(textCol)).as("__fp")).agg(min(col(idCol)).as(idCol))

@@ -74,29 +74,14 @@ object OpsQueries {
            CASE WHEN substr(md5(tk), b, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0
          THEN '1' ELSE '0' END), '')"""
 
-  /** Cosine similarity of two float-array columns, accumulated in double in
-    * element order (deterministic IEEE on both engines). */
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  private def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
 
   private def cosineSql(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, len($a)), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))
         / (sqrt(list_sum(list_transform($a, v -> v::DOUBLE * v::DOUBLE)))
            * sqrt(list_sum(list_transform($b, v -> v::DOUBLE * v::DOUBLE)))))"""
 
-  /** LSH signs: 8 pseudo-random hyperplanes; component (p, i) is ±1 from the
-    * top bit of md5("p_i"); bucket = sign-bit string of the 8 projections. */
-  private def lshBucket(vec: Column): Column =
-    concat_ws("", transform(sequence(lit(0), lit(7)), p =>
-      when(aggregate(zip_with(vec, sequence(lit(0), lit(63)), (v, i) =>
-        v.cast("double") * when(substring(md5(concat(p.cast("string"), lit("_"), i.cast("string"))), 1, 1)
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")))
+  private def lshBucket(vec: Column): Column = VectorOps.lshBucket(vec)
 
   private val LshBucketSql =
     """array_to_string(list_transform(generate_series(0, 7), p ->
@@ -327,6 +312,64 @@ object OpsQueries {
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents""") { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    },
+
+    // Embedding-cosine near-duplicate DEDUP (the mandate's fifth dedup mode):
+    // LSH-bucket candidates → exact cosine verify ≥ 0.999 → greedy min-id
+    // survivor anti-join. The corpus plants a deterministic near-copy of every
+    // vector (same construction in both engines: scaled by 1.02 in double —
+    // cosine-1 by construction), since the synthetic embeddings have no
+    // organic near-dups (max pairwise cosine ≈ 0.47).
+    QueryDef("x16_embed_dedup", {
+      val bucketSql =
+        """array_to_string(list_transform(generate_series(0, 7), p ->
+             CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+               e[i] * (CASE WHEN substr(md5(p::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1)
+                 IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END))) >= 0
+             THEN '1' ELSE '0' END), '')"""
+      val cosSql =
+        """(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b2.e[i]))
+            / (sqrt(list_sum(list_transform(a.e, v -> v * v)))
+               * sqrt(list_sum(list_transform(b2.e, v -> v * v)))))"""
+      s"""WITH corpus AS (
+            SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000, list_transform(embedding, v -> v::DOUBLE * 1.02) FROM embeddings),
+          b AS (SELECT vec_id, e, $bucketSql AS bucket FROM corpus),
+          doomed AS (
+            SELECT DISTINCT b2.vec_id FROM b a JOIN b b2
+            ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE $cosSql >= 0.999)
+          SELECT c.vec_id FROM corpus c ANTI JOIN doomed d ON c.vec_id = d.vec_id"""
+    }) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val orig = e.select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("e"))
+      val planted = e.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), v => v.cast("double") * 1.02).as("e"))
+      Dedup.dropEmbeddingNearDuplicates(orig.unionByName(planted), "vec_id", "e", 0.999)
+        .select("vec_id")
+    },
+
+    // SimHash near-duplicate pairs (hamming-distance dedup): 2×16-bit LSH
+    // bands for candidates, exact hamming ≤ 2 verification — the banded
+    // scale path over the x04 fingerprints.
+    QueryDef("x17_simhash_pairs", {
+      val hamSql =
+        """list_sum(list_transform(generate_series(1, 32),
+             i -> CASE WHEN substr(s1.s, i, 1) <> substr(s2.s, i, 1) THEN 1 ELSE 0 END))"""
+      s"""WITH sh AS (SELECT doc_id, $SimhashBitsSql AS s FROM documents),
+          bands AS (SELECT doc_id, band, substr(s, band*16+1, 16) AS bits
+                    FROM sh, (SELECT unnest(generate_series(0, 1)) AS band)),
+          cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                   FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+          SELECT c.d1, c.d2, CAST($hamSql AS INT) AS hamming
+          FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2
+          WHERE $hamSql <= 2"""
+    }) { (s, d) =>
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 2)
+        .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
     },
 
     // Token counting with a BPE-ish word/punct regex (scale-stable

@@ -159,5 +159,21 @@ object ExtraQueries {
       if (q.isActive) q.stop()
       // the memory sink registers in the stream's (child) session catalog
       q.sparkSession.table(name)
+    },
+
+    // Stateful streaming with CUSTOM state (flatMapGroupsWithState): per-user
+    // sessionization as a real streaming query, checked against the batch
+    // lag-window oracle — same SQL as q11_sessionize.
+    QueryDef("s02_stream_sessionize",
+      """SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events) GROUP BY user_id""") { (s, d) =>
+      val name = "s02_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runSessionize(s, d, name, statePartitions = Some(8))
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
     })
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Incremental scan over the events changelog via Structured Streaming.
   *
@@ -60,6 +60,59 @@ object EventStream {
     }
     tumblingAgg(readEvents(session, dir))
       .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming sessionization with CUSTOM state (flatMapGroupsWithState):
+    * per-user session/event counting with a `gapSeconds` inactivity split —
+    * the stateful-stream twin of the batch q11 lag-window form.
+    *
+    * State per user = (last event second, session count, event count). Each
+    * micro-batch sorts its user's new events by (second, event_id) — the same
+    * order the batch window uses — folds them into the state, and emits the
+    * running totals (Update mode). State is one tuple per user: bounded by
+    * user cardinality, not event volume. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), unix_timestamp(col("ts")).as("sec"),
+      col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          val evs = rows.map(r => (r._2, r._3)).toVector.sorted
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var (last, nSess, nEv) = state.getOption.getOrElse((Long.MinValue, 1L, 0L))
+            for ((sec, _) <- evs) {
+              if (last != Long.MinValue && sec - last > gapSeconds) nSess += 1
+              last = sec; nEv += 1
+            }
+            state.update((last, nSess, nEv))
+            Iterator((user, nSess, nEv))
+          }
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Run the sessionization stream to completion over the (finite) events
+    * dir: memory sink (update mode), AvailableNow. See [[runOnce]] for the
+    * statePartitions rationale. */
+  def runSessionize(spark: SparkSession, dir: String, queryName: String = "events_sessions",
+                    statePartitions: Option[Int] = None): StreamingQuery = {
+    val session = statePartitions match {
+      case Some(n) =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s
+      case None => spark
+    }
+    sessionize(readEvents(session, dir))
+      .writeStream.outputMode("update")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

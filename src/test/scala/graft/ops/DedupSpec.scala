@@ -56,6 +56,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 3L, 4L))
   }
 
+  test("embedding near-dup dedup drops planted scaled copies, keeps originals") {
+    import spark.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("e"))
+      .limit(50)
+    val planted = vecs.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("e"), v => v * 1.02).as("e"))
+    val kept = Dedup.dropEmbeddingNearDuplicates(vecs.unionByName(planted), "vec_id", "e", 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    val originals = vecs.select("vec_id").as[Long].collect().toSet
+    assert(kept == originals) // no organic near-dups in the synthetic embeddings
+    val pairs = Dedup.embeddingNearDupPairs(vecs.unionByName(planted), "vec_id", "e", 0.999)
+      .collect()
+    assert(pairs.length == 50)
+    for (p <- pairs) {
+      assert(p.getLong(1) == p.getLong(0) + 10000)
+      assert(p.getDouble(2) >= 0.999)
+    }
+  }
+
+  test("simhash near-dup pairs: identical texts at hamming 0, verified <= max") {
+    import spark.implicits._
+    val base = docs.limit(30)
+    val copies = base.limit(10)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val pairs = Dedup.simhashNearDupPairs(base.unionByName(copies), "doc_id", "text", maxHamming = 2)
+      .collect()
+    val exact = pairs.filter(r => r.getLong(1) == r.getLong(0) + 10000)
+    assert(exact.length == 10) // identical text => identical simhash => hamming 0
+    assert(exact.forall(_.getInt(2) == 0))
+    assert(pairs.forall(_.getInt(2) <= 2))
+  }
+
   test("dropExactDuplicates keeps the min-id representative") {
     import spark.implicits._
     val corpus = Seq((1L, "same text here ok"), (2L, "same text here ok"), (3L, "unique one two"))

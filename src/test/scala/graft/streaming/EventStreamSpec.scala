@@ -19,6 +19,17 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful sessionization stream matches the batch lag-window form") {
+    val q = EventStream.runSessionize(spark, sf, "sessions_test", statePartitions = Some(4))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val streamed = q.sparkSession.table("sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("q11_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch parquet sink writes the aggregate") {
     val tmp = java.nio.file.Files.createTempDirectory("stream").toString
     val q = EventStream.toParquetBatches(
