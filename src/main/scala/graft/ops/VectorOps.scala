@@ -24,17 +24,28 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket: component (p, i) of plane p is ±1 from the
     * top bit of md5("p_i"); the bucket is the sign-bit string of the `planes`
-    * projections. Deterministic, model-free, and identical in SQL. */
-  def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column =
-    concat_ws("", transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(aggregate(zip_with(vec, sequence(lit(0), lit(dims - 1)), (v, i) =>
-        v.cast("double") * when(substring(md5(concat(p.cast("string"), lit("_"), i.cast("string"))), 1, 1)
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")))
+    * projections. Deterministic, model-free, and identical in SQL.
+    *
+    * The hyperplane signs depend only on (p, i), so they are computed ONCE at
+    * plan time and embedded as literals — the naive inline form re-hashed
+    * planes×dims md5s per ROW (512/row at the defaults), which dominated the
+    * bucket stage. */
+  def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Double = {
+      val dig = md.digest(s"${p}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // top hex digit in ('8'..'f') == high nibble of byte 0 >= 8
+      if (((dig(0) & 0xff) >> 4) >= 8) 1.0 else -1.0
+    }
+    concat_ws("", (0 until planes).map { p =>
+      val plane = array((0 until dims).map(i => lit(sign(p, i))): _*)
+      when(aggregate(zip_with(vec, plane, (v, h) => v.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")
+    }: _*)
+  }
 
-  /** Hamming distance between two equal-length bit-string columns. */
+  /** Hamming distance between two equal-length bit-string columns
+    * (codegen'd single-pass expression). */
   def hammingBits(a: Column, b: Column, nBits: Int): Column =
-    aggregate(transform(sequence(lit(1), lit(nBits)),
-      i => when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    HammingBitsExpr.hamming_bits(a, b)
 }

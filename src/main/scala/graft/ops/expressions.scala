@@ -177,3 +177,40 @@ object SimHash32Expr {
     org.apache.spark.sql.graftshim.shims.column(
       SimHash32Expr(org.apache.spark.sql.graftshim.shims.expression(tokens)))
 }
+
+/** `hamming_bits(a, b)`: Hamming distance between two equal-length bit
+  * strings, fully codegen'd (static call) — this sits inside join conditions
+  * of the near-dup verifiers where an interpreted HOF form was the hot spot
+  * (Catalyst pushes the verify filter into the join and re-evaluates it in
+  * the output projection, so per-pair cost is paid twice). */
+case class HammingBitsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingBitsExpr.distance(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.HammingBitsExpr.distance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingBitsExpr =
+    copy(l, r)
+  override def prettyName: String = "hamming_bits"
+}
+
+object HammingBitsExpr {
+  /** Bytewise compare is correct for '0'/'1' ASCII strings. */
+  def distance(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes; val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var d = math.abs(ab.length - bb.length)
+    var i = 0
+    while (i < n) { if (ab(i) != bb(i)) d += 1; i += 1 }
+    d
+  }
+
+  def hamming_bits(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      HammingBitsExpr(org.apache.spark.sql.graftshim.shims.expression(a),
+        org.apache.spark.sql.graftshim.shims.expression(b)))
+}

@@ -48,7 +48,7 @@ object PiiInputs {
       lit("Contact "), name, lit(" <"), email, lit("> or call "), phone,
       lit(". Card "), cc, lit(" SSN "), ssn, lit(" IP "), ip, lit(" MAC "), mac,
       lit(" Aadhaar "), aad, lit(" PAN "), pan, lit(" "), dob, date, lit("."))
-    spark.read.parquet(s"$sfDir/customer.parquet")
+    QueryDef.t(spark, sfDir, "customer")
       .select(c.as("doc_id"), text.as("text"))
   }
 

@@ -15,9 +15,31 @@ object QueryDef {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
 
-  /** Read one testdata table. */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Tables whose scans feed compute-heavy per-row pipelines (regex
+    * detection, minhash/simhash, cosine kernels) — there the single-row-group
+    * scan serializes seconds of CPU and a tiny shuffle unlocks every core.
+    * Scan-dominated tables (lineitem/orders/events aggregates) are NOT
+    * rebalanced: their per-row work is trivial, so an extra exchange only
+    * adds a stage. Dimension tables stay put — they get broadcast. */
+  private val RebalancedTables = Set("customer", "documents", "embeddings")
+
+  /** Read one testdata table.
+    *
+    * Scan-parallelism note: every testdata parquet file is a SINGLE row
+    * group, and Spark assigns a row group to exactly one scan partition —
+    * so a plain scan of even the 600k-row lineitem runs on one core and
+    * serializes the whole downstream pipeline. A production lake yields
+    * thousands of row groups/files and never hits this; locally we restore
+    * the parallelism that layout would give with one explicit round-robin
+    * repartition (AQE does not re-coalesce user-specified repartitioning).
+    * Shuffling these MB-scale tables costs ms; the single-core pipeline it
+    * replaces costs seconds. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (RebalancedTables.contains(name) && target > 1) df.repartition(target)
+    else df
+  }
 
   /** The events table with its TIMESTAMP(NANOS) column normalized to a Spark
     * timestamp (micros). Requires spark.sql.legacy.parquet.nanosAsLong=true
