@@ -80,14 +80,20 @@ object ExtraQueries {
            FROM events e JOIN orders o
              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
          WHERE rn = 1""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+      // As-of = argmax over the range-joined pairs. A hash-aggregate with a
+      // struct max beats sort+row_number here: the partial agg runs map-side
+      // on the join output (one candidate row per (event, earlier order)), so
+      // nothing gets sorted and the shuffle carries one row per event.
+      // Struct comparison is field-order: latest o_orderdate, then smallest
+      // o_orderkey via the negated key.
       val e = QueryDef.events(s, d).select("event_id", "user_id", "ts")
       val o = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-      val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc, col("o_orderkey"))
       e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .groupBy("event_id", "user_id")
+        .agg(max(struct(col("o_orderdate"), (-col("o_orderkey")).as("nk"),
+          col("o_orderkey"))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("o_orderkey"), col("best.o_orderdate").as("o_orderdate"))
     },
 
     // Pivot: per-source language histogram as columns (explicit pivot values

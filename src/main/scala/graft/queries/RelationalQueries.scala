@@ -61,12 +61,17 @@ object RelationalQueries {
          WHERE c.c_mktsegment = 'BUILDING'
          GROUP BY o.o_orderkey, o.o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, d) =>
+      // Both reduced sides broadcast (filtered customers, then the ~1/5 of
+      // orders they own), so the big lineitem side streams through two
+      // broadcast hash joins with zero pre-agg shuffle; the partial aggregate
+      // shrinks the one shuffle to group cardinality.
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
       val l = t(s, d, "lineitem").select(col("l_orderkey"),
         (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_c"))
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(l, l("l_orderkey") === o("o_orderkey"))
+      val oFiltered = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "o_orderpriority")
+      l.join(broadcast(oFiltered), l("l_orderkey") === oFiltered("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg((sum("rev_c").cast("double") / 10000).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
@@ -226,5 +231,73 @@ object RelationalQueries {
       t(s, d, "customer")
         .filter(substring(md5(col("c_custkey").cast("string")), 1, 1).isin("0", "1"))
         .select("c_custkey", "c_name")
+    },
+
+    // Window FRAME specs (running total + bounded moving average) — the one
+    // window dimension the faithful surface never needed (SURVEY §2.6).
+    // Integer-cents sums keep both frames bitwise exact across engines.
+    QueryDef("q24_window_frames",
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100 AS running_total,
+           round(CAST(sum(c) OVER w3 AS DOUBLE) / (100 * count(*) OVER w3), 6) AS moving_avg3
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+         WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""") { (s, d) =>
+      val base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wRun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = base.rowsBetween(-2, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("c"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum("c").over(wRun).cast("double") / 100).as("running_total"),
+          round(sum("c").over(wMov).cast("double")
+            / (lit(100) * count(lit(1)).over(wMov)), 6).as("moving_avg3"))
+    },
+
+    // TPC-H Q7 shape (volume shipping): 5-way join with two roles of the same
+    // dimension (supplier vs customer nation), an OR'd nation-pair predicate,
+    // and a year rollup. Dimensions broadcast; the nation filter is applied
+    // to each role BEFORE its join so the fact stream is pruned early; only
+    // the lineitem⋈orders equi-join and the final small agg shuffle.
+    QueryDef("q25_volume_shipping",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS volume
+         FROM supplier s
+         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3""") { (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .select("c_custkey", "cust_nation")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+      val l = t(s, d, "lineitem").select(col("l_suppkey"), col("l_orderkey"),
+        year(col("l_shipdate")).cast("int").as("l_year"),
+        (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("vol_c"))
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((sum("vol_c").cast("double") / 10000).as("volume"))
     })
 }
