@@ -180,6 +180,7 @@ object ExtraQueries {
       val q = graft.streaming.EventStream.runSessionize(s, d, name, statePartitions = Some(8))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
-      q.sparkSession.table(name)
+      // update-mode memory sink appends per batch; take the latest emission
+      graft.streaming.EventStream.sessionTotals(q.sparkSession, name)
     })
 }

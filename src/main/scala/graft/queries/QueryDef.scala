@@ -33,11 +33,18 @@ object QueryDef {
     * the parallelism that layout would give with one explicit round-robin
     * repartition (AQE does not re-coalesce user-specified repartitioning).
     * Shuffling these MB-scale tables costs ms; the single-core pipeline it
-    * replaces costs seconds. */
+    * replaces costs seconds.
+    *
+    * The rebalance is gated on `graft.scan.rebalance` (default true for the
+    * local single-row-group layout). On a real lake — where scans already
+    * yield one partition per file/row-group — set it to false so no query
+    * pays a full shuffle of these tables just to read them. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val target = spark.sparkContext.defaultParallelism
-    if (RebalancedTables.contains(name) && target > 1) df.repartition(target)
+    val rebalance =
+      spark.conf.getOption("graft.scan.rebalance").forall(_.toBoolean)
+    if (rebalance && RebalancedTables.contains(name) && target > 1) df.repartition(target)
     else df
   }
 

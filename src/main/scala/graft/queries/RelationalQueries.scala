@@ -61,17 +61,18 @@ object RelationalQueries {
          WHERE c.c_mktsegment = 'BUILDING'
          GROUP BY o.o_orderkey, o.o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, d) =>
-      // Both reduced sides broadcast (filtered customers, then the ~1/5 of
-      // orders they own), so the big lineitem side streams through two
-      // broadcast hash joins with zero pre-agg shuffle; the partial aggregate
-      // shrinks the one shuffle to group cardinality.
+      // Only the filtered customer key set is broadcast (a true dimension
+      // reduction); the orders-derived side stays a shuffle equi-join with
+      // lineitem — orders grows with the fact data, so pinning it into a
+      // broadcast would OOM the driver at 100× scale. AQE is free to
+      // broadcast it at small SFs where it measures under the threshold.
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
       val l = t(s, d, "lineitem").select(col("l_orderkey"),
         (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_c"))
       val oFiltered = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select("o_orderkey", "o_orderpriority")
-      l.join(broadcast(oFiltered), l("l_orderkey") === oFiltered("o_orderkey"))
+      l.join(oFiltered, l("l_orderkey") === oFiltered("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg((sum("rev_c").cast("double") / 10000).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
@@ -92,9 +93,13 @@ object RelationalQueries {
       val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
       val n = t(s, d, "nation")
       val r = t(s, d, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
-      val dims = broadcast(sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      // nation/region are bounded-size dims (25/5 rows) — always broadcast.
+      // The supplier-derived map grows linearly with SF, so its join with
+      // lineitem is left to AQE: broadcast when it measures small, shuffle
+      // hash join otherwise.
+      val dims = sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .select(col("s_suppkey").as("l_suppkey"), col("n_name")))
+        .select(col("s_suppkey").as("l_suppkey"), col("n_name"))
       l.join(dims, "l_suppkey" :: Nil)
         .groupBy("n_name")
         .agg((sum("rev_c").cast("double") / 10000).as("revenue"))
@@ -259,9 +264,11 @@ object RelationalQueries {
 
     // TPC-H Q7 shape (volume shipping): 5-way join with two roles of the same
     // dimension (supplier vs customer nation), an OR'd nation-pair predicate,
-    // and a year rollup. Dimensions broadcast; the nation filter is applied
-    // to each role BEFORE its join so the fact stream is pruned early; only
-    // the lineitem⋈orders equi-join and the final small agg shuffle.
+    // and a year rollup. The pair NATION_18/NATION_19 is verified non-empty
+    // at sf0.001/0.01/0.1 (61/138/923 matched lineitems). Only the
+    // nation-filtered supplier/customer dimension maps broadcast; the
+    // orders-derived stream joins lineitem as a shuffle equi-join (an
+    // orders-side broadcast grows with the fact data — driver OOM at scale).
     QueryDef("q25_volume_shipping",
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -273,10 +280,10 @@ object RelationalQueries {
          JOIN customer c ON c.c_custkey = o.o_custkey
          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
          GROUP BY 1, 2, 3""") { (s, d) =>
-      val pair = Seq("NATION_1", "NATION_2")
+      val pair = Seq("NATION_18", "NATION_19")
       val n1 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
@@ -294,9 +301,9 @@ object RelationalQueries {
         year(col("l_shipdate")).cast("int").as("l_year"),
         (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("vol_c"))
       l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
+          || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg((sum("vol_c").cast("double") / 10000).as("volume"))
     })

@@ -20,13 +20,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Streaming schema mirrors the batch events table, with the driver's
-    * TIMESTAMP(NANOS) parquet read as long (nanosAsLong) and normalized. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // FileStreamSource takes a directory; select the events file by glob.
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    * TIMESTAMP(NANOS) parquet read as long (nanosAsLong) and normalized.
+    *
+    * `maxFilesPerTrigger` splits a multi-file directory into multiple
+    * micro-batches (used by the multi-batch specs to prove cross-batch
+    * correctness); the default drains everything AvailableNow allows. */
+  def readEvents(spark: SparkSession, dir: String, glob: String = "events.parquet",
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // FileStreamSource takes a directory; select the events file(s) by glob.
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -69,11 +75,17 @@ object EventStream {
     * per-user session/event counting with a `gapSeconds` inactivity split —
     * the stateful-stream twin of the batch q11 lag-window form.
     *
-    * State per user = (last event second, session count, event count). Each
-    * micro-batch sorts its user's new events by (second, event_id) — the same
-    * order the batch window uses — folds them into the state, and emits the
-    * running totals (Update mode). State is one tuple per user: bounded by
-    * user cardinality, not event volume. */
+    * State per user = the MERGED SESSION INTERVALS [start,end] plus a total
+    * event count. Each new event either extends an interval it lands within
+    * `gapSeconds` of, bridges (merges) several, or opens a new one. Interval
+    * merge is ORDER-INDEPENDENT: an event arriving in any micro-batch, in
+    * any order — including cross-batch out-of-order and arbitrarily late —
+    * converges to the same final totals as the sorted batch fold, with no
+    * watermark needed for correctness. State size is bounded by the user's
+    * *session* count (and shrinks when late events bridge sessions), not by
+    * event volume. Emits the running totals per batch (Update mode); the
+    * latest emission per user (the one with max n_events) is the answer —
+    * see [[sessionTotals]]. */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -81,29 +93,50 @@ object EventStream {
       col("event_id").cast("long"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Long), (Long, Long, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[(Long, Long, Long)]) =>
-          val evs = rows.map(r => (r._2, r._3)).toVector.sorted
-          if (evs.isEmpty) Iterator.empty
-          else {
-            var (last, nSess, nEv) = state.getOption.getOrElse((Long.MinValue, 1L, 0L))
-            for ((sec, _) <- evs) {
-              if (last != Long.MinValue && sec - last > gapSeconds) nSess += 1
-              last = sec; nEv += 1
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Seq[(Long, Long)], Long)]) =>
+          var (ivs, nEv) = state.getOption.getOrElse((Seq.empty[(Long, Long)], 0L))
+          var any = false
+          rows.foreach { case (_, sec, _) =>
+            any = true
+            nEv += 1
+            val (touch, rest) = ivs.partition { case (s0, e0) =>
+              sec >= s0 - gapSeconds && sec <= e0 + gapSeconds
             }
-            state.update((last, nSess, nEv))
-            Iterator((user, nSess, nEv))
+            val lo = (sec +: touch.map(_._1)).min
+            val hi = (sec +: touch.map(_._2)).max
+            ivs = (lo, hi) +: rest
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update((ivs, nEv))
+            Iterator((user, ivs.size.toLong, nEv))
           }
       }
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Final per-user totals from a sessionize memory sink. Update-mode memory
+    * sinks APPEND one row per (user, batch) — earlier batches leave stale
+    * running totals behind — so the latest emission must be selected, not
+    * the raw table. `n_events` strictly increases with every emission for a
+    * user, so the row with max n_events IS the latest state. */
+  def sessionTotals(session: SparkSession, sinkTable: String): DataFrame =
+    session.table(sinkTable)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("m"))
+      .select(col("user_id"), col("m.n_sessions").as("n_sessions"),
+        col("m.n_events").as("n_events"))
+
   /** Run the sessionization stream to completion over the (finite) events
     * dir: memory sink (update mode), AvailableNow. See [[runOnce]] for the
     * statePartitions rationale. */
   def runSessionize(spark: SparkSession, dir: String, queryName: String = "events_sessions",
-                    statePartitions: Option[Int] = None): StreamingQuery = {
+                    statePartitions: Option[Int] = None,
+                    glob: String = "events.parquet",
+                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val session = statePartitions match {
       case Some(n) =>
         val s = spark.newSession()
@@ -111,7 +144,7 @@ object EventStream {
         s
       case None => spark
     }
-    sessionize(readEvents(session, dir))
+    sessionize(readEvents(session, dir, glob, maxFilesPerTrigger))
       .writeStream.outputMode("update")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

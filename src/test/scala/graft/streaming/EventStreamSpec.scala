@@ -22,7 +22,39 @@ class EventStreamSpec extends SparkSpec {
   test("stateful sessionization stream matches the batch lag-window form") {
     val q = EventStream.runSessionize(spark, sf, "sessions_test", statePartitions = Some(4))
     try q.awaitTermination(120000) finally if (q.isActive) q.stop()
-    val streamed = q.sparkSession.table("sessions_test").collect()
+    val streamed = EventStream.sessionTotals(q.sparkSession, "sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("q11_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionization is correct across multiple out-of-order micro-batches") {
+    // Split the events table into 3 files by event_id % 3 — each file holds a
+    // time-interleaved slice, so with maxFilesPerTrigger=1 every micro-batch
+    // delivers events out of order relative to previous batches. The
+    // interval-merge state must still converge to the batch oracle.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("stream_multibatch").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts stays raw nanos-long
+    for (i <- 0 until 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.lit(3)) === i)
+        .coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runSessionize(spark, tmp, "sessions_multibatch",
+      statePartitions = Some(4), glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected multiple data micro-batches")
+    val streamed = EventStream.sessionTotals(q.sparkSession, "sessions_multibatch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = graft.SparkEntry.queries("q11_sessionize")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
