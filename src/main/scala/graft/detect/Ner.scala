@@ -38,7 +38,65 @@ object EmptyProvider extends NerProvider {
     texts.map(_ => Seq.empty)
 }
 
+/** Model-backed provider skeleton — the M4 spaCy/ONNX runtime slot,
+  * exercising the real `mapPartitions` model plumbing end-to-end:
+  *
+  *  - the session is created LAZILY, ONCE PER EXECUTOR JVM (the expensive
+  *    part of a real ONNX Runtime / JNI model load) and shared across that
+  *    executor's partitions — the `@transient lazy val` survives closure
+  *    serialization as a marker, re-initializing remotely on first use;
+  *  - texts run through the session in fixed-size batches (the `nlp.pipe`
+  *    shape, ner.py:104-117) rather than row-at-a-time.
+  *
+  * The container ships no NLP runtime, so [[ModelNerProvider.ToySession]]
+  * is a deterministic JVM stand-in (honorific + capitalized-word PERSON
+  * tagger); swapping it for an ONNX `InferenceSession` changes nothing on
+  * the Spark side. */
+class ModelNerProvider(batchSize: Int = 32) extends NerProvider {
+  @transient private lazy val session = ModelNerProvider.acquireSession()
+  override def analyzeBatch(texts: Iterator[String]): Iterator[Seq[NerSpan]] =
+    texts.grouped(batchSize).flatMap(session.run)
+}
+
+object ModelNerProvider {
+  /** The model runtime boundary: batch of texts in, spans per text out. */
+  trait Session { def run(batch: Seq[String]): Seq[Seq[NerSpan]] }
+
+  @volatile private var inits = 0
+  /** Sessions created in this JVM — the plumbing spec asserts exactly 1. */
+  def initCount: Int = inits
+
+  private lazy val shared: Session = synchronized { inits += 1; new ToySession }
+  def acquireSession(): Session = shared
+
+  /** Deterministic toy model: a capitalized word directly following an
+    * honorific (Mr/Ms/Mrs/Dr, with or without '.') is a PERSON at 0.85. */
+  class ToySession extends Session {
+    private val re = java.util.regex.Pattern.compile(
+      """\b(?:Mr|Ms|Mrs|Dr)\.?\s+([A-Z][a-z]+)""")
+    override def run(batch: Seq[String]): Seq[Seq[NerSpan]] =
+      batch.map { t =>
+        val m = re.matcher(t)
+        val out = Seq.newBuilder[NerSpan]
+        while (m.find())
+          out += NerSpan(m.start(1), m.end(1), m.group(1), graft.core.PiiTypes.PERSON, 0.85)
+        out.result()
+      }
+  }
+}
+
 object Ner {
+
+  /** Provider selection mirroring the reference's offline gate
+    * (ner.py:128-139): CPS_OFFLINE forces the deterministic fallback, the
+    * CI-asserted path; otherwise the configured model-backed provider. */
+  def providerFor(provider: String, offline: Boolean): NerProvider =
+    if (offline) OfflineProvider
+    else provider match {
+      case "model" | "onnx" => new ModelNerProvider()
+      case "presidio" => EmptyProvider // runtime absent; empty-offline parity
+      case _ => OfflineProvider
+    }
 
   /** detect_ner_spans (ner.py:170-199): run the provider per partition and
     * apply the global confidence gate (default 0.60, config.py:17).

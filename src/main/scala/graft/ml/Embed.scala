@@ -30,29 +30,34 @@ class EmbedModel(
   def isNeutral: Boolean = classifiers.isEmpty
 
   /** probs per type for each context row; neutral = all zeros
-    * (embeddings.py:76-80). Adds one `embed_<TYPE>` column per type. */
+    * (embeddings.py:76-80). Adds one `embed_<TYPE>` column per type.
+    *
+    * The LR score is a pure expression: the per-feature scale 1/std folds
+    * into the coefficients at PLAN time (std(i)==0 → term is 0, matching the
+    * guarded per-row division), so scoring is one codegen'd dot product per
+    * type over the feature array — no UDF, no Vector boxing per row. Terms
+    * are accumulated in index order and zero terms add exactly 0.0, so the
+    * result is bitwise identical to the former sparse foreachActive fold. */
   def predictProba(contexts: DataFrame, textCol: String): DataFrame = {
     if (isNeutral) {
       PiiTypes.ALL.foldLeft(contexts)((df, t) => df.withColumn(s"embed_$t", lit(0.0)))
     } else {
       val feats = EmbedModel.featurize(contexts, textCol)
+        .withColumn("fx", org.apache.spark.ml.functions.vector_to_array(col("features")))
       PiiTypes.ALL.foldLeft(feats) { (df, t) =>
         classifiers.get(t) match {
           case Some(Left(const)) => df.withColumn(s"embed_$t", lit(const))
           case Some(Right((coef, intercept, std, _))) =>
-            val coefB = coef.toArray
-            val scoreUdf = udf { v: Vector =>
-              var z = intercept
-              v.foreachActive { (i, x) =>
-                val s = if (std(i) == 0.0) 0.0 else x / std(i)
-                z += coefB(i) * s
-              }
-              1.0 / (1.0 + math.exp(-z))
+            val scaled = coef.toArray.zipWithIndex.map { case (c, i) =>
+              if (std(i) == 0.0) 0.0 else c / std(i)
             }
-            df.withColumn(s"embed_$t", scoreUdf(col("features")))
+            val z = lit(intercept) + aggregate(
+              zip_with(col("fx"), array(scaled.toIndexedSeq.map(lit): _*), (x, c) => x * c),
+              lit(0.0), (acc, v) => acc + v)
+            df.withColumn(s"embed_$t", lit(1.0) / (lit(1.0) + exp(-z)))
           case None => df.withColumn(s"embed_$t", lit(0.0))
         }
-      }.drop("features")
+      }.drop("features", "fx")
     }
   }
 }

@@ -115,7 +115,7 @@ object Dedup {
       .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
     cand.join(sh.as("s1"), col("id1") === col("s1.id"))
       .join(sh.as("s2"), col("id2") === col("s2.id"))
-      .withColumn("hamming", VectorOps.hammingBits(col("s1.s"), col("s2.s"), 32).cast("int"))
+      .withColumn("hamming", VectorOps.hammingBits(col("s1.s"), col("s2.s")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }

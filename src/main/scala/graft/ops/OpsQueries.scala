@@ -129,13 +129,17 @@ object OpsQueries {
             round(len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
               / greatest(len(list_distinct(s1.s || s2.s)), 1), 6) AS jaccard
           FROM pairs p JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2""") { (s, d) =>
-      // both join sides + the shingle frames reuse materialized results
-      val bands = bandsDf(t(s, d, "documents")).localCheckpoint(false)
+      // Both join sides + the shingle frames reuse materialized results.
+      // DISK_ONLY persist (not localCheckpoint): survives executor loss,
+      // doesn't pin AQE, and spills instead of holding executor memory.
+      val bands = bandsDf(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sh = shingleSets(t(s, d, "documents")).localCheckpoint(false)
+      val sh = shingleSets(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       pairs.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
@@ -158,7 +162,8 @@ object OpsQueries {
             round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
               / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""") { (s, d) =>
-      val sh = shingleSets(t(s, d, "documents")).localCheckpoint(false)
+      val sh = shingleSets(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           round(size(array_intersect(col("a.s"), col("b.s"))).cast("double")
@@ -334,7 +339,8 @@ object OpsQueries {
       s"""WITH corpus AS (
             SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings
             UNION ALL
-            SELECT vec_id + 10000, list_transform(embedding, v -> v::DOUBLE * 1.02) FROM embeddings),
+            SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+                   list_transform(embedding, v -> v::DOUBLE * 1.02) FROM embeddings),
           b AS (SELECT vec_id, e, $bucketSql AS bucket FROM corpus),
           doomed AS (
             SELECT DISTINCT b2.vec_id FROM b a JOIN b b2
@@ -345,8 +351,13 @@ object OpsQueries {
       val e = t(s, d, "embeddings")
       val orig = e.select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("e"))
-      val planted = e.select((col("vec_id") + 10000).as("vec_id"),
-        transform(col("embedding"), v => v.cast("double") * 1.02).as("e"))
+      // planted ids start at max(vec_id)+1 so they never collide with real
+      // ids at any scale factor (a fixed offset breaks once the table grows
+      // past it, silently corrupting the min-id representative choice)
+      val off = e.agg((max("vec_id") + lit(1)).as("off"))
+      val planted = e.crossJoin(broadcast(off))
+        .select((col("vec_id") + col("off")).as("vec_id"),
+          transform(col("embedding"), v => v.cast("double") * 1.02).as("e"))
       Dedup.dropEmbeddingNearDuplicates(orig.unionByName(planted), "vec_id", "e", 0.999)
         .select("vec_id")
     },

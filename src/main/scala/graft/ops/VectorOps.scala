@@ -45,7 +45,8 @@ object VectorOps {
   }
 
   /** Hamming distance between two equal-length bit-string columns
-    * (codegen'd single-pass expression). */
-  def hammingBits(a: Column, b: Column, nBits: Int): Column =
+    * (codegen'd single-pass expression). A length mismatch counts the
+    * unmatched tail into the distance. */
+  def hammingBits(a: Column, b: Column): Column =
     HammingBitsExpr.hamming_bits(a, b)
 }

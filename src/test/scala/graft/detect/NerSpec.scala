@@ -27,6 +27,28 @@ class NerSpec extends SparkSpec {
     assert(got.head.getDouble(5) == 0.95)
   }
 
+  test("model-backed provider runs end-to-end: one session per JVM, batched") {
+    import spark.implicits._
+    // More rows than the batch size across several partitions: proves the
+    // grouped-batch path and the executor-wide lazy session sharing.
+    val rows = (0L until 100L).map(i =>
+      (i, if (i % 3 == 0) s"Contact Dr. Smith$i at desk $i" else s"row $i has no names"))
+    val df = rows.toDF("id", "text").repartition(8)
+    val got = Ner.detectNerSpans(df, "id", "text", new ModelNerProvider(batchSize = 16))
+      .collect()
+    assert(got.length == rows.count(_._2.contains("Dr.")))
+    val r = got.minBy(_.getLong(0))
+    assert(r.getString(4) == PiiTypes.PERSON && r.getDouble(5) == 0.85)
+    // offsets point at the capitalized name, not the honorific
+    val sample = rows.find(_._1 == r.getLong(0)).get._2
+    assert(sample.substring(r.getInt(1), r.getInt(2)) == r.getString(3))
+    assert(ModelNerProvider.initCount == 1,
+      s"expected one shared session per JVM, got ${ModelNerProvider.initCount}")
+    // providerFor honors the offline gate (ner.py:128-139)
+    assert(Ner.providerFor("model", offline = true) == OfflineProvider)
+    assert(Ner.providerFor("model", offline = false).isInstanceOf[ModelNerProvider])
+  }
+
   test("offline provider emits EMAIL 0.99 / PHONE 0.90 via regex (ner.py:61-81)") {
     import spark.implicits._
     val df = Seq((7L, "mail a@b.co or (415) 555-1212 now")).toDF("id", "text")
