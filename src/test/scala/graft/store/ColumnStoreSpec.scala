@@ -1,0 +1,59 @@
+package graft.store
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** upsert_column semantics (db.py:157-214): get-or-create by natural key,
+  * non-null fields update, null fields never clobber, re-running is a no-op. */
+class ColumnStoreSpec extends SparkSpec {
+
+  private def df(rows: (String, String, String, String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("catalog", "schema", "table", "column", "data_type", "description")
+  }
+
+  private def snap(d: org.apache.spark.sql.DataFrame): Set[Row] =
+    d.collect().toSet
+
+  test("merge inserts new keys, updates non-null fields, keeps null-field values") {
+    val existing = df(("c", "s", "t", "email", "string", "user email"))
+    val incoming = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("c", "s", "t", "email", null, "PII: EMAIL"), // null type must NOT clobber
+        Row("c", "s", "t", "id", "int", null))),         // new key inserts
+      existing.schema)
+    val merged = ColumnStore.mergeColumns(existing, incoming)
+    assert(snap(merged) == Set(
+      Row("c", "s", "t", "email", "string", "PII: EMAIL"),
+      Row("c", "s", "t", "id", "int", null)))
+  }
+
+  test("upsertParquet creates, merges, and is idempotent under re-runs") {
+    val path = java.nio.file.Files.createTempDirectory("colstore").toString + "/columns"
+    ColumnStore.upsertParquet(spark, path, df(("c", "s", "t", "email", "string", "e")))
+    val v1 = snap(spark.read.parquet(path))
+    assert(v1 == Set(Row("c", "s", "t", "email", "string", "e")))
+
+    // second run with the identical batch: no change
+    ColumnStore.upsertParquet(spark, path, df(("c", "s", "t", "email", "string", "e")))
+    assert(snap(spark.read.parquet(path)) == v1)
+
+    // an update + an insert
+    ColumnStore.upsertParquet(spark, path, df(
+      ("c", "s", "t", "email", "varchar", "e2"),
+      ("c", "s", "t2", "phone", "string", "p")))
+    assert(snap(spark.read.parquet(path)) == Set(
+      Row("c", "s", "t", "email", "varchar", "e2"),
+      Row("c", "s", "t2", "phone", "string", "p")))
+  }
+
+  test("duplicate keys within one incoming batch deduplicate deterministically") {
+    val incoming = df(
+      ("c", "s", "t", "x", "int", "a"),
+      ("c", "s", "t", "x", "bigint", "b"))
+    val merged = ColumnStore.mergeColumns(incoming.limit(0), incoming)
+    assert(merged.count() == 1)
+    assert(snap(merged) == Set(Row("c", "s", "t", "x", "int", "b"))) // max per field
+  }
+}
