@@ -383,6 +383,61 @@ object OpsQueries {
         .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
     },
 
+    // End-to-end corpus CURATION — the composed shape of a training-data
+    // prep pass: exact-dedup survivors → token-count gate → stopword-ratio
+    // scoring → language gate (the x08 heuristic), in ONE query. Plan shape
+    // at scale: one hash-agg shuffle for the survivor set, a semi-join back
+    // (AQE broadcasts the survivor ids while small), and pure map stages for
+    // every gate — nothing quadratic, nothing collected.
+    QueryDef("x18_corpus_curation",
+      """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           s AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+         SELECT s.doc_id, s.lang, s.source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(len(list_filter(toks, t -> list_contains(['the','a'], t)))::DOUBLE
+             / greatest(len(toks), 1), 6) AS stopword_ratio
+         FROM s SEMI JOIN surv ON s.doc_id = surv.doc_id
+         WHERE len(toks) BETWEEN 25 AND 80
+           AND len(list_filter(toks, t -> list_contains(['the','a'], t)))::DOUBLE
+             / greatest(len(toks), 1) >= 0.03
+           AND len(list_filter(toks, t -> list_contains(['el','la','los','rapido'], t)))
+             <= len(list_filter(toks, t -> list_contains(['the','a','fast','slow','big','small'], t)))""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val surv = docs.groupBy(md5(col("text")).as("fp")).agg(min("doc_id").as("doc_id"))
+      val toks = tokens(col("text"))
+      val en = array(Seq("the", "a", "fast", "slow", "big", "small").map(lit): _*)
+      val es = array(Seq("el", "la", "los", "rapido").map(lit): _*)
+      def hits(lst: Column) = size(filter(toks, tk => array_contains(lst, tk)))
+      val ratio = size(filter(toks, tk => tk.isin("the", "a"))).cast("double") /
+        greatest(size(toks), lit(1))
+      docs.select(col("doc_id"), col("lang"), col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          ratio.as("raw_ratio"),
+          (hits(es) <= hits(en)).as("is_en"))
+        .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+        .filter(col("n_tokens").between(25, 80) && col("raw_ratio") >= 0.03 && col("is_en"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          round(col("raw_ratio"), 6).as("stopword_ratio"))
+    },
+
+    // Deterministic stratified sampling: top-k per (lang, source) stratum
+    // ordered by md5(doc_id) — a reproducible uniform downsample (hash order
+    // is stable across engines, retries, and cluster sizes, unlike rand()).
+    // One shuffle on the stratum key; per-stratum state is a k-row heap.
+    QueryDef("x19_stratified_sample",
+      """SELECT lang, source, doc_id FROM (
+           SELECT lang, source, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang, source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS INT) AS rn
+           FROM documents) WHERE rn <= 10""") { (s, d) =>
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 10)
+        .select("lang", "source", "doc_id")
+    },
+
     // Token counting with a BPE-ish word/punct regex (scale-stable
     // regexp_count, no explode).
     QueryDef("x12_token_counts",
