@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   * The reference's row-at-a-time SQLAlchemy flush becomes one set-oriented
   * merge: full outer join on the natural key + coalesce per field. Without a
   * table format carrying a transaction log, MERGE is merge-and-swap — read
-  * the current store, merge, write to a staging dir, atomically rename over
-  * the old data. That is exactly what Delta/Iceberg `MERGE INTO` does with
-  * finer granularity (rewrite only matched files); on a real lake swap this
-  * implementation for the format's MERGE and keep [[mergeColumns]] as the
-  * semantics. The store is a dimension table (one row per catalog column —
-  * metadata-scale, not data-scale), so the full rewrite stays cheap even
-  * when the scanned data is 100 TB. */
+  * the current store, merge, write to a per-run staging dir, then swap it in
+  * with two renames (store → .old, staging → store). The swap is not a
+  * single atomic operation; crash safety comes from recovery instead: a
+  * crash between the renames leaves the prior store in `.old`, which the
+  * next run restores before merging (the crashed run's batch is simply
+  * retried). Delta/Iceberg `MERGE INTO` does the same job transactionally
+  * and file-granularly; on a real lake swap this implementation for the
+  * format's MERGE and keep [[mergeColumns]] as the semantics. Single-writer:
+  * concurrent upserts to one store path are a lost-update race by nature of
+  * read-merge-swap — serialize writers per store. The store is a dimension
+  * table (one row per catalog column — metadata-scale, not data-scale), so
+  * the full rewrite stays cheap even when the scanned data is 100 TB. */
 object ColumnStore {
 
   val Key = Seq("catalog", "schema", "table", "column")
@@ -40,18 +45,40 @@ object ColumnStore {
   }
 
   /** Read-merge-swap against a parquet store path. Creating, re-running with
-    * identical input, and null-field inputs are all idempotent. */
+    * identical input, and null-field inputs are all idempotent. A live store
+    * exists at `path` (or is recoverable from `path + ".old"`) at every
+    * point in the sequence — the prior data is never deleted before the new
+    * data is in place. */
   def upsertParquet(spark: SparkSession, path: String, incoming: DataFrame): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    val old = new Path(path + ".old")
+    // Recover from a crash between the two swap renames: the store was moved
+    // aside but the staging never landed. Restore it; the crashed run's
+    // batch is re-merged by whichever retry runs next.
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    // Dangling staging dirs from crashed runs are plain garbage (per-run
+    // suffix — never the live store). Single-writer contract makes this
+    // sweep safe.
+    val parent = target.getParent
+    if (parent != null && fs.exists(parent)) {
+      fs.listStatus(parent).map(_.getPath)
+        .filter(_.getName.startsWith(target.getName + ".staging-"))
+        .foreach(fs.delete(_, true))
+    }
     val merged =
       if (fs.exists(target)) mergeColumns(spark.read.parquet(path), incoming)
       else mergeColumns(incoming.limit(0), incoming)
-    val staging = new Path(path + ".staging")
+    val staging = new Path(path + ".staging-" + java.util.UUID.randomUUID())
     // merged still lazily reads `path`; materialize before replacing it
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"atomic swap failed: $staging -> $target")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crash post-swap
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"swap failed moving store aside: $target -> $old")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(old)) fs.rename(old, target) // put the prior store back
+      throw new java.io.IOException(s"swap failed: $staging -> $target")
+    }
+    if (fs.exists(old)) fs.delete(old, true)
   }
 }

@@ -48,6 +48,25 @@ class ColumnStoreSpec extends SparkSpec {
       Row("c", "s", "t2", "phone", "string", "p")))
   }
 
+  test("recovers a store moved aside by a crash between the swap renames") {
+    val path = java.nio.file.Files.createTempDirectory("colstore").toString + "/columns"
+    ColumnStore.upsertParquet(spark, path, df(("c", "s", "t", "email", "string", "e")))
+    // Simulate the crash window: store renamed to .old, staging never landed
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(dir, java.nio.file.Paths.get(path + ".old"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path + ".staging-deadbeef")) // dangling garbage
+    assert(!java.nio.file.Files.exists(dir))
+
+    // Next upsert restores the prior store, sweeps the staging dir, and merges
+    ColumnStore.upsertParquet(spark, path, df(("c", "s", "t2", "phone", "string", "p")))
+    assert(snap(spark.read.parquet(path)) == Set(
+      Row("c", "s", "t", "email", "string", "e"),
+      Row("c", "s", "t2", "phone", "string", "p")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".staging-deadbeef")))
+  }
+
   test("duplicate keys within one incoming batch deduplicate deterministically") {
     val incoming = df(
       ("c", "s", "t", "x", "int", "a"),
