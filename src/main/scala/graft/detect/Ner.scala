@@ -100,18 +100,25 @@ object Ner {
 
   /** detect_ner_spans (ner.py:170-199): run the provider per partition and
     * apply the global confidence gate (default 0.60, config.py:17).
-    * Input (id, text) frame; output (id, start, end, value, label, score). */
+    * Input (id, text) frame; output (id, start, end, value, label, score).
+    *
+    * Iterator-in/iterator-out: only `groupRows` (id, text) pairs are
+    * resident at once, so a partition of long documents never fully
+    * materializes in executor memory. The provider's own model batch size
+    * (e.g. [[ModelNerProvider]]'s 32) still applies within each group. */
   def detectNerSpans(df: DataFrame, idCol: String, textCol: String,
                      provider: NerProvider = OfflineProvider,
-                     confidenceMin: Double = 0.60): DataFrame = {
+                     confidenceMin: Double = 0.60,
+                     groupRows: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed: Dataset[(Long, String)] =
       df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
     typed.mapPartitions { it =>
-      val (ids, texts) = it.toVector.unzip
-      ids.iterator.zip(provider.analyzeBatch(texts.iterator))
-        .flatMap { case (id, spans) => spans.map(s => (id, s.start, s.end, s.value, s.label, s.score)) }
+      it.grouped(groupRows).flatMap { chunk =>
+        chunk.iterator.map(_._1).zip(provider.analyzeBatch(chunk.iterator.map(_._2)))
+          .flatMap { case (id, spans) => spans.map(s => (id, s.start, s.end, s.value, s.label, s.score)) }
+      }
     }.toDF(idCol, "start", "end", "value", "label", "score")
       .filter(col("score") >= confidenceMin)
   }

@@ -49,6 +49,23 @@ class NerSpec extends SparkSpec {
     assert(Ner.providerFor("model", offline = false).isInstanceOf[ModelNerProvider])
   }
 
+  test("partition streams in bounded groups — never fully materialized") {
+    import spark.implicits._
+    // Provider that reports how many texts it was handed at once (it fully
+    // drains its iterator, so the count is the chunk the engine built).
+    object ChunkSizeProvider extends NerProvider {
+      override def analyzeBatch(texts: Iterator[String]): Iterator[Seq[NerSpan]] = {
+        val v = texts.toVector
+        v.iterator.map(_ => Seq(NerSpan(v.size, v.size + 1, "n", PiiTypes.PERSON, 0.9)))
+      }
+    }
+    val df = (0L until 100L).map(i => (i, s"text $i")).toDF("id", "text").coalesce(1)
+    val starts = Ner.detectNerSpans(df, "id", "text", ChunkSizeProvider, groupRows = 8)
+      .collect().map(_.getInt(1))
+    assert(starts.length == 100)
+    assert(starts.max <= 8, s"a chunk of ${starts.max} rows was materialized (cap 8)")
+  }
+
   test("offline provider emits EMAIL 0.99 / PHONE 0.90 via regex (ner.py:61-81)") {
     import spark.implicits._
     val df = Seq((7L, "mail a@b.co or (415) 555-1212 now")).toDF("id", "text")
