@@ -53,9 +53,14 @@ object RestWriteBack {
       }
     }
 
+    // Only the FIRST column with the target name is considered — the
+    // reference (unity.py) breaks out of its column loop on the first match,
+    // so payloads with duplicate column names leave later duplicates alone.
+    var matched = false
     val cols = table.columns.map { c =>
       appendComment match {
-        case Some(note) if c.name == column =>
+        case Some(note) if c.name == column && !matched =>
+          matched = true
           val existing = c.comment.getOrElse("")
           if (existing.contains(note)) c
           else {

@@ -36,8 +36,10 @@ class EmbedModel(
     * into the coefficients at PLAN time (std(i)==0 → term is 0, matching the
     * guarded per-row division), so scoring is one codegen'd dot product per
     * type over the feature array — no UDF, no Vector boxing per row. Terms
-    * are accumulated in index order and zero terms add exactly 0.0, so the
-    * result is bitwise identical to the former sparse foreachActive fold. */
+    * accumulate in index order and zero terms add exactly 0.0, so the result
+    * is numerically equivalent (within 1 ulp per term) to the former sparse
+    * foreachActive fold: that computed c*(x/std) where this computes
+    * x*(c/std), which can differ in the last bit of a term. */
   def predictProba(contexts: DataFrame, textCol: String): DataFrame = {
     if (isNeutral) {
       PiiTypes.ALL.foldLeft(contexts)((df, t) => df.withColumn(s"embed_$t", lit(0.0)))
@@ -48,6 +50,11 @@ class EmbedModel(
         classifiers.get(t) match {
           case Some(Left(const)) => df.withColumn(s"embed_$t", lit(const))
           case Some(Right((coef, intercept, std, _))) =>
+            // Plan-time guard: zip_with would silently null out the score if
+            // a persisted model's dimensionality ever diverged from featurize.
+            require(coef.size == EmbedModel.NumFeatures && std.length == EmbedModel.NumFeatures,
+              s"model for $t has ${coef.size} coefs / ${std.length} stds; " +
+                s"featurize emits ${EmbedModel.NumFeatures}-dim vectors")
             val scaled = coef.toArray.zipWithIndex.map { case (c, i) =>
               if (std(i) == 0.0) 0.0 else c / std(i)
             }

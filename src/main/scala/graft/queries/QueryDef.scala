@@ -42,8 +42,15 @@ object QueryDef {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     val target = spark.sparkContext.defaultParallelism
-    val rebalance =
-      spark.conf.getOption("graft.scan.rebalance").forall(_.toBoolean)
+    val rebalance = spark.conf.getOption("graft.scan.rebalance") match {
+      case None => true
+      case Some(v) => v.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft.scan.rebalance must be 'true' or 'false', got '$other'")
+      }
+    }
     if (rebalance && RebalancedTables.contains(name) && target > 1) df.repartition(target)
     else df
   }

@@ -63,6 +63,15 @@ class RestWriteBackSpec extends AnyFunSuite {
     assert(body.columns.find(_.name == "y").get.comment.contains("keep"))
   }
 
+  test("duplicate column names: only the first match gets the comment (unity.py break)") {
+    val t0 = UnityTable("c.s.t", Map("cps.pii.col.x" -> "true"), Seq(
+      UnityTableColumn("x", "string", None),
+      UnityTableColumn("x", "string", Some("second"))))
+    val body = patchBody(t0, "x", pii = true, appendComment = Some("PII: SSN")).get
+    assert(body.columns.head.comment.contains("PII: SSN"))
+    assert(body.columns(1).comment.contains("second")) // untouched
+  }
+
   test("pii_types omitted leaves existing types property untouched") {
     val t0 = UnityTable("c.s.t",
       Map("cps.pii.col.x" -> "true", "cps.pii_types.col.x" -> "EMAIL"),
