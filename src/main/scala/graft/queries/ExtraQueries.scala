@@ -123,12 +123,21 @@ object ExtraQueries {
     },
 
     // HLL sketch (approx_count_distinct): cross-engine sketch internals
-    // differ, so the gate only row-checks this one; the spec asserts the
-    // estimate lands within the documented error bound of the exact count.
-    QueryDef.noOracle("x14_approx_distinct") { (s, d) =>
+    // differ, so the raw estimate can't be value-compared — instead the query
+    // verifies itself: it emits the exact count plus a boolean asserting the
+    // estimate landed within 3× the requested 2% relative error (the
+    // documented HLL++ bound), and the oracle checks exact + `true`. A false
+    // anywhere hash-mismatches the gate. SketchSpec asserts the bound too.
+    QueryDef("x14_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           true AS within_bound
+         FROM lineitem GROUP BY 1""") { (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= lit(0.06)).as("within_bound"))
     },
 
     // Argmax-per-group (TPC-H Q2 shape): the top-balance supplier per nation,
