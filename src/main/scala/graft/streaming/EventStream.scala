@@ -85,34 +85,68 @@ object EventStream {
     * *session* count (and shrinks when late events bridge sessions), not by
     * event volume. Emits the running totals per batch (Update mode); the
     * latest emission per user (the one with max n_events) is the answer —
-    * see [[sessionTotals]]. */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    * see [[sessionTotals]].
+    *
+    * Eviction: per-user state is small, but on an UNBOUNDED stream the
+    * distinct-user count grows without limit under NoTimeout. `evictAfterGap`
+    * switches to EventTimeTimeout: a watermark (`watermarkDelay`) is applied,
+    * and once it passes a user's last activity + gap — no event can legally
+    * extend any of their sessions any more — the state emits its final totals
+    * and is REMOVED. The trade: events later than the watermark are dropped
+    * (standard streaming semantics), so the NoTimeout mode remains the right
+    * gate for finite AvailableNow replays where arbitrary lateness must
+    * still converge. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800,
+                 evictAfterGap: Boolean = false,
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id").cast("long"), unix_timestamp(col("ts")).as("sec"),
-      col("event_id").cast("long"))
-      .as[(Long, Long, Long)]
+    val src = if (evictAfterGap) events.withWatermark("ts", watermarkDelay) else events
+    val timeoutConf =
+      if (evictAfterGap) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    // The event-time column must reach the stateful operator with its
+    // watermark tag intact (EventTimeTimeout is rejected otherwise), so `ts`
+    // is carried as a timestamp and floored to seconds inside the fold.
+    src.select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Seq[(Long, Long)], Long), (Long, Long, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Long)],
+        OutputMode.Update, timeoutConf) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
          state: GroupState[(Seq[(Long, Long)], Long)]) =>
-          var (ivs, nEv) = state.getOption.getOrElse((Seq.empty[(Long, Long)], 0L))
-          var any = false
-          rows.foreach { case (_, sec, _) =>
-            any = true
-            nEv += 1
-            val (touch, rest) = ivs.partition { case (s0, e0) =>
-              sec >= s0 - gapSeconds && sec <= e0 + gapSeconds
-            }
-            val lo = (sec +: touch.map(_._1)).min
-            val hi = (sec +: touch.map(_._2)).max
-            ivs = (lo, hi) +: rest
-          }
-          if (!any) Iterator.empty
-          else {
-            state.update((ivs, nEv))
+          if (state.hasTimedOut) {
+            // Watermark passed last activity + gap: totals are final. Emit
+            // once more (idempotent for sessionTotals — identical to the last
+            // running emission) and drop the state.
+            val (ivs, nEv) = state.get
+            state.remove()
             Iterator((user, ivs.size.toLong, nEv))
+          } else {
+            var (ivs, nEv) = state.getOption.getOrElse((Seq.empty[(Long, Long)], 0L))
+            var any = false
+            rows.foreach { case (_, ts, _) =>
+              any = true
+              nEv += 1
+              val sec = Math.floorDiv(ts.getTime, 1000L) // == unix_timestamp(ts)
+              val (touch, rest) = ivs.partition { case (s0, e0) =>
+                sec >= s0 - gapSeconds && sec <= e0 + gapSeconds
+              }
+              val lo = (sec +: touch.map(_._1)).min
+              val hi = (sec +: touch.map(_._2)).max
+              ivs = (lo, hi) +: rest
+            }
+            if (!any) Iterator.empty
+            else {
+              state.update((ivs, nEv))
+              if (evictAfterGap) {
+                // Evict when the watermark proves no event can extend any
+                // interval: max session end + gap. Must stay strictly above
+                // the current watermark or Spark rejects the timestamp.
+                val target = (ivs.map(_._2).max + gapSeconds) * 1000L
+                state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+              }
+              Iterator((user, ivs.size.toLong, nEv))
+            }
           }
       }
       .toDF("user_id", "n_sessions", "n_events")
@@ -136,7 +170,9 @@ object EventStream {
   def runSessionize(spark: SparkSession, dir: String, queryName: String = "events_sessions",
                     statePartitions: Option[Int] = None,
                     glob: String = "events.parquet",
-                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    evictAfterGap: Boolean = false,
+                    watermarkDelay: String = "10 minutes"): StreamingQuery = {
     val session = statePartitions match {
       case Some(n) =>
         val s = spark.newSession()
@@ -144,7 +180,8 @@ object EventStream {
         s
       case None => spark
     }
-    sessionize(readEvents(session, dir, glob, maxFilesPerTrigger))
+    sessionize(readEvents(session, dir, glob, maxFilesPerTrigger),
+      evictAfterGap = evictAfterGap, watermarkDelay = watermarkDelay)
       .writeStream.outputMode("update")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -62,6 +62,43 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("evictAfterGap drops a user's state once the watermark passes end+gap") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream_evict").toString
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z, seconds
+    def ns(sec: Long): Long = sec * 1000000000L
+    // f1: both users active; f2/f3: only user 1, three hours later — far past
+    // user 2's end+gap, so the advancing watermark must evict user 2's state.
+    val batches = Seq(
+      Seq((1L, 1L, ns(t0)), (2L, 2L, ns(t0)), (3L, 2L, ns(t0 + 60))),
+      Seq((4L, 1L, ns(t0 + 3 * 3600))),
+      Seq((5L, 1L, ns(t0 + 3 * 3600 + 60))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val sub = s"$tmp/split_$i"
+      rows.toDF("event_id", "user_id", "ts")
+        .withColumn("event_type", lit("click")).withColumn("value", lit(1.0))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+        .coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$tmp/events_$i.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1)) // deterministic batch order
+    }
+    val q = EventStream.runSessionize(spark, tmp, "sessions_evict",
+      statePartitions = Some(2), glob = "events_*.parquet",
+      maxFilesPerTrigger = Some(1), evictAfterGap = true)
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    // Totals are still correct: the eviction emission equals the final state.
+    val streamed = EventStream.sessionTotals(q.sparkSession, "sessions_evict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 2L, 3L), (2L, 1L, 2L)))
+    // User 2's state was removed: only user 1 remains in the state store.
+    val lastStateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).last
+    assert(lastStateRows == 1L, s"expected 1 live state row after eviction, got $lastStateRows")
+  }
+
   test("foreachBatch parquet sink writes the aggregate") {
     val tmp = java.nio.file.Files.createTempDirectory("stream").toString
     val q = EventStream.toParquetBatches(
