@@ -439,6 +439,123 @@ object OpsQueries {
         .select("lang", "source", "doc_id")
     },
 
+    // Repetition-based quality filter (the Gopher-rules shape): per-doc
+    // repeated-token fraction + top-bigram fraction, with a keep gate.
+    // Expression-level on purpose — zero shuffles, embarrassingly parallel;
+    // the per-doc mode computation is O(distinct·total) in interpreted HOFs,
+    // which is bounded for short-document corpora like this one. For corpora
+    // of very LONG documents, switch the top-bigram stage to the distributed
+    // wordcount form (explode → count per (doc, bigram) with map-side
+    // combine → per-doc max), trading two keyed shuffles for linear per-doc
+    // work — the x10 histogram already demonstrates that plan shape.
+    QueryDef("x20_repetition_quality",
+      """WITH s AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+           m AS (SELECT doc_id, tk,
+             list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+               i -> tk[i] || ' ' || tk[i+1]) AS bg FROM s),
+           f AS (SELECT doc_id,
+             CAST(len(tk) AS INT) AS n_tokens,
+             1.0 - len(list_distinct(tk))::DOUBLE / len(tk) AS rep,
+             CASE WHEN len(bg) = 0 THEN 0.0
+               ELSE list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg)
+             END AS topb FROM m)
+         SELECT doc_id, n_tokens,
+           round(rep, 6) AS frac_repeated_tokens,
+           round(topb, 6) AS top_bigram_frac,
+           rep <= 0.55 AND topb <= 0.08 AS keep
+         FROM f""") { (s, d) =>
+      val tk = col("tk")
+      val bg = col("bg")
+      t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("bg", when(size(tk) >= 2,
+          transform(sequence(lit(1), size(tk) - 1),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+          .otherwise(array().cast("array<string>")))
+        .withColumn("rep", lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk))
+        .withColumn("topb", when(size(bg) === 0, lit(0.0)).otherwise(
+          array_max(transform(array_distinct(bg),
+            x => size(filter(bg, y => y === x)))).cast("double") / size(bg)))
+        .select(col("doc_id"), size(tk).cast("int").as("n_tokens"),
+          round(col("rep"), 6).as("frac_repeated_tokens"),
+          round(col("topb"), 6).as("top_bigram_frac"),
+          (col("rep") <= 0.55 && col("topb") <= 0.08).as("keep"))
+    },
+
+    // Near-dup CLUSTER assignment: connected components over the verified
+    // MinHash pair graph (x03's pairs at jaccard >= 0.8 — the measured pair
+    // distribution is bimodal: true dups >= 0.9, LSH noise < 0.1). Labels
+    // propagate by iterative min-id: each round every node takes the min of
+    // its own label and its neighbors', converging in O(component diameter)
+    // rounds — dup components are chains/cliques of a handful of docs, so
+    // 2-4 rounds in practice (capped at 15). Each round is one equi-join +
+    // one hash-agg shuffle over the EDGE set only (docs with no near-dup
+    // never enter the loop). At 100 TB the same loop holds; the known
+    // optimization when components get deep is large-star/small-star
+    // (alternating conditional star contractions), which keeps the same
+    // join+agg primitive and only changes the propagation rule.
+    QueryDef("x21_dedup_clusters",
+      s"""WITH RECURSIVE bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+            FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+          edges AS (
+            SELECT p.d1, p.d2 FROM cand p
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          sym AS (SELECT d1 AS src, d2 AS dst FROM edges UNION ALL SELECT d2, d1 FROM edges),
+          reach(doc_id, r) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM sym) t0
+            UNION
+            SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.doc_id),
+          lab AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id)
+          SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+          FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)""") { (s, d) =>
+      import graft.util.PersistScope
+      val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+      val bands = PersistScope.track(bandsDf(t(s, d, "documents")).persist(lvl))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val sh = PersistScope.track(shingleSets(t(s, d, "documents")).persist(lvl))
+      val edges = PersistScope.track(
+        cand.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+          .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
+          .filter(size(array_intersect(col("s1.s"), col("s2.s"))).cast("double")
+            / greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)) >= 0.8)
+          .select(col("d1"), col("d2")).persist(lvl))
+      val sym = PersistScope.track(
+        edges.select(col("d1").as("src"), col("d2").as("dst"))
+          .union(edges.select(col("d2").as("src"), col("d1").as("dst"))).persist(lvl))
+      var lab = PersistScope.track(
+        sym.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).persist(lvl))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 15) {
+        val prop = sym.join(lab, sym("src") === lab("doc_id"))
+          .select(col("dst").as("doc_id"), col("cluster_id"))
+        val next = PersistScope.track(
+          lab.union(prop).groupBy("doc_id").agg(min("cluster_id").as("cluster_id")).persist(lvl))
+        converged = next.as("n")
+          .join(lab.as("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.cluster_id") < col("o.cluster_id")).isEmpty
+        lab = next
+        iter += 1
+      }
+      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    },
+
     // Token counting with a BPE-ish word/punct regex (scale-stable
     // regexp_count, no explode).
     QueryDef("x12_token_counts",

@@ -89,6 +89,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getInt(2) <= 2))
   }
 
+  test("x21 clusters are transitive, min-id-labeled, and never singleton") {
+    val rows = graft.SparkEntry.queries("x21_dedup_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.util.PersistScope.releaseAll()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    for ((cid, members) <- byCluster) {
+      assert(members.map(_._1).min == cid, s"cluster $cid label is not its min doc_id")
+      assert(members.length >= 2, s"cluster $cid is a singleton — only edge endpoints enter")
+      assert(members.forall(_._3 == members.length), s"cluster $cid size column wrong")
+    }
+    // transitivity: a doc appears in exactly one cluster
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("x20 keep gate agrees with its published thresholds") {
+    val rows = graft.SparkEntry.queries("x20_repetition_quality")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val keep = r.getDouble(2) <= 0.55 && r.getDouble(3) <= 0.08
+      assert(r.getBoolean(4) == keep, s"doc ${r.getLong(0)} keep flag mismatch")
+    }
+    assert(rows.exists(!_.getBoolean(4)), "thresholds should reject some docs")
+    assert(rows.exists(_.getBoolean(4)), "thresholds should keep some docs")
+  }
+
   test("dropExactDuplicates keeps the min-id representative") {
     import spark.implicits._
     val corpus = Seq((1L, "same text here ok"), (2L, "same text here ok"), (3L, "unique one two"))
