@@ -556,6 +556,65 @@ object OpsQueries {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     },
 
+    // TF-IDF top terms per doc — the classic distributed shape: explode →
+    // (doc, token) counts with map-side combine, token-keyed doc-frequency
+    // agg, a token equi-join (AQE broadcasts the df side while small), and a
+    // per-doc top-k window. Every shuffle is keyed and partial-aggregated;
+    // nothing is collected. idf = ln(N/df) with N a 1-row broadcast scalar.
+    QueryDef("x22_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+          df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf * ln(n.n::DOUBLE / df.df) AS tfidf
+            FROM tf JOIN df USING (token), n)
+          SELECT doc_id, token, round(tfidf, 6) AS tfidf, rank FROM (
+            SELECT doc_id, token, tfidf,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+            FROM scored) WHERE rank <= 3""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"), col("rank"))
+    },
+
+    // Benchmark-contamination check: fraction of a doc's 3-gram shingles
+    // that appear in a held-out benchmark set (docs 0-9 stand in for the
+    // eval suite). Scale shape: the benchmark shingle set is eval-sized —
+    // it BROADCASTS as one array row, so scoring is a pure map stage over
+    // the corpus (array_intersect per doc), no shuffle at any corpus size.
+    // A benchmark too large to broadcast degrades to the explode +
+    // shingle-keyed semi-join form instead.
+    QueryDef("x23_contamination",
+      s"""WITH sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+          b AS (SELECT list_distinct(flatten(list(s))) AS bset FROM sh WHERE doc_id < 10)
+          SELECT doc_id,
+            round(len(list_filter(s, x -> list_contains(bset, x)))::DOUBLE
+              / greatest(len(s), 1), 6) AS contamination,
+            len(list_filter(s, x -> list_contains(bset, x)))::DOUBLE
+              / greatest(len(s), 1) >= 0.5 AS contaminated
+          FROM sh, b WHERE doc_id >= 10""") { (s, d) =>
+      val sh = graft.util.PersistScope.track(shingleSets(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val bench = sh.filter(col("doc_id") < 10)
+        .agg(array_distinct(flatten(collect_list(col("s")))).as("bset"))
+      val frac = size(array_intersect(col("s"), col("bset"))).cast("double") /
+        greatest(size(col("s")), lit(1))
+      sh.filter(col("doc_id") >= 10)
+        .crossJoin(broadcast(bench))
+        .select(col("doc_id"),
+          round(frac, 6).as("contamination"),
+          (frac >= 0.5).as("contaminated"))
+    },
+
     // Token counting with a BPE-ish word/punct regex (scale-stable
     // regexp_count, no explode).
     QueryDef("x12_token_counts",

@@ -116,6 +116,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_.getBoolean(4)), "thresholds should keep some docs")
   }
 
+  test("x22 tf-idf emits exactly top-3 ranked terms per doc with positive scores") {
+    val rows = graft.SparkEntry.queries("x22_tfidf")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    for ((_, perDoc) <- rows.groupBy(_._1)) {
+      assert(perDoc.map(_._4).sorted.sameElements(1 to perDoc.length) && perDoc.length <= 3)
+      // rank order follows tfidf desc
+      val sorted = perDoc.sortBy(_._4)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
+
+  test("x23 contamination catches a planted benchmark near-dup and nothing clean") {
+    val rows = graft.SparkEntry.queries("x23_contamination")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    graft.util.PersistScope.releaseAll()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, c, flag) => flag == (c >= 0.5) })
+    assert(rows.forall { case (id, _, _) => id >= 10 }) // benchmark excluded
+    assert(rows.forall { case (_, c, _) => c >= 0.0 && c <= 1.0 })
+  }
+
   test("dropExactDuplicates keeps the min-id representative") {
     import spark.implicits._
     val corpus = Seq((1L, "same text here ok"), (2L, "same text here ok"), (3L, "unique one two"))
