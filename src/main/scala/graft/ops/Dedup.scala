@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * O(n²)); exact Jaccard verifies only the candidates; survivors are an
   * anti-join. Representative choice is "smallest id among LSH-similar
   * neighbors": a doc is dropped iff some verified neighbor has a smaller id —
-  * single pass, no iterative connected components. On chains (a~b~c without
-  * a~c) this drops the whole chain except its minimum, the standard greedy
-  * behavior for near-dup corpus pruning.
+  * single pass, the standard greedy behavior for near-dup corpus pruning.
+  * For exact one-representative-per-cluster semantics (greedy keeps extra
+  * docs in star shapes through a larger hub), [[dropNearDuplicatesTransitive]]
+  * runs iterative connected components over the verified pair graph.
   */
 object Dedup {
 
@@ -69,6 +70,62 @@ object Dedup {
                          threshold: Double = 0.8): DataFrame = {
     val doomed = nearDuplicatePairs(docs, idCol, textCol, threshold)
       .select(col("id2").as(idCol)).distinct()
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over an undirected pair frame (id1, id2):
+    * (id, cluster_id) rows for every id appearing in a pair, with cluster_id
+    * the minimum id reachable through the pair graph. Iterative min-label
+    * propagation: each round every node takes the min of its own label and
+    * its neighbors' — one equi-join + one keyed hash-agg per round over the
+    * EDGE set only, converging in O(component diameter) rounds (near-dup
+    * components are small chains/cliques, so 2-4 in practice). Intermediate
+    * frames persist DISK_ONLY and register with [[graft.util.PersistScope]]
+    * for harness release. For graphs with deep components, swap the
+    * propagation rule for large-star/small-star (same join+agg primitive). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    import graft.util.PersistScope
+    val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val sym = PersistScope.track(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))).persist(lvl))
+    var lab = PersistScope.track(sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).persist(lvl))
+    // Fixpoint test without a diff join: labels only ever DECREASE, so the
+    // label sum strictly decreases iff any node changed this round — one
+    // cheap scalar agg over the (persisted) frame per round.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(lab)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val prop = sym.join(lab, sym("src") === lab("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = PersistScope.track(lab.union(prop)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id")).persist(lvl))
+      val s = labelSum(next) // materializes next, so the old frame can go
+      lab.unpersist(blocking = false)
+      converged = s == prevSum
+      prevSum = s
+      lab = next
+      iter += 1
+    }
+    lab
+  }
+
+  /** Transitive near-dup drop: ONE representative (the component minimum) per
+    * connected near-duplicate cluster. Strictly stronger than the greedy
+    * [[dropNearDuplicates]]: greedy keeps any doc whose verified neighbors
+    * all have larger ids, so a star through a larger hub (edges (1,3),(2,3))
+    * keeps both 1 and 2 even though 2 ~ 3 ~ 1 transitively; the component
+    * form keeps only 1. Costs the O(diameter) label-propagation rounds on
+    * top of the pair generation. */
+  def dropNearDuplicatesTransitive(docs: DataFrame, idCol: String, textCol: String,
+                                   threshold: Double = 0.8): DataFrame = {
+    val comp = connectedComponents(
+      nearDuplicatePairs(docs, idCol, textCol, threshold).select("id1", "id2"))
+    val doomed = comp.filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol))
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 

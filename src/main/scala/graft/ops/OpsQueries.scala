@@ -532,28 +532,11 @@ object OpsQueries {
           .filter(size(array_intersect(col("s1.s"), col("s2.s"))).cast("double")
             / greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)) >= 0.8)
           .select(col("d1"), col("d2")).persist(lvl))
-      val sym = PersistScope.track(
-        edges.select(col("d1").as("src"), col("d2").as("dst"))
-          .union(edges.select(col("d2").as("src"), col("d1").as("dst"))).persist(lvl))
-      var lab = PersistScope.track(
-        sym.select(col("src").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id")).persist(lvl))
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 15) {
-        val prop = sym.join(lab, sym("src") === lab("doc_id"))
-          .select(col("dst").as("doc_id"), col("cluster_id"))
-        val next = PersistScope.track(
-          lab.union(prop).groupBy("doc_id").agg(min("cluster_id").as("cluster_id")).persist(lvl))
-        converged = next.as("n")
-          .join(lab.as("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.cluster_id") < col("o.cluster_id")).isEmpty
-        lab = next
-        iter += 1
-      }
+      val lab = Dedup.connectedComponents(
+        edges.select(col("d1").as("id1"), col("d2").as("id2")))
       val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       lab.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
     },
 
     // TF-IDF top terms per doc — the classic distributed shape: explode →

@@ -138,6 +138,29 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall { case (_, c, _) => c >= 0.0 && c <= 1.0 })
   }
 
+  test("connectedComponents labels a star through a larger hub as one cluster") {
+    import spark.implicits._
+    // 2 ~ 3 ~ 1: greedy pair-drop would keep both 1 and 2; components must not.
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val lab = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.util.PersistScope.releaseAll()
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicatesTransitive keeps one representative per cluster") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " y"), // one near-dup cluster
+      (9L, "completely different words forming another sentence entirely here now ok"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesTransitive(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    graft.util.PersistScope.releaseAll()
+    assert(kept == Set(1L, 9L))
+  }
+
   test("dropExactDuplicates keeps the min-id representative") {
     import spark.implicits._
     val corpus = Seq((1L, "same text here ok"), (2L, "same text here ok"), (3L, "unique one two"))
