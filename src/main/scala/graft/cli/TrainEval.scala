@@ -63,11 +63,15 @@ object TrainEval {
       embed.classifiers.collect { case (t, Right(_)) => t }.toSeq.sorted.mkString(","))
 
     // shared candidate + sanitized-context frame (ensemble.py:69-88)
+    // posexplode_outer + null filter: the inner form lets Catalyst infer
+    // size(cands) > 0 and push the duplicated pii_candidates tree below the
+    // projection (see p04's scaladoc in PiiQueries for the full story).
     def candidateFrame(): DataFrame = ds
       .withColumn("cands", pii_candidates(col("text")))
       .withColumn("redacted", redact_spans(col("text"), col("cands")))
       .select(col("doc_id"), col("text"), col("labels"), col("redacted"),
-        posexplode(col("cands")).as(Seq("cand_idx", "c")))
+        posexplode_outer(col("cands")).as(Seq("cand_idx", "c")))
+      .filter(col("c").isNotNull)
       .withColumn("left", greatest(lit(0), col("c.start") - 48))
       .withColumn("right", least(length(col("text")), col("c.end") + 48))
       .withColumn("context", expr("substring(redacted, left + 1, right - left)"))

@@ -230,11 +230,19 @@ object PiiQueries {
           FROM base, (SELECT unnest(generate_series(1, 20)) AS i) ii
           WHERE i <= len(cl)""") { (s, d) =>
       val w = 48
+      // posexplode_OUTER on purpose: the inner form lets Catalyst infer a
+      // size(cands) > 0 filter on the generate's child attribute, which
+      // predicate pushdown then substitutes through the projections into the
+      // parquet scan — re-evaluating the whole 10-regex generator once more
+      // per row as a scan DataFilter. The outer generate infers nothing; the
+      // explicit null filter above it restores inner-explode semantics
+      // (empty-candidate docs emit no rows) without the duplicated tree.
       PiiInputs.df(s, d)
         .withColumn("cands", pii_candidates(col("text")))
         .withColumn("redacted", redact_spans(col("text"), col("cands")))
         .select(col("doc_id"), col("redacted"), length(col("text")).as("tlen"),
-          posexplode(col("cands")).as(Seq("candidate_idx", "c")))
+          posexplode_outer(col("cands")).as(Seq("candidate_idx", "c")))
+        .filter(col("c").isNotNull)
         .withColumn("left", greatest(lit(0), col("c.start") - w))
         .withColumn("right", least(col("tlen"), col("c.end") + w))
         .select(col("doc_id"), col("candidate_idx"),
