@@ -598,6 +598,59 @@ object OpsQueries {
           (frac >= 0.5).as("contaminated"))
     },
 
+    // Unigram log-probability scoring — the model-free stand-in for a
+    // perplexity quality filter: score = mean -ln p(token) under the
+    // corpus's own unigram distribution (add-one smoothed). High scores =
+    // improbable token sequences. Shape: one wordcount shuffle for the
+    // unigram table, token-keyed join back (AQE broadcasts while the vocab
+    // is small), per-doc mean agg. The vocab table is corpus-derived but
+    // vocab-sized, far below doc count.
+    QueryDef("x24_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          uni AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+          tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_tokens,
+            round(avg(-ln((uni.c + 1)::DOUBLE / (tot.n + tot.v))), 6) AS avg_neg_logprob
+          FROM tok JOIN uni USING (token), tot
+          GROUP BY doc_id""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val uni = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("n"), count(lit(1)).as("v"))
+      tok.join(uni, "token").crossJoin(broadcast(tot))
+        .withColumn("nlp", -log((col("c") + 1).cast("double") / (col("n") + col("v"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(avg("nlp"), 6).as("avg_neg_logprob"))
+    },
+
+    // Greedy sequence packing (training-batch prep): docs are packed into
+    // fixed token-budget bins in deterministic doc_id order within each
+    // lang stream — bin = floor(cumulative-tokens-before-doc / budget).
+    // One window shuffle on the stream key; the running sum is O(1) state
+    // per stream. Contiguity by construction makes the assignment
+    // reproducible across cluster sizes and retries (no rand, no
+    // partition-dependent state).
+    QueryDef("x25_sequence_packing",
+      """SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(before_doc / 2048.0) AS BIGINT) AS bin_id
+         FROM (
+           SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_doc
+           FROM documents)""") { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("nt"))
+        .withColumn("before_doc", coalesce(sum("nt").over(w), lit(0)))
+        .select(col("doc_id"), col("lang"), col("nt").cast("long").as("n_tokens"),
+          floor(col("before_doc") / 2048.0).cast("long").as("bin_id"))
+    },
+
     // Token counting with a BPE-ish word/punct regex (scale-stable
     // regexp_count, no explode).
     QueryDef("x12_token_counts",
