@@ -85,12 +85,21 @@ object Dedup {
     * propagation rule for large-star/small-star (same join+agg primitive). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     import graft.util.PersistScope
-    val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // MEMORY_AND_DISK, not DISK_ONLY: the label/edge frames are edge-set
+    // sized (small even when the corpus is huge — only docs WITH a near-dup
+    // appear), and the loop re-reads them every round; forcing them to disk
+    // pays a write+read round-trip per iteration for no resilience gain the
+    // spill path doesn't already provide.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = PersistScope.track(
       pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .union(pairs.select(col("id2").as("src"), col("id1").as("dst"))).persist(lvl))
-    var lab = PersistScope.track(sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).persist(lvl))
+    // Init fuses propagation round zero: each node starts at min(own id,
+    // min direct neighbor) — same single shuffle as the identity init, one
+    // fewer loop round (cliques converge at init and pay only the confirm).
+    var lab = PersistScope.track(sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("cluster_id")).persist(lvl))
     // Fixpoint test without a diff join: labels only ever DECREASE, so the
     // label sum strictly decreases iff any node changed this round — one
     // cheap scalar agg over the (persisted) frame per round.

@@ -526,17 +526,20 @@ object OpsQueries {
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
       val sh = PersistScope.track(shingleSets(t(s, d, "documents")).persist(lvl))
+      // Edges are pair-graph sized (small) and re-read every propagation
+      // round — memory-first, unlike the big bands/sh frames above.
       val edges = PersistScope.track(
         cand.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
           .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
           .filter(size(array_intersect(col("s1.s"), col("s2.s"))).cast("double")
             / greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)) >= 0.8)
-          .select(col("d1"), col("d2")).persist(lvl))
+          .select(col("d1"), col("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val lab = Dedup.connectedComponents(
         edges.select(col("d1").as("id1"), col("d2").as("id2")))
-      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      lab.join(sizes, "cluster_id")
-        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+      // Window count = one shuffle on cluster_id; the agg+join form pays two.
+      lab.select(col("id").as("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy("cluster_id")).as("cluster_size"))
     },
 
     // TF-IDF top terms per doc — the classic distributed shape: explode →
