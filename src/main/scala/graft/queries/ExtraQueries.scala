@@ -179,6 +179,34 @@ object ExtraQueries {
     // Stateful streaming with CUSTOM state (flatMapGroupsWithState): per-user
     // sessionization as a real streaming query, checked against the batch
     // lag-window oracle — same SQL as q11_sessionize.
+    // Stream-static enrichment: the events stream broadcast-joined to the
+    // customer dimension per micro-batch, aggregated per market segment —
+    // the streaming twin of a batch enrichment rollup.
+    QueryDef("s03_stream_enrich",
+      """SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id
+         GROUP BY 1""") { (s, d) =>
+      val name = "s03_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runEnriched(s, d, name, statePartitions = Some(8))
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+    },
+
+    // Streaming dedup chained into a stateful aggregate: watermarked
+    // dropDuplicates (state bounded by the watermark) feeding a distinct-user
+    // count per event type — two stateful operators in one streaming query.
+    QueryDef("s04_stream_dedup",
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+         FROM events GROUP BY 1""") { (s, d) =>
+      val name = "s04_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runDistinctUsers(s, d, name, statePartitions = Some(8))
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+    },
+
     QueryDef("s02_stream_sessionize",
       """SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,

@@ -188,6 +188,65 @@ object EventStream {
       .start()
   }
 
+  /** Stream-static enrichment join + aggregate: the events stream joined to
+    * a static dimension (per micro-batch broadcast hash join — the static
+    * side is a plain DataFrame, never streaming state) and aggregated per
+    * segment. The dimension re-reads per batch at most; at scale pin it with
+    * `.persist` or rely on the broadcast being segment-count sized. */
+  def enrichedAgg(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100).as("sum_value"))
+
+  /** Run the enrichment stream to completion (complete mode, memory sink —
+    * the aggregate is segment-count sized). */
+  def runEnriched(spark: SparkSession, dir: String, queryName: String = "events_enriched",
+                  statePartitions: Option[Int] = None): StreamingQuery = {
+    val session = statePartitions match {
+      case Some(n) =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s
+      case None => spark
+    }
+    val customer = session.read.parquet(s"$dir/customer.parquet")
+    enrichedAgg(readEvents(session, dir), customer)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming deduplication chained into a stateful aggregate: watermarked
+    * `dropDuplicates` keeps one row per (user_id, event_type) — dedup state
+    * is bounded by the watermark — and the downstream count gives distinct
+    * users per type. Two stateful operators in one streaming query. */
+  def distinctUsersPerType(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct_users"))
+
+  /** Run the streaming-dedup pipeline to completion (complete mode). */
+  def runDistinctUsers(spark: SparkSession, dir: String, queryName: String = "events_dedup",
+                       statePartitions: Option[Int] = None): StreamingQuery = {
+    val session = statePartitions match {
+      case Some(n) =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s
+      case None => spark
+    }
+    distinctUsersPerType(readEvents(session, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** foreachBatch sink: idempotent parquet append keyed by batch — the
     * write-back pattern for catalog tagging from a stream. */
   def toParquetBatches(agg: DataFrame, outDir: String, checkpoint: String): StreamingQuery =

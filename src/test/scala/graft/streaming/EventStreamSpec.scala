@@ -99,6 +99,34 @@ class EventStreamSpec extends SparkSpec {
     assert(lastStateRows == 1L, s"expected 1 live state row after eviction, got $lastStateRows")
   }
 
+  test("stream-static enrichment join matches the batch rollup") {
+    val q = EventStream.runEnriched(spark, sf, "enrich_test", statePartitions = Some(4))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val streamed = q.sparkSession.table("enrich_test").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.SparkEntry.queries("s03_stream_enrich")(spark, sf) // same pipeline
+    assert(streamed.nonEmpty)
+    // cross-check against a direct batch computation
+    val events = QueryDef.events(spark, sf)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val expected = EventStream.enrichedAgg(events, cust).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == expected)
+  }
+
+  test("streaming dedup chained into aggregation matches batch count distinct") {
+    val q = EventStream.runDistinctUsers(spark, sf, "dedup_test", statePartitions = Some(4))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val streamed = q.sparkSession.table("dedup_test").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.functions.countDistinct
+    val expected = QueryDef.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch parquet sink writes the aggregate") {
     val tmp = java.nio.file.Files.createTempDirectory("stream").toString
     val q = EventStream.toParquetBatches(
