@@ -13,36 +13,24 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Cosine similarity of two numeric-array columns, accumulated in double in
-    * element order (deterministic IEEE on both engines). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+    * element order (deterministic IEEE on both engines). One-pass custom
+    * expression ([[CosineSimExpr]]) — the former three interpreted HOF folds
+    * ran once per candidate PAIR in the LSH/IVF verify joins, the hottest
+    * kernel of x16. */
+  def cosine(a: Column, b: Column): Column = CosineSimExpr.cosine_sim(a, b)
 
   /** Random-hyperplane LSH bucket: component (p, i) of plane p is ±1 from the
     * top bit of md5("p_i"); the bucket is the sign-bit string of the `planes`
-    * projections. Deterministic, model-free, and identical in SQL.
+    * projections. Deterministic, model-free, and identical in SQL (the
+    * DuckDB twin recomputes the md5 signs inline — `LshBucketSql`).
     *
-    * The hyperplane signs depend only on (p, i), so they are computed ONCE at
-    * plan time and embedded as literals — the naive inline form re-hashed
-    * planes×dims md5s per ROW (512/row at the defaults), which dominated the
-    * bucket stage. */
-  def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(p: Int, i: Int): Double = {
-      val dig = md.digest(s"${p}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // top hex digit in ('8'..'f') == high nibble of byte 0 >= 8
-      if (((dig(0) & 0xff) >> 4) >= 8) 1.0 else -1.0
-    }
-    concat_ws("", (0 until planes).map { p =>
-      val plane = array((0 until dims).map(i => lit(sign(p, i))): _*)
-      when(aggregate(zip_with(vec, plane, (v, h) => v.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")
-    }: _*)
-  }
+    * Now a one-pass custom expression ([[LshBucketExpr]]): the former
+    * composable form paid `planes` interpreted zip_with/aggregate folds per
+    * row (HOF lambdas don't codegen), which made the bucket stage the x07/
+    * x16 hot spot. Signs are md5-derived once at plan time; the expression
+    * reproduces the fold's double arithmetic and degenerate cases exactly. */
+  def lshBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column =
+    LshBucketExpr.lsh_bucket(vec, planes, dims)
 
   /** Hamming distance between two equal-length bit-string columns
     * (codegen'd single-pass expression). A length mismatch counts the

@@ -178,6 +178,142 @@ object SimHash32Expr {
       SimHash32Expr(org.apache.spark.sql.graftshim.shims.expression(tokens)))
 }
 
+/** `cosine_sim(a, b)` → double: one-pass dot/norms cosine. Replaces three
+  * interpreted zip_with/aggregate folds per evaluation — it sits in the
+  * pair-verify stage of the LSH/IVF paths where it runs once per CANDIDATE
+  * PAIR (quadratic-in-bucket volume), the single hottest kernel of x16.
+  * Bitwise identical to the fold form: dot and each norm accumulate in
+  * index order with the same double ops; null element or length mismatch →
+  * null (as the null-poisoned folds produced). */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim needs two array<float|double>, got $other")
+    }
+
+  @transient private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    // zip_with over unequal lengths null-pads -> null product -> null sum;
+    // a null element poisons the fold the same way.
+    if (y.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(l, r)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSimExpr {
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      CosineSimExpr(org.apache.spark.sql.graftshim.shims.expression(a),
+        org.apache.spark.sql.graftshim.shims.expression(b)))
+}
+
+/** `lsh_bucket(vec, planes, dims)` → '0'/'1' sign-bit string of the
+  * random-hyperplane projections. One pass, one double[] fetch per row —
+  * replaces `planes` interpreted zip_with/aggregate folds (HOF lambdas are
+  * CodegenFallback with per-element boxing), which made the bucket stage the
+  * hot spot of x07/x16. Bitwise identical to the HOF form: products and
+  * accumulation run in index order with the same double arithmetic, and the
+  * degenerate cases (length ≠ dims, null element) produce the all-'0' bucket
+  * exactly as null-poisoned fold sums did. Hyperplane signs are md5-derived
+  * at plan time ([[VectorOps.lshBucket]] documents the construction and the
+  * DuckDB twin). */
+case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bucket needs array<float|double>, got ${other.catalogString}")
+    }
+
+  @transient private lazy val signs: Array[Array[Double]] =
+    LshBucketExpr.signMatrix(planes, dims)
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(vec: Any): Any = {
+    val arr = vec.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(planes)
+    var degenerate = n != dims
+    if (!degenerate) {
+      var i = 0
+      while (i < n && !degenerate) { degenerate = arr.isNullAt(i); i += 1 }
+    }
+    if (degenerate) {
+      var p = 0
+      while (p < planes) { sb.append('0'); p += 1 }
+    } else {
+      val v = new Array[Double](n)
+      var i = 0
+      if (isFloat) while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      else while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+      var p = 0
+      while (p < planes) {
+        val s = signs(p)
+        var acc = 0.0
+        var k = 0
+        while (k < dims) { acc += v(k) * s(k); k += 1 }
+        sb.append(if (acc >= 0) '1' else '0')
+        p += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+object LshBucketExpr {
+  /** Component (p, i) = ±1 from the top bit of md5(s"${p}_$i") — the same
+    * derivation as the SQL oracle's `substr(md5(p || '_' || i), 1, 1)`. */
+  private[ops] def signMatrix(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, i) =>
+      val dig = md.digest(s"${p}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((dig(0) & 0xff) >> 4) >= 8) 1.0 else -1.0
+    }
+  }
+
+  def lsh_bucket(vec: Column, planes: Int, dims: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      LshBucketExpr(org.apache.spark.sql.graftshim.shims.expression(vec), planes, dims))
+}
+
 /** `hamming_bits(a, b)`: Hamming distance between two equal-length bit
   * strings, fully codegen'd (static call) — this sits inside join conditions
   * of the near-dup verifiers where an interpreted HOF form was the hot spot
