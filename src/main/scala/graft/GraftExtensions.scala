@@ -46,5 +46,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash32", "_FUNC_(tokens) - 32-bit SimHash fingerprint") {
       es => SimHash32Expr(es.head)
     }
+    inject("hamming_bits", "_FUNC_(a, b) - Hamming distance of bit strings") {
+      es => graft.ops.HammingBitsExpr(es.head, es(1))
+    }
+    inject("lsh_bucket", "_FUNC_(vec[, planes[, dims]]) - hyperplane LSH bucket") {
+      es => graft.ops.LshBucketExpr(es.head,
+        if (es.size > 1) es(1).eval().asInstanceOf[Number].intValue() else 8,
+        if (es.size > 2) es(2).eval().asInstanceOf[Number].intValue() else 64)
+    }
+    inject("cosine_sim", "_FUNC_(a, b) - one-pass cosine similarity") {
+      es => graft.ops.CosineSimExpr(es.head, es(1))
+    }
   }
 }

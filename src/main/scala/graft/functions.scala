@@ -42,6 +42,18 @@ object functions {
   /** 32-bit SimHash fingerprint of a token array. */
   def simhash32(tokens: Column): Column = graft.ops.SimHash32Expr.simhash32(tokens)
 
+  /** Hamming distance between two bit strings. */
+  def hamming_bits(a: Column, b: Column): Column =
+    graft.ops.HammingBitsExpr.hamming_bits(a, b)
+
+  /** Random-hyperplane LSH bucket (sign-bit string). */
+  def lsh_bucket(vec: Column, planes: Int = 8, dims: Int = 64): Column =
+    graft.ops.LshBucketExpr.lsh_bucket(vec, planes, dims)
+
+  /** One-pass cosine similarity of two numeric arrays. */
+  def cosine_sim(a: Column, b: Column): Column =
+    graft.ops.CosineSimExpr.cosine_sim(a, b)
+
   /** Register all custom functions for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -58,5 +70,13 @@ object functions {
         es(1).eval().asInstanceOf[Number].intValue(),
         if (es.size > 2) es(2).eval().asInstanceOf[Number].intValue() else 3), "scala_udf")
     reg.createOrReplaceTempFunction("simhash32", es => graft.ops.SimHash32Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_bits", es =>
+      graft.ops.HammingBitsExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket", es =>
+      graft.ops.LshBucketExpr(es.head,
+        if (es.size > 1) es(1).eval().asInstanceOf[Number].intValue() else 8,
+        if (es.size > 2) es(2).eval().asInstanceOf[Number].intValue() else 64), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es =>
+      graft.ops.CosineSimExpr(es.head, es(1)), "scala_udf")
   }
 }

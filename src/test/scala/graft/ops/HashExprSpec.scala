@@ -29,6 +29,51 @@ class HashExprSpec extends SparkSpec {
     }
   }
 
+  test("lsh_bucket == composable hyperplane fold, incl. degenerate vectors") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the pre-expression composable construction (what the DuckDB twin mirrors)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Double = {
+      val dig = md.digest(s"${p}_$i".getBytes("UTF-8"))
+      if (((dig(0) & 0xff) >> 4) >= 8) 1.0 else -1.0
+    }
+    val hof = concat_ws("", (0 until 8).map { p =>
+      val plane = array((0 until 64).map(i => lit(sign(p, i))): _*)
+      when(aggregate(zip_with(col("embedding"), plane, (v, h) => v.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")
+    }: _*)
+    val rows = vecs
+      .withColumn("fused", LshBucketExpr.lsh_bucket(col("embedding"), 8, 64))
+      .withColumn("hof", hof)
+      .select("vec_id", "fused", "hof").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(r.getString(1) == r.getString(2), s"vec ${r.getLong(0)}")
+    // degenerate: short vector -> all-zeros bucket (the null-poisoned fold's value)
+    import spark.implicits._
+    val short = Seq(Tuple1(Array(1.0f, -2.0f))).toDF("embedding")
+      .select(LshBucketExpr.lsh_bucket(col("embedding"), 8, 64)).first().getString(0)
+    assert(short == "0" * 8)
+  }
+
+  test("cosine_sim == composable fold form, bitwise") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+    def hofCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+      val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+      dot / (na * nb)
+    }
+    val rows = pairs.select(
+      CosineSimExpr.cosine_sim(col("a.embedding"), col("b.embedding")).as("fused"),
+      hofCos(col("a.embedding"), col("b.embedding")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    // exact double equality on purpose: same ops in same order must be bitwise equal
+    for (r <- rows) assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("simhash32 == composable bit-count form") {
     val tokh = transform(toks, tk => md5(tk))
     val composable = concat_ws("", transform(sequence(lit(1), lit(32)), b =>
