@@ -76,13 +76,18 @@ object Dedup {
   /** Connected components over an undirected pair frame (id1, id2):
     * (id, cluster_id) rows for every id appearing in a pair, with cluster_id
     * the minimum id reachable through the pair graph. Iterative min-label
-    * propagation: each round every node takes the min of its own label and
-    * its neighbors' — one equi-join + one keyed hash-agg per round over the
-    * EDGE set only, converging in O(component diameter) rounds (near-dup
-    * components are small chains/cliques, so 2-4 in practice). Intermediate
-    * frames persist DISK_ONLY and register with [[graft.util.PersistScope]]
-    * for harness release. For graphs with deep components, swap the
-    * propagation rule for large-star/small-star (same join+agg primitive). */
+    * propagation with POINTER JUMPING: each round every node takes the min
+    * of its own label and its neighbors' (one equi-join + keyed hash-agg
+    * over the EDGE set), then follows its label one hop (labels are node
+    * ids, so label := label's label — one more self-join). The jump halves
+    * label-chain depth each round, so convergence is O(log diameter) — a
+    * plain neighbor-propagation loop moves the min ONE hop per round and
+    * silently truncates long chains at the iteration cap (caught by the
+    * deep-chain spec). Near-dup components converge in 2-3 rounds. The
+    * symmetric edge frame persists (memory-first, tracked by
+    * [[graft.util.PersistScope]]); label frames localCheckpoint to truncate
+    * lineage each round. Throws if maxIters rounds don't reach the fixpoint
+    * (2^maxIters diameter) — wrong labels must never return silently. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     import graft.util.PersistScope
     // MEMORY_AND_DISK, not DISK_ONLY: the label/edge frames are edge-set
@@ -97,12 +102,23 @@ object Dedup {
     // Init fuses propagation round zero: each node starts at min(own id,
     // min direct neighbor) — same single shuffle as the identity init, one
     // fewer loop round (cliques converge at init and pay only the confirm).
-    var lab = PersistScope.track(sym.groupBy(col("src").as("id"))
+    //
+    // Label frames are localCheckpoint'ed, NOT persisted: each round's plan
+    // builds on the previous label frame, so a plain persist leaves the
+    // LOGICAL lineage growing linearly with iterations — re-analysis and
+    // AQE plan handling then blow up superlinearly (a 20-node chain OOMed
+    // the driver building plan strings). localCheckpoint truncates lineage
+    // each round; the frames are edge-set sized, and on executor loss the
+    // query simply re-runs (the production alternative for long chains is a
+    // reliable checkpoint dir). ContextCleaner reaps the checkpoint blocks
+    // as the intermediate frames go out of scope.
+    var lab = sym.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("cluster_id")).persist(lvl))
+      .select(col("id"), least(col("id"), col("mn")).as("cluster_id"))
+      .localCheckpoint()
     // Fixpoint test without a diff join: labels only ever DECREASE, so the
     // label sum strictly decreases iff any node changed this round — one
-    // cheap scalar agg over the (persisted) frame per round.
+    // cheap scalar agg per round.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("cluster_id"), lit(0L))).first().getLong(0)
     var prevSum = labelSum(lab)
@@ -111,15 +127,26 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val prop = sym.join(lab, sym("src") === lab("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = PersistScope.track(lab.union(prop)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id")).persist(lvl))
-      val s = labelSum(next) // materializes next, so the old frame can go
-      lab.unpersist(blocking = false)
+      // Checkpoint BEFORE the self-join: truncates lineage (see scaladoc)
+      // and leaves a plain LogicalRDD — self-joining an aliased Union plan
+      // trips Catalyst's union-constraint rewrite (ambiguous attributes).
+      val merged = lab.union(prop)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      // Pointer jump: labels are node ids of the same graph, so every label
+      // has its own row in `merged`; following it one hop halves chain depth.
+      val parents = merged.select(col("id").as("pid"), col("cluster_id").as("plabel"))
+      val next = merged.join(parents, col("cluster_id") === col("pid"), "left")
+        .select(col("id"), coalesce(col("plabel"), col("cluster_id")).as("cluster_id"))
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       lab = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds")
     lab
   }
 
