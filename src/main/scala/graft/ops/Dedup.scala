@@ -36,9 +36,11 @@ object Dedup {
   /** (id, band, band_hash) rows: the LSH bucket keys. `idCol`/`textCol` name
     * columns of `docs`. */
   def bands(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.filter(length(col(textCol)) > 0)
+    // Gate on the raw column (sig[0] is null iff < 3 tokens): filtering on
+    // the computed signature attribute re-runs the digest loop inside the
+    // scan's DataFilters (see OpsQueries.bandsDf).
+    docs.filter(length(col(textCol)) > 0 && size(tokens(col(textCol))) >= 3)
       .withColumn("__sig", MinHashFromTokensExpr.minhash_from_tokens(tokens(col(textCol)), NumHashes))
-      .filter(size(col("__sig")) > 0 && col("__sig").getItem(0).isNotNull)
       .select(col(idCol).as("id"),
         posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
           b => md5(concat_ws(",", slice(col("__sig"), b * BandSize + 1, lit(BandSize))))))
@@ -170,8 +172,15 @@ object Dedup {
     * scale shape as the MinHash path: shuffle ∝ 1 row/vector, never O(n²). */
   def embeddingNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorOps.lshBucket(col(vecCol), planes, dims).as("bucket"))
+    // Persisted: the self-join would otherwise compute every bucket TWICE
+    // (once per side), and the join-key isnotnull filter Catalyst infers
+    // would substitute the bucket expression into the scan for a third
+    // evaluation (plan-audit finding). The cached frame computes each
+    // bucket once; the filter reads the cached column.
+    val b = graft.util.PersistScope.track(
+      vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorOps.lshBucket(col(vecCol), planes, dims).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     b.as("a").join(b.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", VectorOps.cosine(col("a.v"), col("b.v")))

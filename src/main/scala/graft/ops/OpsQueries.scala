@@ -56,9 +56,14 @@ object OpsQueries {
     * row (splicing the trees into downstream lambdas would re-evaluate them
     * per reference — interpreted HOFs do no common-subexpression elimination). */
   private def bandsDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.filter(length(col("text")) > 0)
+    // The signature gate is expressed on the RAW column, not on `sig`:
+    // sig[0] is null exactly when the doc has < 3 tokens (no shingles), and
+    // a filter referencing the computed `sig` attribute gets substituted
+    // through the projection into the scan — re-running the whole MinHash
+    // digest loop per row as a scan DataFilter (the same pushdown trap as
+    // p04's generate filter; found by the round-4 plan audit).
+    docs.filter(length(col("text")) > 0 && size(tokens(col("text"))) >= 3)
       .withColumn("sig", MinHashFromTokensExpr.minhash_from_tokens(tokens(col("text")), NumHashes))
-      .filter(size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
         b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
 
@@ -206,7 +211,12 @@ object OpsQueries {
                 ORDER BY ${cosineSql("q.qe", "b.embedding")} DESC, b.vec_id) AS INT) AS rank
             FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.qid)
           WHERE rank <= 3""") { (s, d) =>
-      val b = t(s, d, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
+      // Persisted: both join sides derive from this frame, and the inferred
+      // join-key isnotnull would otherwise push the bucket expression into
+      // the scan for a re-evaluation per side (plan-audit finding).
+      val b = graft.util.PersistScope.track(
+        t(s, d, "embeddings").withColumn("bucket", lshBucket(col("embedding")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val q = b.filter(col("vec_id") < 32)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
       val w = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))

@@ -20,6 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * hex-encoded. */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def nullSafeEval(shingles: Any): Any = {
@@ -76,6 +77,7 @@ object MinHashSigExpr {
   * intermediate UTF8String allocation per shingle per seed. */
 case class MinHashFromTokensExpr(child: Expression, numHashes: Int, shingleLen: Int)
     extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def nullSafeEval(tokens: Any): Any = {
@@ -138,6 +140,7 @@ object MinHashFromTokensExpr {
   * its DuckDB oracle), one digest per token. */
 case class SimHash32Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = StringType
 
   override def nullSafeEval(tokens: Any): Any = {
@@ -248,6 +251,7 @@ object CosineSimExpr {
   * DuckDB twin). */
 case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
     extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
