@@ -31,6 +31,7 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    util.SharedStages.releaseAll() // cross-query stages live for the whole pass
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

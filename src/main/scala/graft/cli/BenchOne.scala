@@ -25,6 +25,12 @@ object BenchOne {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"TIME $name round$round: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // Release BOTH scopes between rounds: rounds 2-3 must measure a warm
+      // JIT recomputing the data, not reads of round 1's persisted blocks
+      // (Spark's cache manager matches canonicalized plans, so even a fresh
+      // builder call would silently hit the old cache).
+      graft.util.PersistScope.releaseAll()
+      graft.util.SharedStages.releaseAll()
     }
     spark.stop()
   }

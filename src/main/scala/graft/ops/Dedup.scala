@@ -49,13 +49,17 @@ object Dedup {
   /** Verified near-duplicate pairs (id1 < id2, jaccard ≥ threshold). */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double): DataFrame = {
-    val b = bands(docs, idCol, textCol)
+    // Persisted (PersistScope-released after the caller's action): the
+    // self-join would otherwise run the MinHash digest twice — once per
+    // side — and the shingle frame feeds two verify joins.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val b = graft.util.PersistScope.track(bands(docs, idCol, textCol).persist(lvl))
     val candidates = b.as("a").join(b.as("b"),
       col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
         && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)))).as("s"))
+    val sh = graft.util.PersistScope.track(docs.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)))).as("s")).persist(lvl))
     candidates
       .join(sh.as("s1"), col("id1") === col("s1.id"))
       .join(sh.as("s2"), col("id2") === col("s2.id"))
@@ -206,8 +210,11 @@ object Dedup {
     * MinHash path. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    // Persisted: the signature frame feeds the band derivation plus both
+    // verify joins — three consumers, one 32-bit-signature computation.
+    val sh = graft.util.PersistScope.track(docs.select(col(idCol).as("id"),
       SimHash32Expr.simhash32(tokens(col(textCol))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = sh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(1)),
         b => col("s").substr(b * 16 + 1, lit(16)))).as(Seq("band", "bits")))

@@ -73,6 +73,23 @@ object OpsQueries {
       .withColumn("sh", shingles(col("toks")))
       .select(col("doc_id"), array_distinct(col("sh")).as("s"))
 
+  // Shared across queries (x02/x03/x21 bands; x03/x05/x21/x23 shingles):
+  // one DISK_ONLY materialization per (session, dir) per harness pass
+  // instead of one per query. DISK_ONLY, not memory-first: these are the
+  // two corpus-sized frames, and the loop-heavy consumers (x21's component
+  // rounds) should not compete with them for executor memory. The session
+  // identity is part of the key so a frame never outlives or crosses its
+  // owning session.
+  private def sharedBands(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-bands|$d|${System.identityHashCode(s)}")(
+      bandsDf(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+
+  private def sharedShingles(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-shingles|$d|${System.identityHashCode(s)}")(
+      shingleSets(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+
   private val SimhashBitsSql =
     """array_to_string(list_transform(generate_series(1, 32), b ->
          CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
@@ -115,7 +132,7 @@ object OpsQueries {
           FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
                (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
           WHERE len(sig) > 0 AND sig[1] IS NOT NULL""") { (s, d) =>
-      bandsDf(t(s, d, "documents"))
+      sharedBands(s, d)
         .select(col("doc_id"), col("band").cast("int").as("band"), col("band_hash"))
     },
 
@@ -137,15 +154,14 @@ object OpsQueries {
       // Both join sides + the shingle frames reuse materialized results.
       // DISK_ONLY persist (not localCheckpoint): survives executor loss,
       // doesn't pin AQE, and spills instead of holding executor memory.
-      // PersistScope-tracked: the harness unpersists after the action.
-      val bands = graft.util.PersistScope.track(bandsDf(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      // SharedStages-scoped (not PersistScope): x02/x21 build the identical
+      // frames, so the whole pass computes them once.
+      val bands = sharedBands(s, d)
       val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sh = graft.util.PersistScope.track(shingleSets(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val sh = sharedShingles(s, d)
       pairs.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
@@ -168,8 +184,7 @@ object OpsQueries {
             round(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
               / greatest(len(list_distinct(a.s || b.s)), 1), 6) AS jaccard
           FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""") { (s, d) =>
-      val sh = graft.util.PersistScope.track(shingleSets(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val sh = sharedShingles(s, d)
       sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           round(size(array_intersect(col("a.s"), col("b.s"))).cast("double")
@@ -529,13 +544,14 @@ object OpsQueries {
           SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
           FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)""") { (s, d) =>
       import graft.util.PersistScope
-      val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
-      val bands = PersistScope.track(bandsDf(t(s, d, "documents")).persist(lvl))
+      // Band + shingle frames come from SharedStages: x21 consumes the SAME
+      // frames x02/x03/x05 build, so a full pass computes each once.
+      val bands = sharedBands(s, d)
       val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sh = PersistScope.track(shingleSets(t(s, d, "documents")).persist(lvl))
+      val sh = sharedShingles(s, d)
       // Edges are pair-graph sized (small) and re-read every propagation
       // round — memory-first, unlike the big bands/sh frames above.
       val edges = PersistScope.track(
@@ -598,8 +614,7 @@ object OpsQueries {
             len(list_filter(s, x -> list_contains(bset, x)))::DOUBLE
               / greatest(len(s), 1) >= 0.5 AS contaminated
           FROM sh, b WHERE doc_id >= 10""") { (s, d) =>
-      val sh = graft.util.PersistScope.track(shingleSets(t(s, d, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val sh = sharedShingles(s, d)
       val bench = sh.filter(col("doc_id") < 10)
         .agg(array_distinct(flatten(collect_list(col("s")))).as("bset"))
       val frac = size(array_intersect(col("s"), col("bset"))).cast("double") /

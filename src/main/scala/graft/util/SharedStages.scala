@@ -1,0 +1,44 @@
+package graft.util
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.DataFrame
+
+/** Cross-QUERY cache for persisted stages that several queries rebuild
+  * identically: the MinHash band frame and the distinct-shingle frame over
+  * the documents table are each built by three to four queries
+  * (x02/x03/x21 bands; x03/x05/x21/x23 shingles). [[PersistScope]] scopes a
+  * persist to ONE query's consuming action; a stage registered here instead
+  * survives until the harness finishes its whole pass and calls
+  * [[releaseAll]], so a suite run pays each shared computation once instead
+  * of four times. At 100 TB this is the difference between re-shingling the
+  * corpus per query and materializing the band/shingle tables once per
+  * pipeline run (the production form writes them to a staging table).
+  *
+  * Keys must encode everything the plan depends on: the builder bakes in
+  * the testdata dir and the owning session. `computeIfAbsent` gives
+  * compute-once under Verify's concurrent query pool — a second query
+  * needing the same stage blocks for the (lazy, action-free) plan build and
+  * then shares the first query's frame; Spark's cache manager serves both
+  * consumers from one set of blocks.
+  */
+object SharedStages {
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The frame for `key`, building it (persist included — the builder's
+    * job) on first use. */
+  def cached(key: String)(build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(key, _ => build)
+
+  /** Unpersist and forget every shared stage. Harnesses call this at
+    * end-of-pass — and a bench additionally between its warmup and timed
+    * passes, so the timed pass pays each shared computation exactly once
+    * (leaving the warmup's blocks in place would time cache reads and call
+    * them the cost of the pipeline). */
+  def releaseAll(): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) { it.next().getValue.unpersist(blocking = false); it.remove() }
+  }
+
+  /** Number of live shared stages (spec hook). */
+  def size: Int = cache.size()
+}

@@ -14,8 +14,10 @@ class PersistScopeSpec extends SparkSpec {
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  test("x03/x05 leave no persisted RDDs after releaseAll") {
+  test("x03/x05 leave no persisted RDDs after both scopes release") {
+    SharedStages.releaseAll() // other suites may have left shared stages live
     val baseline = persistedIds
+    val sharedBefore = SharedStages.size
     val persisted = Seq("x03_minhash_pairs", "x05_ngram_jaccard")
     persisted.foreach { name =>
       val q = graft.SparkEntry.queries(name)
@@ -23,8 +25,34 @@ class PersistScopeSpec extends SparkSpec {
       assert(df.count() >= 0)
       PersistScope.releaseAll()
     }
+    // The band/shingle frames are SHARED stages: they deliberately survive
+    // per-query release (x02/x21 reuse them) and x03+x05 register exactly
+    // bands+shingles between them...
+    assert(SharedStages.size == sharedBefore + 2,
+      s"expected bands+shingles as new shared stages, size=${SharedStages.size}")
+    // ...until the end-of-pass release, which must drop every block.
+    SharedStages.releaseAll()
     val leaked = persistedIds -- baseline
     assert(leaked.isEmpty, s"leaked RDD ids: $leaked")
+  }
+
+  test("SharedStages.cached is compute-once: same key returns the same frame") {
+    import spark.implicits._
+    SharedStages.releaseAll()
+    val baseline = persistedIds
+    var builds = 0
+    def build() = {
+      builds += 1
+      Seq(1, 2).toDF("n").persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+    val a = SharedStages.cached("spec-stage")(build())
+    val b = SharedStages.cached("spec-stage")(build())
+    assert(a eq b, "second lookup must reuse the first frame")
+    assert(builds == 1)
+    assert(a.count() == 2)
+    SharedStages.releaseAll()
+    assert(SharedStages.size == 0)
+    assert((persistedIds -- baseline).isEmpty)
   }
 
   test("track returns the dataset unchanged and releaseAll is idempotent") {
