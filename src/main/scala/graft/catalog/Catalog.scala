@@ -92,20 +92,33 @@ object WriteBack {
   /** Apply PII notes to column comments via native
     * `ALTER TABLE … ALTER COLUMN … COMMENT` (S15/S17 application path) with
     * append-if-absent change detection: re-running is a no-op. `findings`
-    * columns: (schema, table, column, types array). Returns comments changed. */
+    * columns: (schema, table, column, types array). Returns comments changed.
+    *
+    * Findings are grouped by table first so the metastore pays ONE
+    * listColumns round trip per table, not one per finding row — a wide
+    * table with 200 flagged columns is 1 call, not 200. `listDescriptions`
+    * is injectable so specs can count those round trips. */
   def applyColumnComments(spark: SparkSession, findings: DataFrame,
-                          maxLen: Int = 255): Int = {
+                          maxLen: Int = 255,
+                          listDescriptions: (String, String) => Map[String, String] = null): Int = {
+    val list: (String, String) => Map[String, String] =
+      if (listDescriptions != null) listDescriptions
+      else (db, tb) => spark.catalog.listColumns(db, tb).collect()
+        .map(c => c.name -> Option(c.description).getOrElse("")).toMap
     val rows = findings.select("schema", "table", "column", "types").distinct().collect()
     var changed = 0
-    for (r <- rows) {
-      val (db, tb, c) = (r.getString(0), r.getString(1), r.getString(2))
-      val note = s"PII: ${sortedCsv(r.getSeq[String](3))}"
-      val existing = spark.catalog.listColumns(db, tb).collect()
-        .find(_.name == c).flatMap(x => Option(x.description)).getOrElse("")
-      val merged = appendComment(existing, note, maxLen)
-      if (merged != existing) {
-        spark.sql(s"ALTER TABLE `${ident(db)}`.`${ident(tb)}` ALTER COLUMN `${ident(c)}` COMMENT '${sqlStr(merged)}'")
-        changed += 1
+    for (((db, tb), perTable) <- rows.groupBy(r => (r.getString(0), r.getString(1)))
+                                     .toSeq.sortBy(_._1)) {
+      val existingByCol = list(db, tb)
+      for (r <- perTable.sortBy(_.getString(2))) {
+        val c = r.getString(2)
+        val note = s"PII: ${sortedCsv(r.getSeq[String](3))}"
+        val existing = existingByCol.getOrElse(c, "")
+        val merged = appendComment(existing, note, maxLen)
+        if (merged != existing) {
+          spark.sql(s"ALTER TABLE `${ident(db)}`.`${ident(tb)}` ALTER COLUMN `${ident(c)}` COMMENT '${sqlStr(merged)}'")
+          changed += 1
+        }
       }
     }
     changed

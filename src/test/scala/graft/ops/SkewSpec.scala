@@ -33,4 +33,29 @@ class ColumnCommentSpec extends SparkSpec {
     val desc = spark.catalog.listColumns("demo_cc", "t").collect().head.description
     assert(desc == "the email PII: EMAIL,PHONE_NUMBER")
   }
+
+  test("write-back lists each table's columns once, not once per finding") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS demo_cc")
+    spark.sql("DROP TABLE IF EXISTS demo_cc.wide")
+    spark.sql("CREATE TABLE demo_cc.wide (a STRING, b STRING, c STRING) USING parquet")
+    val findings = Seq(
+      ("demo_cc", "wide", "a", Seq("EMAIL")),
+      ("demo_cc", "wide", "b", Seq("PHONE_NUMBER")),
+      ("demo_cc", "wide", "c", Seq("EMAIL", "SSN")))
+      .toDF("schema", "table", "column", "types")
+    var listCalls = 0
+    val counting = (db: String, tb: String) => {
+      listCalls += 1
+      spark.catalog.listColumns(db, tb).collect()
+        .map(col => col.name -> Option(col.description).getOrElse("")).toMap
+    }
+    assert(WriteBack.applyColumnComments(spark, findings, 255, counting) == 3)
+    assert(listCalls == 1, s"3 findings on one table must cost 1 listColumns, got $listCalls")
+    // and the comments actually landed
+    val descs = spark.catalog.listColumns("demo_cc", "wide").collect()
+      .map(c => c.name -> c.description).toMap
+    assert(descs("a") == "PII: EMAIL")
+    assert(descs("c") == "PII: EMAIL,SSN")
+  }
 }
