@@ -466,13 +466,14 @@ object OpsQueries {
 
     // Repetition-based quality filter (the Gopher-rules shape): per-doc
     // repeated-token fraction + top-bigram fraction, with a keep gate.
-    // Expression-level on purpose — zero shuffles, embarrassingly parallel;
-    // the per-doc mode computation is O(distinct·total) in interpreted HOFs,
-    // which is bounded for short-document corpora like this one. For corpora
-    // of very LONG documents, switch the top-bigram stage to the distributed
-    // wordcount form (explode → count per (doc, bigram) with map-side
-    // combine → per-doc max), trading two keyed shuffles for linear per-doc
-    // work — the x10 histogram already demonstrates that plan shape.
+    // Distributed wordcount shape — explode → (doc, gram) counts with
+    // map-side combine → per-doc aggregates → doc-keyed join. Linear per-doc
+    // work, so safe for UNBOUNDED document length: the expression-level
+    // alternative (array_distinct + a filter per distinct gram) is zero-
+    // shuffle but O(distinct·total) per doc in interpreted HOFs, which
+    // quietly turns a single book-length doc into a straggler task. Both
+    // keyed shuffles partial-aggregate, and the final join is doc-keyed on
+    // frames that are each one row per doc.
     QueryDef("x20_repetition_quality",
       """WITH s AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
            m AS (SELECT doc_id, tk,
@@ -491,18 +492,33 @@ object OpsQueries {
            rep <= 0.55 AND topb <= 0.08 AS keep
          FROM f""") { (s, d) =>
       val tk = col("tk")
-      val bg = col("bg")
-      t(s, d, "documents")
+      val base = t(s, d, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .withColumn("bg", when(size(tk) >= 2,
           transform(sequence(lit(1), size(tk) - 1),
             i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
           .otherwise(array().cast("array<string>")))
-        .withColumn("rep", lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk))
-        .withColumn("topb", when(size(bg) === 0, lit(0.0)).otherwise(
-          array_max(transform(array_distinct(bg),
-            x => size(filter(bg, y => y === x)))).cast("double") / size(bg)))
-        .select(col("doc_id"), size(tk).cast("int").as("n_tokens"),
+      // explode_outer + post-generate null filter, NOT a plain explode: a
+      // non-outer Generate lets InferFiltersFromGenerate push `size(arr)>0`
+      // into the scan as a DataFilter, re-evaluating the whole token/bigram
+      // construction per row inside the scan (the p04 trap — see SCALE.md
+      // "Catalyst gotcha").
+      // Token stats: split("x", " ") is never empty, so every doc has rows.
+      val tokStats = base.select(col("doc_id"), explode_outer(tk).as("token"))
+        .filter(col("token").isNotNull)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n_tok"), count(lit(1)).as("n_distinct"))
+      // Top bigram count: docs with < 2 tokens produce only a null row,
+      // filtered here — restored by the left join + coalesce below.
+      val topBigram = base.select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+        .filter(col("bigram").isNotNull)
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("max_bg"))
+      tokStats.join(topBigram, Seq("doc_id"), "left")
+        .withColumn("rep", lit(1.0) - col("n_distinct").cast("double") / col("n_tok"))
+        .withColumn("topb", coalesce(
+          col("max_bg").cast("double") / (col("n_tok") - 1), lit(0.0)))
+        .select(col("doc_id"), col("n_tok").cast("int").as("n_tokens"),
           round(col("rep"), 6).as("frac_repeated_tokens"),
           round(col("topb"), 6).as("top_bigram_frac"),
           (col("rep") <= 0.55 && col("topb") <= 0.08).as("keep"))
