@@ -150,16 +150,17 @@ object RelationalQueries {
          count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with,
          count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without
          FROM customer c GROUP BY c_mktsegment""") { (s, d) =>
-      val c = t(s, d, "customer")
-      val o = t(s, d, "orders").select("o_custkey")
-      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
-      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
-      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
-        .select(col("c_mktsegment"),
-          coalesce(col("n_with"), lit(0L)).as("n_with"),
-          coalesce(col("n_without"), lit(0L)).as("n_without"))
+      // Single pass over customer: a left join against the DISTINCT order
+      // custkeys (one row per key, so no fan-out) marks each customer, and
+      // conditional counts split the segments — versus the semi+anti form,
+      // which scans customer twice and pays a third join to stitch the two
+      // aggregates back together.
+      val c = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val o = t(s, d, "orders").select("o_custkey").distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(when(col("o_custkey").isNotNull, 1)).as("n_with"),
+          count(when(col("o_custkey").isNull, 1)).as("n_without"))
     },
 
     // Global top-k (TakeOrderedAndProject, no full sort).
