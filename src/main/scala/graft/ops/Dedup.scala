@@ -156,6 +156,90 @@ object Dedup {
     lab
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same contract as [[connectedComponents]]: (id, cluster_id =
+    * component min) for every id appearing in a pair.
+    *
+    * Why a second form: min-label propagation with pointer jumping moves
+    * labels along EDGES and jumps label chains, converging in O(log
+    * diameter) rounds with the edge set as the working set every round.
+    * The star algorithm instead REWRITES the edge set itself toward stars
+    * centered at component minima; its working set shrinks as components
+    * contract, and its convergence bound (O(log n) rounds, edge count
+    * non-increasing) holds regardless of diameter — the insurance form for
+    * adversarially deep components beyond 2^maxIters diameter. Same
+    * primitive per round as the propagation loop: a keyed min-agg + an
+    * equi-join over the edge set, nothing node-quadratic.
+    *
+    * Round shape: large-star hangs every neighbor v > u under m = min of
+    * u's closed neighborhood (kills long chains by hanging deep nodes
+    * directly under the local min); small-star then re-hangs every smaller
+    * neighbor and u itself under the minimum of u's smaller neighborhood
+    * (flattening two-level trees into stars). Both emit (parent, child)
+    * with parent < child, so the edge frame stays oriented. Fixpoint = the
+    * edge set is round-invariant; tested cheaply per round with a
+    * (count, hash-sum) signature and CONFIRMED with an exact anti-join
+    * before returning (a hash-collision fixpoint must not return silently
+    * truncated labels — same contract as the propagation form's throw). */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val nodes = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id"))).distinct()
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mn = sym.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mnd"))
+        .select(col("u"), least(col("u"), col("mnd")).as("m"))
+      sym.join(mn, sym("src") === mn("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("m").as("src"), col("dst")).distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      // edges oriented (src < dst); per child u the smaller neighborhood is
+      // exactly its parent set {src : (src, u)}.
+      val mn = edges.groupBy(col("dst").as("u")).agg(min(col("src")).as("m"))
+      val reattachParents = edges.join(mn, edges("dst") === mn("u"))
+        .filter(col("src") =!= col("m"))
+        .select(col("m").as("src"), col("src").as("dst"))
+      val attachChild = mn.select(col("m").as("src"), col("u").as("dst"))
+      reattachParents.union(attachChild).distinct()
+    }
+    def signature(edges: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent like sum but cannot overflow
+      // under ANSI mode. Self-cancellation needs DUPLICATE rows, which the
+      // per-round distinct rules out.
+      val r = edges.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = smallStar(largeStar(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))).localCheckpoint()
+    var prevSig = signature(cur)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val sig = signature(next)
+      if (sig == prevSig) {
+        // exact confirmation: hash-sum equality alone must never terminate
+        converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      }
+      prevSig = sig
+      cur = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIters rounds")
+    // Stars: every child hangs off its component min; centers label themselves.
+    // Nodes that lost all edges to self-loop-only input keep their own id.
+    val labels = cur.select(col("dst").as("id"), col("src").as("cluster_id"))
+      .union(cur.select(col("src").as("id"), col("src").as("cluster_id")).distinct())
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Transitive near-dup drop: ONE representative (the component minimum) per
     * connected near-duplicate cluster. Strictly stronger than the greedy
     * [[dropNearDuplicates]]: greedy keeps any doc whose verified neighbors
