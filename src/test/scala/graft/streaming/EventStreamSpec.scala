@@ -133,8 +133,44 @@ class EventStreamSpec extends SparkSpec {
       EventStream.tumblingAgg(EventStream.readEvents(spark, sf)),
       s"$tmp/out", s"$tmp/ckpt")
     try q.awaitTermination(120000) finally if (q.isActive) q.stop()
-    val out = spark.read.parquet(s"$tmp/out")
+    val out = ExactlyOnceSink.readCommitted(spark, s"$tmp/out")
     assert(out.count() > 0)
     assert(out.columns.contains("batch_id"))
+  }
+
+  test("exactly-once sink: replays, torn writes, and checkpoint loss do not duplicate") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_eo").toString
+    val out = s"$tmp/out"
+    val q = EventStream.toParquetBatches(
+      EventStream.tumblingAgg(EventStream.readEvents(spark, sf)), out, s"$tmp/ckpt")
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    def snapshot(): Seq[String] =
+      ExactlyOnceSink.readCommitted(spark, out).drop("batch_id")
+        .collect().map(_.mkString("|")).sorted.toIndexedSeq
+    val clean = snapshot()
+    assert(clean.nonEmpty)
+    // a driver-materialized copy of batch 0, detached from the files it
+    // came from (writeBatch overwrites that dir — can't read-and-overwrite)
+    val batchStatic = {
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+      spark.createDataFrame(spark.sparkContext.parallelize(b0.collect().toIndexedSeq), b0.schema)
+    }
+    // 1. Straight replay of a committed batch (crash AFTER marker): skipped.
+    assert(!ExactlyOnceSink.writeBatch(batchStatic, 0L, out))
+    assert(snapshot() == clean)
+    // 2. Torn write (crash DURING the data write, BEFORE the marker): the
+    // batch dir holds duplicate garbage and no marker — readers never see
+    // it, and the replay overwrites it back to exactly one copy.
+    val marker0 = new java.io.File(s"$out/_commits/0")
+    assert(marker0.delete())
+    batchStatic.write.mode("append").parquet(s"$out/batch_id=0") // torn junk
+    assert(ExactlyOnceSink.writeBatch(batchStatic, 0L, out))
+    assert(snapshot() == clean)
+    // 3. Checkpoint loss: a fresh run re-issues batch 0 from scratch —
+    // marker present, batch skipped, effects unchanged.
+    val q2 = EventStream.toParquetBatches(
+      EventStream.tumblingAgg(EventStream.readEvents(spark, sf)), out, s"$tmp/ckpt2")
+    try q2.awaitTermination(120000) finally if (q2.isActive) q2.stop()
+    assert(snapshot() == clean)
   }
 }
