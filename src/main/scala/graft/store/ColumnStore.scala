@@ -81,4 +81,37 @@ object ColumnStore {
     }
     if (fs.exists(old)) fs.delete(old, true)
   }
+
+  /** Snapshot reader for a store that may be mid-swap: returns the contents
+    * of SOME committed version — the pre-swap store (possibly via its
+    * `.old` alias during the rename gap) or the post-swap one — never a
+    * torn mix and never a spurious not-found.
+    *
+    * Two races are absorbed: (1) the swap's two-rename gap, where `path`
+    * momentarily doesn't exist — fall through to `.old`, retry if both
+    * vanish between checks; (2) the store being renamed AWAY mid-read —
+    * the eager localCheckpoint materializes the snapshot inside the read
+    * attempt, so the returned frame is severed from the directory and
+    * cannot observe later renames; a rename racing the materialization
+    * surfaces as an exception here and retries. The gap is two directory
+    * renames, so the retry budget is generous overkill. */
+  def readStore(spark: SparkSession, path: String, maxAttempts: Int = 50): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var last: Throwable = null
+    for (_ <- 1 to maxAttempts) {
+      val candidate =
+        if (fs.exists(new Path(path))) Some(path)
+        else if (fs.exists(new Path(path + ".old"))) Some(path + ".old")
+        else None
+      candidate match {
+        case Some(p) =>
+          try return spark.read.parquet(p).localCheckpoint(true)
+          catch { case e: Exception => last = e }
+        case None => // mid-gap: both names absent for a rename's duration
+      }
+      Thread.sleep(10)
+    }
+    throw new java.io.IOException(
+      s"no readable store at $path after $maxAttempts attempts", last)
+  }
 }

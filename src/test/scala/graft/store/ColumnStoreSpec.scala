@@ -67,6 +67,41 @@ class ColumnStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".staging-deadbeef")))
   }
 
+  test("concurrent readers during swaps see a committed version, never a torn store") {
+    // Writer applies versions v1..v6 (every key's description moves in
+    // lockstep); readers hammer readStore the whole time. Snapshot
+    // isolation = every read returns ALL 40 keys carrying ONE version
+    // string — a mixed-version result or a not-found is a torn read.
+    val path = java.nio.file.Files.createTempDirectory("colstore_si").toString + "/columns"
+    val keys = (1 to 40).map(i => s"col_$i")
+    def version(v: Int) = df(keys.map(k => ("c", "s", "t", k, "string", s"v$v")): _*)
+    ColumnStore.upsertParquet(spark, path, version(1)) // seed: a store always exists
+    @volatile var writerDone = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = new Thread(() => {
+      try for (v <- 2 to 6) ColumnStore.upsertParquet(spark, path, version(v))
+      catch { case e: Throwable => failures.add(s"writer: $e") }
+      finally writerDone = true
+    })
+    val readers = (1 to 2).map(_ => new Thread(() => {
+      try while (!writerDone) {
+        val rows = ColumnStore.readStore(spark, path)
+          .collect().map(r => (r.getString(3), r.getString(5)))
+        val versions = rows.map(_._2).distinct
+        if (versions.length != 1)
+          failures.add(s"torn read: versions ${versions.toSeq.sorted}")
+        else if (rows.length != keys.length)
+          failures.add(s"partial read: ${rows.length} rows at ${versions.head}")
+      } catch { case e: Throwable => failures.add(s"reader: $e") }
+    }))
+    readers.foreach(_.start()); writer.start()
+    writer.join(120000); readers.foreach(_.join(120000))
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    // and the final state is the last version everywhere
+    val fin = ColumnStore.readStore(spark, path).collect().map(_.getString(5)).distinct
+    assert(fin.toSeq == Seq("v6"))
+  }
+
   test("duplicate keys within one incoming batch deduplicate deterministically") {
     val incoming = df(
       ("c", "s", "t", "x", "int", "a"),
