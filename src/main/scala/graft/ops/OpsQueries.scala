@@ -498,23 +498,25 @@ object OpsQueries {
           transform(sequence(lit(1), size(tk) - 1),
             i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
           .otherwise(array().cast("array<string>")))
-      // explode_outer + post-generate null filter, NOT a plain explode: a
-      // non-outer Generate lets InferFiltersFromGenerate push `size(arr)>0`
-      // into the scan as a DataFilter, re-evaluating the whole token/bigram
-      // construction per row inside the scan (the p04 trap — see SCALE.md
-      // "Catalyst gotcha").
-      // Token stats: split("x", " ") is never empty, so every doc has rows.
-      val tokStats = base.select(col("doc_id"), explode_outer(tk).as("token"))
-        .filter(col("token").isNotNull)
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(sum("c").as("n_tok"), count(lit(1)).as("n_distinct"))
-      // Top bigram count: docs with < 2 tokens produce only a null row,
-      // filtered here — restored by the left join + coalesce below.
-      val topBigram = base.select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
-        .filter(col("bigram").isNotNull)
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("max_bg"))
-      tokStats.join(topBigram, Seq("doc_id"), "left")
+      // ONE explode over tokens-and-bigrams tagged by kind, so the whole
+      // filter is a single scan + a single keyed aggregation chain — no
+      // second pass, no doc-keyed join. explode_outer + post-generate null
+      // filter, NOT a plain explode: a non-outer Generate lets
+      // InferFiltersFromGenerate push `size(arr)>0` into the scan as a
+      // DataFilter, re-evaluating the gram construction per row inside the
+      // scan (the p04 trap — see SCALE.md "Catalyst gotcha").
+      // split("x", " ") is never empty, so every doc keeps its token rows
+      // even when it has no bigrams.
+      val grams = base.select(col("doc_id"), explode_outer(concat(
+          transform(tk, x => struct(x.as("g"), lit(0).as("kind"))),
+          transform(col("bg"), x => struct(x.as("g"), lit(1).as("kind"))))).as("e"))
+        .filter(col("e").isNotNull)
+        .select(col("doc_id"), col("e.g").as("g"), col("e.kind").as("kind"))
+      grams.groupBy("doc_id", "kind", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(when(col("kind") === 0, col("c"))).as("n_tok"),
+          count(when(col("kind") === 0, 1)).as("n_distinct"),
+          max(when(col("kind") === 1, col("c"))).as("max_bg"))
         .withColumn("rep", lit(1.0) - col("n_distinct").cast("double") / col("n_tok"))
         .withColumn("topb", coalesce(
           col("max_bg").cast("double") / (col("n_tok") - 1), lit(0.0)))
