@@ -707,5 +707,141 @@ object OpsQueries {
       t(s, d, "documents").select(col("doc_id"),
         size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).cast("long").as("n_words"),
         size(expr("regexp_extract_all(text, '[^A-Za-z0-9_\\\\s]', 0)")).cast("long").as("n_punct"))
+    },
+
+    // Symmetric int8 embedding quantization — the storage/memory scale lever
+    // for ANN over 100 TB of vectors (4x smaller than float32, integer dot
+    // products downstream). Per-vector scale = max|e|/127; q_i =
+    // floor(e_i/max|e|*127 + 0.5) — the explicit-floor form so both engines
+    // round identically. Pure map stage, zero shuffle; max_err is the
+    // self-verifying reconstruction bound (≤ scale/2 by construction).
+    QueryDef("x26_quantize_embeddings",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
+          m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS emax FROM e),
+          q AS (SELECT vec_id, e, emax,
+            list_transform(e, v -> CASE WHEN emax = 0 THEN 0
+              ELSE CAST(floor(v / emax * 127 + 0.5) AS INT) END) AS qv FROM m)
+          SELECT vec_id, round(emax / 127, 6) AS scale,
+            array_to_string(qv, ',') AS qvec,
+            round(list_max(list_transform(generate_series(1, len(e)),
+              i -> abs(qv[i]::DOUBLE * emax / 127 - e[i]))), 6) AS max_err
+          FROM q""") { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("e"))
+        .withColumn("emax", array_max(transform(col("e"), v => abs(v))))
+        .withColumn("qv", transform(col("e"), v =>
+          when(col("emax") === 0, lit(0))
+            .otherwise(floor(v / col("emax") * 127 + 0.5).cast("int"))))
+        .select(col("vec_id"), round(col("emax") / 127, 6).as("scale"),
+          array_join(transform(col("qv"), q => q.cast("string")), ",").as("qvec"),
+          round(array_max(zip_with(col("qv"), col("e"),
+            (q, v) => abs(q.cast("double") * col("emax") / 127 - v))), 6).as("max_err"))
+    },
+
+    // ANN over the QUANTIZED vectors: integer dot products (exact, cheap,
+    // SIMD-friendly) on 4x-smaller data. Brute top-k here to isolate the
+    // quantization; the bucketed candidate generation (x07/x15) composes
+    // unchanged. Integer scores make the ranking bit-deterministic.
+    QueryDef("x27_quantized_ann",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
+          m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS emax FROM e),
+          qb AS (SELECT vec_id,
+            list_transform(e, v -> CASE WHEN emax = 0 THEN 0
+              ELSE CAST(floor(v / emax * 127 + 0.5) AS INT) END) AS qv FROM m),
+          qq AS (SELECT vec_id AS qid, qv AS q FROM qb WHERE vec_id < 16)
+          SELECT qid, vec_id, rank, dot FROM (
+            SELECT qq.qid, b.vec_id,
+              CAST(list_sum(list_transform(generate_series(1, len(qq.q)),
+                i -> qq.q[i]::BIGINT * b.qv[i]::BIGINT)) AS BIGINT) AS dot,
+              CAST(row_number() OVER (PARTITION BY qq.qid
+                ORDER BY list_sum(list_transform(generate_series(1, len(qq.q)),
+                  i -> qq.q[i]::BIGINT * b.qv[i]::BIGINT)) DESC, b.vec_id) AS INT) AS rank
+            FROM qq, qb b WHERE b.vec_id <> qq.qid)
+          WHERE rank <= 3""") { (s, d) =>
+      // Persisted: queries + corpus both derive from the quantized frame
+      // (same reason x07 persists its bucket frame).
+      val qb = graft.util.PersistScope.track(
+        t(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("e"))
+          .withColumn("emax", array_max(transform(col("e"), v => abs(v))))
+          .select(col("vec_id"), transform(col("e"), v =>
+            when(col("emax") === 0, lit(0))
+              .otherwise(floor(v / col("emax") * 127 + 0.5).cast("int"))).as("qv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val q = qb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("qv").as("q"))
+      val dot = aggregate(zip_with(col("q"), col("qv"),
+        (a, b) => a.cast("long") * b.cast("long")), lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+      qb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"), col("rank"), col("dot"))
+    },
+
+    // Duplicated-n-gram fraction (the MassiveText/Gopher repetition signal
+    // at corpus scope): per doc, the fraction of its word 5-gram
+    // OCCURRENCES whose gram also appears in at least one other document.
+    // Shape: one explode → (doc, gram) counts with map-side combine, a
+    // gram-keyed distinct-doc count, a gram equi-join, per-doc agg — every
+    // stage keyed, nothing pairwise. Docs under 5 tokens have no grams and
+    // drop out (both engines agree).
+    QueryDef("x28_dup_ngram_fraction",
+      """WITH g AS (SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                   string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                   string_split(text, ' ')[i+4])) AS gram FROM documents),
+          c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+          nd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+            round(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_fraction,
+            (sum(CASE WHEN nd >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)) > 0.3 AS flagged
+          FROM c JOIN nd USING (gram) GROUP BY doc_id""") { (s, d) =>
+      val tk = tokens(col("text"))
+      val g = t(s, d, "documents")
+        .select(col("doc_id"), when(size(tk) >= 5,
+          transform(sequence(lit(1), size(tk) - 4),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+              element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+        .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .filter(col("gram").isNotNull) // outer+filter: keep grams out of scan DataFilters
+      val c = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      val nd = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+      val dupFrac = sum(when(col("nd") >= 2, col("c")).otherwise(0)).cast("double") / sum("c")
+      c.join(nd, "gram")
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_grams"),
+          round(dupFrac, 6).as("dup_fraction"),
+          (dupFrac > 0.3).as("flagged"))
+    },
+
+    // Hard-negative mining for embedding training: per query vector, the
+    // most similar vectors with a DIFFERENT label — the pairs a contrastive
+    // fine-tune needs most. Same scale shape as x06 (broadcast queries, one
+    // corpus scan, per-query top-k window); swap the scan for the x07/x15
+    // bucketed candidates when the corpus outgrows brute force.
+    QueryDef("x29_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 8)
+          SELECT qid, vec_id, rank, cos FROM (
+            SELECT q.qid, e.vec_id,
+              round(${cosineSql("q.qe", "e.embedding")}, 5) AS cos,
+              CAST(row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${cosineSql("q.qe", "e.embedding")} DESC, e.vec_id) AS INT) AS rank
+            FROM q, embeddings e WHERE e.label <> q.ql)
+          WHERE rank <= 3""") { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("ql"))
+      val w = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("ql"))
+        .withColumn("rawcos", cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
     })
 }

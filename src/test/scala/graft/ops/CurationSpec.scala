@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantic invariants for the x26-x29 curation ops (the oracle queries
+  * check exact values; these pin the properties that make the ops USEFUL). */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x26 quantization: codes bounded, reconstruction error within scale/2") {
+    val rows = graft.SparkEntry.queries("x26_quantize_embeddings")(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getString(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((scale, qcsv, maxErr) <- rows) {
+      val codes = qcsv.split(",").map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.exists(c => math.abs(c) == 127), "max-magnitude dim must hit full scale")
+      // floor(x+0.5) rounding puts every dim within half a quantization step
+      assert(maxErr <= scale / 2 + 1e-6, s"max_err $maxErr vs scale $scale")
+    }
+  }
+
+  test("x27 quantized ANN: dense ranks, self excluded, scores descend") {
+    val rows = graft.SparkEntry.queries("x27_quantized_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    graft.util.PersistScope.releaseAll()
+    assert(rows.nonEmpty)
+    for ((qid, perQ) <- rows.groupBy(_._1)) {
+      assert(perQ.map(_._3).sorted.sameElements(1 to perQ.length) && perQ.length <= 3)
+      assert(perQ.forall(_._2 != qid))
+      val byRank = perQ.sortBy(_._3).map(_._4)
+      assert(byRank.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("x28 duplicated-ngram fraction: bounded, and planted near-dups flag high") {
+    val rows = graft.SparkEntry.queries("x28_dup_ngram_fraction")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, f, flag) =>
+      n > 0 && f >= 0.0 && f <= 1.0 && flag == (f > 0.3) })
+    // the corpus plants near-duplicate docs (x03/x21 find them), so SOME
+    // docs must carry overwhelmingly shared 5-grams, and most docs must not
+    assert(rows.exists(_._3 > 0.9), "planted near-dups should share ~all 5-grams")
+    assert(rows.count(!_._4) > rows.length / 2, "most docs are not near-dups")
+  }
+
+  test("x29 hard negatives carry a different label than their query") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.SparkEntry.queries("x29_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    for ((qid, vid, _) <- rows)
+      assert(emb(vid) != emb(qid), s"vec $vid shares label with query $qid")
+    for ((_, perQ) <- rows.groupBy(_._1))
+      assert(perQ.map(_._3).sorted.sameElements(1 to perQ.length))
+  }
+}
