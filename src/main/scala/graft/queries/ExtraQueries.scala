@@ -219,5 +219,32 @@ object ExtraQueries {
       if (q.isActive) q.stop()
       // update-mode memory sink appends per batch; take the latest emission
       graft.streaming.EventStream.sessionTotals(q.sparkSession, name)
+    },
+
+    // The exactly-once foreachBatch sink through the correctness gate: the
+    // tumbling aggregation streams into the txn-marker parquet sink, and the
+    // COMMITTED contents read back must equal the batch oracle — same SQL
+    // as q10. Committed batches keep every update-mode emission, so the
+    // read-back keeps only each key's latest batch (one row per key within
+    // a batch by construction).
+    QueryDef("s05_stream_exactly_once",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+         FROM events GROUP BY 1, 2""") { (s, d) =>
+      import graft.streaming.{EventStream, ExactlyOnceSink}
+      val tmp = java.nio.file.Files.createTempDirectory("s05_eo").toString
+      val q = EventStream.toParquetBatches(
+        EventStream.tumblingAgg(EventStream.readEvents(s, d)),
+        s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("window_start", "event_type")
+        .orderBy(col("batch_id").desc)
+      ExactlyOnceSink.readCommitted(s, s"$tmp/out")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("window_start", "event_type", "n", "sum_value")
     })
 }
