@@ -809,8 +809,19 @@ object OpsQueries {
           .otherwise(array().cast("array<string>")).as("grams"))
         .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
         .filter(col("gram").isNotNull) // outer+filter: keep grams out of scan DataFilters
-      val c = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      val nd = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+        // shuffle the 8-byte gram hash, not the ~35-byte gram string: the
+        // op only ever compares grams for equality, and a 64-bit collision
+        // across even billions of distinct grams is past the durability of
+        // the storage under it
+        .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      // One pass over the gram stream: the distinct-doc count per gram is a
+      // row count over `c` (one row per (doc, gram) there already), so the
+      // raw explode is never evaluated twice. Persisted — both the join
+      // probe and the nd build read it.
+      val c = graft.util.PersistScope.track(
+        g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nd = c.groupBy("gram").agg(count(lit(1)).as("nd"))
       val dupFrac = sum(when(col("nd") >= 2, col("c")).otherwise(0)).cast("double") / sum("c")
       c.join(nd, "gram")
         .groupBy("doc_id")
