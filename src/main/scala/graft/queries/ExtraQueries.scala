@@ -246,5 +246,32 @@ object ExtraQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("window_start", "event_type", "n", "sum_value")
+    },
+
+    // INCREMENTAL PII scan — the reference's core batch use case run as a
+    // stream: the customer sample arrives through a streaming source, the
+    // same one-pass detection expression runs per micro-batch (stateless →
+    // append semantics, no state store), and findings land through the
+    // exactly-once sink. Committed findings must equal p01's batch oracle
+    // EXACTLY — the whole point of an incremental scan is that nobody can
+    // tell it apart from the batch one.
+    QueryDef("s06_stream_pii_scan",
+      PiiQueries.defs.find(_.name == "p01_pii_candidates").get.oracle.get) { (s, d) =>
+      import graft.streaming.{EventStream, ExactlyOnceSink}
+      // FileStreamSource takes a directory; select the customer file by glob
+      val schema = s.read.parquet(s"$d/customer.parquet").schema
+      val detected = PiiInputs.fromCustomer(
+          s.readStream.schema(schema).option("pathGlobFilter", "customer.parquet").parquet(d))
+        .select(col("doc_id"),
+          posexplode(graft.functions.pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
+        .select(col("doc_id"), col("candidate_idx"),
+          col("c.value").as("value"), col("c.rule_label").as("rule_label"),
+          col("c.rule_confidence").as("rule_confidence"))
+      val tmp = java.nio.file.Files.createTempDirectory("s06_eo").toString
+      val q = EventStream.toParquetBatches(detected, s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      ExactlyOnceSink.readCommitted(s, s"$tmp/out")
+        .select("doc_id", "candidate_idx", "value", "rule_label", "rule_confidence")
     })
 }

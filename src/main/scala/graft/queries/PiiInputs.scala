@@ -20,7 +20,13 @@ object PiiInputs {
   private def lp(c: Column, n: Int): Column = lpad(c.cast("string"), n, "0")
 
   /** Columns (doc_id, text) derived from customer. */
-  def df(spark: SparkSession, sfDir: String): DataFrame = {
+  def df(spark: SparkSession, sfDir: String): DataFrame =
+    fromCustomer(QueryDef.t(spark, sfDir, "customer"))
+
+  /** The same construction over an arbitrary customer frame — pure column
+    * expressions, so it applies unchanged to a STREAMING customer source
+    * (s06 scans the catalog sample incrementally). */
+  def fromCustomer(customer: DataFrame): DataFrame = {
     val c = col("c_custkey")
     val name = concat(chr(lit(65) + c % 26), lit("ohn "), chr(lit(65) + (c * 11) % 26), lit("mith"))
     val email = concat(lit("user"), c.cast("string"), lit("@example.com"))
@@ -48,8 +54,7 @@ object PiiInputs {
       lit("Contact "), name, lit(" <"), email, lit("> or call "), phone,
       lit(". Card "), cc, lit(" SSN "), ssn, lit(" IP "), ip, lit(" MAC "), mac,
       lit(" Aadhaar "), aad, lit(" PAN "), pan, lit(" "), dob, date, lit("."))
-    QueryDef.t(spark, sfDir, "customer")
-      .select(c.as("doc_id"), text.as("text"))
+    customer.select(c.as("doc_id"), text.as("text"))
   }
 
   /** The identical construction as a DuckDB CTE body producing (doc_id, text).
