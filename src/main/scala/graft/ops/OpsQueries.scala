@@ -105,12 +105,14 @@ object OpsQueries {
 
   private def lshBucket(vec: Column): Column = VectorOps.lshBucket(vec)
 
-  private val LshBucketSql =
-    """array_to_string(list_transform(generate_series(0, 7), p ->
+  private def lshBucketSqlFor(planes: Int) =
+    s"""array_to_string(list_transform(generate_series(0, ${planes - 1}), p ->
          CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
            embedding[i]::DOUBLE * (CASE WHEN substr(md5(p::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1)
              IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END))) >= 0
          THEN '1' ELSE '0' END), '')"""
+
+  private val LshBucketSql = lshBucketSqlFor(8)
 
   // ---- queries -----------------------------------------------------------
 
@@ -854,5 +856,98 @@ object OpsQueries {
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
+    },
+
+    // The PRODUCTION ANN composition, with its quality measured in-query:
+    // MULTI-PROBE LSH candidate generation (coarse 4-plane buckets; each
+    // query also probes its 4 Hamming-1 neighbor buckets — the standard
+    // recall lever that keeps the bucket EQUI-JOIN shape, just 5 probe keys
+    // per query instead of 1) over int8-quantized codes (x26), ranked by
+    // exact integer dot product, scored as top-3 RECALL against the float
+    // brute-force ground truth. The recall column is the self-verifying
+    // quality metric — an ANN without a measured recall is a guess, not an
+    // index — and single-probe 8-plane buckets measurably fail it on this
+    // corpus (recall ≈ 0), which is exactly what the metric is for.
+    QueryDef("x30_ann_recall", {
+      val cosQZ = cosineSql("q.qe", "z.embedding")
+      s"""WITH b AS (SELECT vec_id, embedding, list_transform(embedding, v -> v::DOUBLE) AS e,
+              ${lshBucketSqlFor(4)} AS bucket FROM embeddings),
+          m AS (SELECT vec_id, embedding, e, bucket,
+              list_max(list_transform(e, v -> abs(v))) AS emax FROM b),
+          qz AS (SELECT vec_id, embedding, bucket,
+              list_transform(e, v -> CASE WHEN emax = 0 THEN 0
+                ELSE CAST(floor(v / emax * 127 + 0.5) AS INT) END) AS qv FROM m),
+          q AS (SELECT vec_id AS qid, embedding AS qe, qv AS qq,
+              list_transform(generate_series(0, 4), p -> CASE WHEN p = 0 THEN bucket
+                ELSE substr(bucket, 1, p - 1)
+                  || (CASE WHEN substr(bucket, p, 1) = '1' THEN '0' ELSE '1' END)
+                  || substr(bucket, p + 1, 4 - p) END) AS probes
+              FROM qz WHERE vec_id < 16),
+          qp AS (SELECT qid, qq, unnest(probes) AS pb FROM q),
+          exact AS (SELECT qid, vec_id FROM (
+              SELECT q.qid, z.vec_id,
+                row_number() OVER (PARTITION BY q.qid ORDER BY $cosQZ DESC, z.vec_id) AS rn
+              FROM q, qz z WHERE z.vec_id <> q.qid) WHERE rn <= 3),
+          approx AS (SELECT qid, vec_id FROM (
+              SELECT qp.qid, z.vec_id,
+                row_number() OVER (PARTITION BY qp.qid ORDER BY
+                  list_sum(list_transform(generate_series(1, len(qp.qq)),
+                    i -> qp.qq[i]::BIGINT * z.qv[i]::BIGINT)) DESC, z.vec_id) AS rn
+              FROM qp JOIN qz z ON z.bucket = qp.pb AND z.vec_id <> qp.qid) WHERE rn <= 3),
+          cand AS (SELECT qp.qid, count(*) AS n_candidates
+              FROM qp JOIN qz z ON z.bucket = qp.pb AND z.vec_id <> qp.qid GROUP BY 1),
+          hits AS (SELECT e.qid, count(*) AS h FROM exact e
+              JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id GROUP BY 1)
+          SELECT q.qid, CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+            round(coalesce(h.h, 0) / 3.0, 6) AS recall
+          FROM q LEFT JOIN cand c USING (qid) LEFT JOIN hits h USING (qid)"""
+    }) { (s, d) =>
+      // One persisted frame carries raw embedding + bucket + int8 codes:
+      // ground truth, candidates, and approx ranking all read it.
+      val qz = graft.util.PersistScope.track(
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            transform(col("embedding"), v => v.cast("double")).as("e"),
+            VectorOps.lshBucket(col("embedding"), 4, 64).as("bucket"))
+          .withColumn("emax", array_max(transform(col("e"), v => abs(v))))
+          .select(col("vec_id"), col("embedding"), col("bucket"),
+            transform(col("e"), v => when(col("emax") === 0, lit(0))
+              .otherwise(floor(v / col("emax") * 127 + 0.5).cast("int"))).as("qv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bkt = col("bucket")
+      val probes = transform(sequence(lit(0), lit(4)), p =>
+        when(p === 0, bkt).otherwise(concat(
+          bkt.substr(lit(1), p - 1),
+          when(bkt.substr(p, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+          bkt.substr(p + 1, lit(4) - p))))
+      val q = qz.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("qv").as("qq"), probes.as("probes"))
+      val qp = q.select(col("qid"), col("qq"), explode(col("probes")).as("pb"))
+      val wCos = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))
+      val exact = qz.crossJoin(broadcast(q.drop("probes", "qq")))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rawcos", cosine(col("qe"), col("embedding")))
+        .withColumn("rn", row_number().over(wCos))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"))
+      // 5 probe keys per query, still a bucket equi-join; pair-dup-free
+      // because every vector lives in exactly one bucket
+      val bucketPairs = qz.join(broadcast(qp),
+          col("bucket") === col("pb") && col("vec_id") =!= col("qid"))
+      val wDot = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+      val approx = bucketPairs
+        .withColumn("dot", aggregate(zip_with(col("qq"), col("qv"),
+          (a, b) => a.cast("long") * b.cast("long")), lit(0L), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(wDot))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"))
+      val cand = bucketPairs.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
+      val hits = exact.join(approx, Seq("qid", "vec_id")).groupBy("qid").agg(count(lit(1)).as("h"))
+      q.select(col("qid"))
+        .join(cand, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).cast("long").as("n_candidates"),
+          round(coalesce(col("h"), lit(0L)) / 3.0, 6).as("recall"))
     })
 }

@@ -46,6 +46,18 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(!_._4) > rows.length / 2, "most docs are not near-dups")
   }
 
+  test("x30 multiprobe recall: bounded, nonzero in aggregate, candidates a strict subset") {
+    val rows = graft.SparkEntry.queries("x30_ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.util.PersistScope.releaseAll()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == 16)
+    assert(rows.forall { case (_, c, rec) => rec >= 0.0 && rec <= 1.0 && c < n - 1 })
+    // multiprobe must actually find SOME true neighbors (single-probe
+    // 8-plane scored 0.0 across the board here — the motivating failure)
+    assert(rows.map(_._3).sum > 0.0)
+  }
+
   test("x29 hard negatives carry a different label than their query") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label").collect()
