@@ -173,4 +173,34 @@ class EventStreamSpec extends SparkSpec {
     try q2.awaitTermination(120000) finally if (q2.isActive) q2.stop()
     assert(snapshot() == clean)
   }
+
+  test("exactly-once sink across many micro-batches equals the batch computation") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("s06_multi").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    // three input files -> maxFilesPerTrigger=1 forces >= 3 micro-batches
+    for (i <- 0 to 2) {
+      val part = s"$tmp/part$i"
+      cust.filter(col("c_custkey") % 3 === i).coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(inDir, s"f$i.parquet").toPath)
+    }
+    def detect(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.PiiInputs.fromCustomer(df)
+        .select(col("doc_id"), posexplode(graft.functions.pii_candidates(col("text")))
+          .as(Seq("candidate_idx", "c")))
+        .select(col("doc_id"), col("candidate_idx"), col("c.value").as("value"))
+    val stream = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val q = EventStream.toParquetBatches(detect(stream), s"$tmp/out", s"$tmp/ckpt")
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val markers = new java.io.File(s"$tmp/out/_commits").list()
+    assert(markers.length >= 3, s"expected >=3 committed batches, got ${markers.toSeq}")
+    val streamed = ExactlyOnceSink.readCommitted(spark, s"$tmp/out")
+      .select("doc_id", "candidate_idx", "value")
+      .collect().map(_.mkString("|")).sorted
+    val batch = detect(cust).collect().map(_.mkString("|")).sorted
+    assert(streamed.sameElements(batch))
+  }
 }
