@@ -21,6 +21,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x26 on adversarial vectors: zero, constant-negative, spike, random") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6L)
+    val vecs = Seq(
+      0L -> Array.fill(64)(0f),                       // zero vector: scale 0, codes 0
+      1L -> Array.fill(64)(-0.5f),                    // constant negative: all codes -127
+      2L -> (Array.fill(63)(1e-6f) :+ 8f),            // spike: tiny dims quantize to 0
+      3L -> Array.fill(64)((rnd.nextFloat() - 0.5f) * 10f))
+    val tmp = java.nio.file.Files.createTempDirectory("quant_adv").toString
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val rows = graft.SparkEntry.queries("x26_quantize_embeddings")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(rows(0L) == ((0.0, Array.fill(64)("0").mkString(","), 0.0)))
+    assert(rows(1L)._2 == Array.fill(64)("-127").mkString(","))
+    val spikeCodes = rows(2L)._2.split(",").map(_.toInt)
+    assert(spikeCodes.last == 127 && spikeCodes.init.forall(_ == 0))
+    for ((_, (scale, qcsv, maxErr)) <- rows) {
+      assert(qcsv.split(",").map(_.toInt).forall(c => c >= -127 && c <= 127))
+      assert(maxErr <= scale / 2 + 1e-6)
+    }
+  }
+
   test("x27 quantized ANN: dense ranks, self excluded, scores descend") {
     val rows = graft.SparkEntry.queries("x27_quantized_ann")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
