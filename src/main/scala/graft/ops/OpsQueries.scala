@@ -858,6 +858,34 @@ object OpsQueries {
         .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
     },
 
+    // Training-mix assembly (domain reweighting): each source gets a TOKEN
+    // budget (weights 1-3x by source index here; in production the mixture
+    // config), docs are taken in deterministic hash order until the
+    // cumulative tokens before a doc reach the budget — so every source
+    // contributes a reproducible, budget-bounded slice regardless of its
+    // corpus share. One window shuffle per source stream (x25's shape);
+    // no rand, identical output on any cluster size.
+    QueryDef("x31_mixture_budget",
+      """SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+           SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_doc,
+             (1 + CAST(substr(source, 4) AS INT) % 3) * 3000 AS budget
+           FROM documents)
+         WHERE before_doc < budget""") { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"), size(tokens(col("text"))).as("nt"))
+        .withColumn("before_doc", coalesce(sum("nt").over(w), lit(0)))
+        .withColumn("budget",
+          (lit(1) + substring(col("source"), 4, 10).cast("int") % 3) * 3000)
+        .filter(col("before_doc") < col("budget"))
+        .select(col("source"), col("doc_id"), col("nt").cast("long").as("n_tokens"))
+    },
+
     // The PRODUCTION ANN composition, with its quality measured in-query:
     // MULTI-PROBE LSH candidate generation (coarse 4-plane buckets; each
     // query also probes its 4 Hamming-1 neighbor buckets — the standard

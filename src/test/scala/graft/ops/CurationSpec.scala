@@ -80,6 +80,26 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0.0)
   }
 
+  test("x31 mixture: every source bounded by its token budget, overshoot < one doc") {
+    val rows = graft.SparkEntry.queries("x31_mixture_budget")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.keySet.size == 20, "every source contributes a slice")
+    for ((src, docs) <- bySource) {
+      val budget = (1 + src.drop(3).toInt % 3) * 3000
+      val total = docs.map(_._3).sum
+      val maxDoc = docs.map(_._3).max
+      // before_doc < budget admits the doc that crosses the line, no more
+      assert(total < budget + maxDoc, s"$src: $total tokens vs budget $budget")
+      assert(total >= math.min(budget, docs.map(_._3).sum), s"$src under-filled")
+    }
+    // deterministic: a second run selects the identical set
+    val again = graft.SparkEntry.queries("x31_mixture_budget")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.sameElements(rows.sorted))
+  }
+
   test("x29 hard negatives carry a different label than their query") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label").collect()
