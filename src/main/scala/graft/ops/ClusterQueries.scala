@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Clustering-family curation ops: deterministic k-means over int8 codes
+  * (x32), SemDeDup-style within-cluster semantic dedup composing it (x33),
+  * and passage-level first-occurrence dedup with document reassembly (x34).
+  *
+  * Determinism posture (what makes these oracle-checkable): every cross-row
+  * reduction that feeds a float is an exact INTEGER sum (int8 codes, int64
+  * dot products / norms / centroid sums), so no result depends on partial-agg
+  * order; the only float folds are per-row, fixed index order in both
+  * engines.
+  */
+object ClusterQueries {
+
+  private val K = 8
+  private val Iters = 2
+  private val Tau = 0.4 // quantized-cosine dedup threshold (organic near-dups)
+
+  /** The int8-quantization + 2-round Lloyd chain as DuckDB CTEs (mirrors
+    * KMeans.assignments: init = vectors with id < k, assign, integer-sum
+    * centroid update, assign). The oracle's assignment is a row_number
+    * window; the engine's is an in-row array_min argmin — same (dist², cid)
+    * ordering, so identical assignments. */
+  private def kmeansCte(withD2: Boolean): String = {
+    val d2 = """list_sum(list_transform(generate_series(1, 64),
+          i -> (b.qv[i]::DOUBLE - c.ce[i]) * (b.qv[i]::DOUBLE - c.ce[i])))"""
+    val d2Col = if (withD2) s", $d2 AS d2" else ""
+    val d2Out = if (withD2) ", d2" else ""
+    s"""e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
+ m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS emax FROM e),
+ qb AS (SELECT vec_id, list_transform(e, v -> CASE WHEN emax = 0 THEN 0
+          ELSE CAST(floor(v / emax * 127 + 0.5) AS INT) END) AS qv FROM m),
+ c0 AS (SELECT vec_id AS cid, list_transform(qv, v -> v::DOUBLE) AS ce FROM qb WHERE vec_id < $K),
+ a1 AS (SELECT vec_id, qv, cid FROM (
+    SELECT b.vec_id, b.qv, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cid) AS rn
+    FROM qb b CROSS JOIN c0 c) WHERE rn = 1),
+ u1 AS (SELECT cid, pos, sum(qv[pos])::DOUBLE / count(*) AS val
+        FROM a1, (SELECT unnest(generate_series(1, 64)) AS pos) GROUP BY cid, pos),
+ c1 AS (SELECT cid, list(val ORDER BY pos) AS ce FROM u1 GROUP BY cid),
+ a2 AS (SELECT vec_id, qv, cid$d2Out FROM (
+    SELECT b.vec_id, b.qv, c.cid$d2Col,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cid) AS rn
+    FROM qb b CROSS JOIN c1 c) WHERE rn = 1)"""
+  }
+
+  /** Final k-means assignment, shared between x32/x33: computed and
+    * persisted once per (session, dir) harness pass. MEMORY_AND_DISK — the
+    * frame is one row per vector with a 64-int code array, and the x33 pair
+    * join reads it twice. */
+  private def sharedKmeans(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"embeddings-kmeans|$d|${System.identityHashCode(s)}") {
+      val qb = KMeans.withInt8Codes(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")), "embedding", "qv")
+        .select("vec_id", "qv")
+      KMeans.assignments(qb, "vec_id", "qv", K, Iters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic k-means (k=8, 2 Lloyd rounds) over int8 codes: the
+    // cluster index for IVF/SemDeDup. Assignment is shuffle-free (broadcast
+    // centroid array + in-row argmin); the update shuffles k·dims integer
+    // rows. The window count here is the only corpus-keyed shuffle.
+    QueryDef("x32_kmeans",
+      s"""WITH ${kmeansCte(withD2 = true)}
+          SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+            CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size,
+            round(d2, 4) AS dist2
+          FROM a2""") { (s, d) =>
+      sharedKmeans(s, d)
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          count(lit(1)).over(Window.partitionBy("cid")).as("cluster_size"),
+          round(col("dist2"), 4).as("dist2"))
+    },
+
+    // SemDeDup: within-CLUSTER near-duplicate pruning — pairs are generated
+    // only inside a k-means cell (cluster-key equi-join; the cells bound the
+    // pair blowup the way LSH buckets do in x16), scored by QUANTIZED cosine
+    // (integer dot and norms — exact, order-independent), greedy min-id
+    // survivor anti-join. Composes the x32 assignment via the shared stage.
+    QueryDef("x33_semantic_dedup",
+      s"""WITH ${kmeansCte(withD2 = false)},
+          pairs AS (
+            SELECT a.vec_id AS i1, b.vec_id AS i2,
+              list_sum(list_transform(generate_series(1, 64), i -> a.qv[i]::BIGINT * b.qv[i]::BIGINT))::DOUBLE
+                / (sqrt(list_sum(list_transform(a.qv, v -> v::BIGINT * v::BIGINT))::DOUBLE)
+                   * sqrt(list_sum(list_transform(b.qv, v -> v::BIGINT * v::BIGINT))::DOUBLE)) AS qcos
+            FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          doomed AS (SELECT DISTINCT i2 FROM pairs WHERE qcos >= $Tau)
+          SELECT q.vec_id FROM qb q ANTI JOIN doomed d ON q.vec_id = d.i2""") { (s, d) =>
+      val a = sharedKmeans(s, d)
+        .withColumn("qn", KMeans.int8SqNorm(col("qv")))
+      val qcos = KMeans.int8Dot(col("q1"), col("q2")).cast("double") /
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))
+      val doomed = a.select(col("vec_id").as("i1"), col("qv").as("q1"), col("qn").as("n1"), col("cid"))
+        .join(a.select(col("vec_id").as("i2"), col("qv").as("q2"), col("qn").as("n2"), col("cid")),
+          "cid")
+        .filter(col("i1") < col("i2"))
+        .filter(qcos >= Tau)
+        .select(col("i2").as("vec_id")).distinct()
+      sharedKmeans(s, d).select("vec_id").join(doomed, Seq("vec_id"), "left_anti")
+    },
+
+    // Passage-level first-occurrence dedup (boilerplate removal): docs split
+    // into 8-token passages; only the globally-first occurrence of each
+    // passage text survives; docs reassembled from surviving passages.
+    // See Dedup.passageDedup for the shape.
+    QueryDef("x34_passage_dedup",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         p AS (SELECT doc_id, j AS pos, array_to_string(tk[(j*8+1):(j*8+8)], ' ') AS ptext
+               FROM tk, unnest(generate_series(0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS t(j)),
+         w AS (SELECT md5(ptext) AS h, min(doc_id * 1000000000 + pos) AS win FROM p GROUP BY 1),
+         kept AS (SELECT p.doc_id, p.pos, p.ptext, (p.doc_id * 1000000000 + p.pos = w.win) AS keep
+                  FROM p JOIN w ON md5(p.ptext) = w.h)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+           coalesce(string_agg(ptext, ' ' ORDER BY pos) FILTER (keep), '') AS cleaned_text
+         FROM kept GROUP BY doc_id""") { (s, d) =>
+      Dedup.passageDedup(t(s, d, "documents"), "doc_id", "text", passageTokens = 8)
+    })
+}

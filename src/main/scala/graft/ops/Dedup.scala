@@ -313,6 +313,58 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Passage-level first-occurrence dedup — the scalable cousin of exact
+    * substring dedup: each document is split into consecutive non-overlapping
+    * `passageTokens`-token passages; a passage occurrence survives iff it is
+    * the globally FIRST occurrence of that passage text (ordered by
+    * (docId, position)); the document is reassembled from its surviving
+    * passages in order. Boilerplate shared across documents (headers,
+    * licenses, templated spans) disappears from every doc but the first.
+    *
+    * Output: (idCol, n_passages, n_kept, cleaned_text) — one row per doc; a
+    * fully-duplicated doc keeps 0 passages and reassembles to "".
+    *
+    * Scale shape: one explode to ~tokens/passageTokens passage rows; the
+    * first-occurrence winner is a keyed min-agg over an 8-byte xxhash64
+    * passage key (map-side combine; the hash only ever feeds equality — a
+    * 64-bit collision across billions of passages is past the durability of
+    * the storage); one equi-join back on that key; one doc-keyed agg whose
+    * collect_list is bounded by document length. Nothing pairwise, nothing
+    * collected to the driver. */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+                   passageTokens: Int = 8): DataFrame = {
+    val tk = col("__tk")
+    val nPassages = ceil(size(tk) / lit(passageTokens.toDouble)).cast("int")
+    val passages = transform(sequence(lit(0), nPassages - 1),
+      j => array_join(slice(tk, j * passageTokens + 1, lit(passageTokens)), " "))
+    // posexplode_outer + null filter, not posexplode: a non-outer Generate
+    // lets InferFiltersFromGenerate push size(passages)>0 into the scan as a
+    // DataFilter, re-evaluating the passage construction per row inside the
+    // scan (the p04 Catalyst trap; passages are never empty anyway — even
+    // "" tokenizes to one token and one passage).
+    val p = graft.util.PersistScope.track(
+      docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+        .select(col(idCol), posexplode_outer(passages).as(Seq("pos", "ptext")))
+        .filter(col("ptext").isNotNull)
+        .withColumn("h", xxhash64(col("ptext")))
+        // (docId, pos) encoded as one int64 so the winner is a plain MIN
+        // (map-side combinable); 1e9 bounds passages/doc at a billion —
+        // far past any real document at 8+ tokens per passage
+        .withColumn("key", col(idCol).cast("long") * 1000000000L + col("pos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val winners = p.groupBy("h").agg(min("key").as("win"))
+    p.join(winners, "h")
+      .withColumn("keep", col("key") === col("win"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops nulls, so only kept passages enter; array_sort
+        // on (pos, ptext) structs restores document order (pos unique per doc)
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("ptext"))))),
+          x => x.getField("ptext")), " ").as("cleaned_text"))
+  }
+
   /** Exact dedup: one representative (min id) per identical text. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val reps = docs.groupBy(md5(col(textCol)).as("__fp")).agg(min(col(idCol)).as(idCol))

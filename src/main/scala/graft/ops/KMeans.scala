@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over integer-quantized vectors — the cluster
+  * index a 100 TB curation pipeline needs for IVF training and SemDeDup-style
+  * semantic dedup (ref: catalog-pii-scanner has no clustering; this is part
+  * of the extended LLM-data-pipeline surface, same family as
+  * `embeddings.py:63-70`'s vector handling).
+  *
+  * Why integer codes: a float centroid mean is a SUM of floats, and float
+  * sums depend on reduction order — a distributed partial-agg would drift
+  * run to run (and engine to engine). Over int8 codes the per-cluster sums
+  * are exact int64s (order-independent), so centroid components are the
+  * exact rational sum/count evaluated once as a double: bit-identical on
+  * any cluster size, any partitioning, and in DuckDB.
+  *
+  * Scale shape per iteration:
+  *  - ASSIGN is shuffle-free: the k centroids collapse to ONE broadcast row
+  *    (array of (cid, centroid)); each vector folds over that array and
+  *    takes `array_min` of (dist², cid) structs — an argmin with a
+  *    deterministic min-cid tie-break, computed entirely inside the row.
+  *    No window, no per-vector shuffle (the window form would shuffle the
+  *    whole corpus once per iteration).
+  *  - UPDATE shuffles only (cid, dim) keyed integer sums with map-side
+  *    combine: k·dims rows out of any corpus size.
+  */
+object KMeans {
+
+  /** Stage symmetric int8 codes of a float/double array column as `qvCol`
+    * (same construction as the x26 quantization query: scale = max|v|/127,
+    * explicit floor(x+0.5) rounding so engines agree). The max-abs scale is
+    * staged as a real column — inlining it into the per-element lambda would
+    * re-evaluate the array_max per element (interpreted HOFs do no CSE). */
+  def withInt8Codes(df: DataFrame, vecCol: String, qvCol: String): DataFrame =
+    df.withColumn("__km_e", transform(col(vecCol), v => v.cast("double")))
+      .withColumn("__km_emax", array_max(transform(col("__km_e"), v => abs(v))))
+      .withColumn(qvCol, transform(col("__km_e"), v =>
+        when(col("__km_emax") === 0, lit(0))
+          .otherwise(floor(v / col("__km_emax") * 127 + 0.5).cast("int"))))
+      .drop("__km_e", "__km_emax")
+
+  /** Exact integer squared norm of an int-code array (for quantized cosine:
+    * cos = dot / (sqrt(n1)·sqrt(n2)) with every input an exact int64). */
+  def int8SqNorm(qv: Column): Column =
+    aggregate(qv, lit(0L), (acc, v) => acc + v.cast("long") * v.cast("long"))
+
+  /** Exact integer dot product of two int-code arrays. */
+  def int8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  private def dist2(qv: Column, ce: Column): Column =
+    aggregate(zip_with(qv, ce, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** One shuffle-free assignment pass: `centsArr` is a one-row frame with a
+    * `cs: array<struct<cid, ce>>` column. Adds `cid` + `dist2`. */
+  private def assignOnce(qb: DataFrame, idCol: String, qvCol: String,
+                         centsArr: DataFrame): DataFrame = {
+    val best = array_min(transform(col("__km_cs"),
+      c => struct(dist2(col(qvCol), c.getField("ce")).as("d2"),
+        c.getField("cid").as("cid"))))
+    qb.crossJoin(broadcast(centsArr))
+      .withColumn("__km_best", best)
+      .select(col(idCol), col(qvCol),
+        col("__km_best.cid").as("cid"), col("__km_best.d2").as("dist2"))
+  }
+
+  /** Collapse a (cid, ce) centroid frame to the one-row broadcast form. */
+  private def toArr(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("__km_cs"))
+
+  /** Final (id, qv, cid, dist2) assignment after `iters` Lloyd passes.
+    * Init: centroids = the vectors with id < k (k-means with deterministic
+    * seeding; production would hash-sample instead — same shape). A cluster
+    * that loses all members simply stops existing (no re-seeding), matching
+    * the oracle's join semantics. */
+  def assignments(qb: DataFrame, idCol: String, qvCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val init = qb.filter(col(idCol) < k)
+      .select(col(idCol).as("cid"), transform(col(qvCol), v => v.cast("double")).as("ce"))
+    var assigned = assignOnce(qb, idCol, qvCol, toArr(init))
+    for (_ <- 2 to iters) {
+      // (cid, dim)-keyed exact integer sums -> k·dims rows -> per-cid arrays.
+      // array_sort on (pos, val) structs restores dimension order: pos is
+      // unique per cid, so the sort is total and val never breaks a tie.
+      val cents = assigned
+        .select(col("cid"), posexplode(col(qvCol)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("n")).as("val")))).as("pv"))
+        .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
+      assigned = assignOnce(qb, idCol, qvCol, toArr(cents))
+    }
+    assigned
+  }
+}
