@@ -80,20 +80,31 @@ object KMeans {
   def assignments(qb: DataFrame, idCol: String, qvCol: String,
                   k: Int, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val init = qb.filter(col(idCol) < k)
+    // Persisted: the code frame feeds the init-centroid filter plus one
+    // assignment pass per iteration — without it every consumer re-derives
+    // the quantization chain from the source scan (and the update pass's
+    // Generate would push the chain into scan DataFilters on top).
+    val qbP = graft.util.PersistScope.track(
+      qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val init = qbP.filter(col(idCol) < k)
       .select(col(idCol).as("cid"), transform(col(qvCol), v => v.cast("double")).as("ce"))
-    var assigned = assignOnce(qb, idCol, qvCol, toArr(init))
+    var assigned = assignOnce(qbP, idCol, qvCol, toArr(init))
     for (_ <- 2 to iters) {
       // (cid, dim)-keyed exact integer sums -> k·dims rows -> per-cid arrays.
       // array_sort on (pos, val) structs restores dimension order: pos is
       // unique per cid, so the sort is total and val never breaks a tie.
+      // posexplode_outer + null filter, not posexplode: a non-outer Generate
+      // lets InferFiltersFromGenerate push size(qv)>0 toward the source as a
+      // per-row filter that re-evaluates the quantization (the p04 trap;
+      // caught here by plan audit — codes are never null anyway).
       val cents = assigned
-        .select(col("cid"), posexplode(col(qvCol)).as(Seq("pos", "v")))
+        .select(col("cid"), posexplode_outer(col(qvCol)).as(Seq("pos", "v")))
+        .filter(col("pos").isNotNull)
         .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
           (col("s").cast("double") / col("n")).as("val")))).as("pv"))
         .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
-      assigned = assignOnce(qb, idCol, qvCol, toArr(cents))
+      assigned = assignOnce(qbP, idCol, qvCol, toArr(cents))
     }
     assigned
   }
