@@ -365,6 +365,53 @@ object Dedup {
           x => x.getField("ptext")), " ").as("cleaned_text"))
   }
 
+  /** Duplicated-n-gram statistics (the MassiveText/Gopher repetition signal
+    * at corpus scope): per doc, the fraction of its word n-gram OCCURRENCES
+    * whose gram also appears in at least one other document, and a flag at
+    * `flagThreshold`. The x28 query's engine, exposed as an API.
+    *
+    * Shape: one explode → (doc, gram) counts with map-side combine, a
+    * gram-keyed distinct-doc count derived from the reduced frame, a gram
+    * equi-join, per-doc agg — every stage keyed, nothing pairwise. Grams
+    * shuffle as 64-bit hashes (equality is their only use).
+    *
+    * `saltBuckets > 0` switches the gram join to [[Skew.saltedJoin]]: on a
+    * real corpus a boilerplate gram (license header, template span) can put
+    * a constant fraction of ALL occurrence rows on one reducer — beyond what
+    * AQE's skew splitting fixes when a single key exceeds every split
+    * target. Salting splits each hot gram across `saltBuckets` reducers at
+    * the cost of replicating the (gram, nd) side; identical output. */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, flagThreshold: Double = 0.3,
+                    saltBuckets: Int = 0): DataFrame = {
+    val tk = tokens(col(textCol))
+    val gram = transform(sequence(lit(1), size(tk) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
+    val g = docs
+      .select(col(idCol), when(size(tk) >= n, gram)
+        .otherwise(array().cast("array<string>")).as("grams"))
+      // outer+filter: keep the gram construction out of scan DataFilters
+      // (the recurring InferFiltersFromGenerate trap)
+      .select(col(idCol), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(col(idCol), xxhash64(col("gram")).as("gram"))
+    // One pass over the gram stream: the distinct-doc count per gram is a
+    // row count over `c` (one row per (doc, gram) there already). Persisted —
+    // both the join probe and the nd build read it.
+    val c = graft.util.PersistScope.track(
+      g.groupBy(idCol, "gram").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nd = c.groupBy("gram").agg(count(lit(1)).as("nd"))
+    val joined =
+      if (saltBuckets > 0) Skew.saltedJoin(c, nd, Seq("gram"), saltBuckets)
+      else c.join(nd, "gram")
+    val dupFrac = sum(when(col("nd") >= 2, col("c")).otherwise(0)).cast("double") / sum("c")
+    joined.groupBy(idCol)
+      .agg(sum("c").cast("long").as("n_grams"),
+        round(dupFrac, 6).as("dup_fraction"),
+        (dupFrac > flagThreshold).as("flagged"))
+  }
+
   /** Exact dedup: one representative (min id) per identical text. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val reps = docs.groupBy(md5(col(textCol)).as("__fp")).agg(min(col(idCol)).as(idCol))

@@ -802,34 +802,13 @@ object OpsQueries {
             round(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_fraction,
             (sum(CASE WHEN nd >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)) > 0.3 AS flagged
           FROM c JOIN nd USING (gram) GROUP BY doc_id""") { (s, d) =>
-      val tk = tokens(col("text"))
-      val g = t(s, d, "documents")
-        .select(col("doc_id"), when(size(tk) >= 5,
-          transform(sequence(lit(1), size(tk) - 4),
-            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-              element_at(tk, i + 2), element_at(tk, i + 3), element_at(tk, i + 4))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-        .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-        .filter(col("gram").isNotNull) // outer+filter: keep grams out of scan DataFilters
-        // shuffle the 8-byte gram hash, not the ~35-byte gram string: the
-        // op only ever compares grams for equality, and a 64-bit collision
-        // across even billions of distinct grams is past the durability of
-        // the storage under it
-        .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-      // One pass over the gram stream: the distinct-doc count per gram is a
-      // row count over `c` (one row per (doc, gram) there already), so the
-      // raw explode is never evaluated twice. Persisted — both the join
-      // probe and the nd build read it.
-      val c = graft.util.PersistScope.track(
-        g.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nd = c.groupBy("gram").agg(count(lit(1)).as("nd"))
-      val dupFrac = sum(when(col("nd") >= 2, col("c")).otherwise(0)).cast("double") / sum("c")
-      c.join(nd, "gram")
-        .groupBy("doc_id")
-        .agg(sum("c").cast("long").as("n_grams"),
-          round(dupFrac, 6).as("dup_fraction"),
-          (dupFrac > 0.3).as("flagged"))
+      // Engine lives in Dedup.dupNgramStats (grams shuffle as 64-bit hashes;
+      // the distinct-doc count derives from the reduced (doc, gram) frame).
+      // saltBuckets=0: the synthetic corpus has no hot boilerplate gram; a
+      // real corpus with one switches the gram join to the salted form —
+      // same output, spec-proven (SkewSpec).
+      Dedup.dupNgramStats(t(s, d, "documents"), "doc_id", "text",
+        n = 5, flagThreshold = 0.3)
     },
 
     // Hard-negative mining for embedding training: per query vector, the

@@ -107,27 +107,38 @@ object EventStream {
     // The event-time column must reach the stateful operator with its
     // watermark tag intact (EventTimeTimeout is rejected otherwise), so `ts`
     // is carried as a timestamp and floored to seconds inside the fold.
+    // State carries a GENERATION key (the first event second the state saw):
+    // eviction removes a user's state, and later events start a FRESH state
+    // whose running totals restart from zero — emissions from different
+    // generations must never be max-merged, they are partials to SUM (found
+    // by the 16-batch soak: totals froze at the first eviction). A session
+    // can never span generations: eviction requires the watermark to pass
+    // max(end)+gap, so every pre-eviction interval is final and later
+    // events open genuinely new sessions. Generation keys are distinct per
+    // user because each new generation starts at an event second strictly
+    // beyond the watermark that killed the previous one.
     src.select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"))
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Seq[(Long, Long)], Long), (Long, Long, Long)](
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Long, Long), (Long, Long, Long, Long)](
         OutputMode.Update, timeoutConf) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
-         state: GroupState[(Seq[(Long, Long)], Long)]) =>
+         state: GroupState[(Seq[(Long, Long)], Long, Long)]) =>
           if (state.hasTimedOut) {
-            // Watermark passed last activity + gap: totals are final. Emit
-            // once more (idempotent for sessionTotals — identical to the last
-            // running emission) and drop the state.
-            val (ivs, nEv) = state.get
+            // Watermark passed last activity + gap: this generation's totals
+            // are final. Emit once more (idempotent for sessionTotals —
+            // identical to the last running emission) and drop the state.
+            val (ivs, nEv, gen) = state.get
             state.remove()
-            Iterator((user, ivs.size.toLong, nEv))
+            Iterator((user, gen, ivs.size.toLong, nEv))
           } else {
-            var (ivs, nEv) = state.getOption.getOrElse((Seq.empty[(Long, Long)], 0L))
+            var (ivs, nEv, gen) = state.getOption.getOrElse((Seq.empty[(Long, Long)], 0L, -1L))
             var any = false
             rows.foreach { case (_, ts, _) =>
               any = true
               nEv += 1
               val sec = Math.floorDiv(ts.getTime, 1000L) // == unix_timestamp(ts)
+              if (gen == -1L) gen = sec
               val (touch, rest) = ivs.partition { case (s0, e0) =>
                 sec >= s0 - gapSeconds && sec <= e0 + gapSeconds
               }
@@ -137,7 +148,7 @@ object EventStream {
             }
             if (!any) Iterator.empty
             else {
-              state.update((ivs, nEv))
+              state.update((ivs, nEv, gen))
               if (evictAfterGap) {
                 // Evict when the watermark proves no event can extend any
                 // interval: max session end + gap. Must stay strictly above
@@ -145,24 +156,26 @@ object EventStream {
                 val target = (ivs.map(_._2).max + gapSeconds) * 1000L
                 state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
               }
-              Iterator((user, ivs.size.toLong, nEv))
+              Iterator((user, gen, ivs.size.toLong, nEv))
             }
           }
       }
-      .toDF("user_id", "n_sessions", "n_events")
+      .toDF("user_id", "gen", "n_sessions", "n_events")
   }
 
   /** Final per-user totals from a sessionize memory sink. Update-mode memory
     * sinks APPEND one row per (user, batch) — earlier batches leave stale
-    * running totals behind — so the latest emission must be selected, not
-    * the raw table. `n_events` strictly increases with every emission for a
-    * user, so the row with max n_events IS the latest state. */
+    * running totals behind — so within each STATE GENERATION the latest
+    * emission must be selected (`n_events` strictly increases per emission,
+    * so max n_events is the latest), and the per-generation finals SUM to
+    * the user total (each generation counts disjoint sessions/events). */
   def sessionTotals(session: SparkSession, sinkTable: String): DataFrame =
     session.table(sinkTable)
-      .groupBy("user_id")
+      .groupBy("user_id", "gen")
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("m"))
-      .select(col("user_id"), col("m.n_sessions").as("n_sessions"),
-        col("m.n_events").as("n_events"))
+      .groupBy("user_id")
+      .agg(sum(col("m.n_sessions")).as("n_sessions"),
+        sum(col("m.n_events")).as("n_events"))
 
   /** Run the sessionization stream to completion over the (finite) events
     * dir: memory sink (update mode), AvailableNow. See [[runOnce]] for the
@@ -232,7 +245,9 @@ object EventStream {
 
   /** Run the streaming-dedup pipeline to completion (complete mode). */
   def runDistinctUsers(spark: SparkSession, dir: String, queryName: String = "events_dedup",
-                       statePartitions: Option[Int] = None): StreamingQuery = {
+                       statePartitions: Option[Int] = None,
+                       glob: String = "events.parquet",
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val session = statePartitions match {
       case Some(n) =>
         val s = spark.newSession()
@@ -240,7 +255,7 @@ object EventStream {
         s
       case None => spark
     }
-    distinctUsersPerType(readEvents(session, dir))
+    distinctUsersPerType(readEvents(session, dir, glob, maxFilesPerTrigger))
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -18,6 +18,25 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted.size == 1000)
   }
+
+  test("dup-ngram stats: salted gram join equals the plain form on a hot-gram corpus") {
+    import spark.implicits._
+    // boilerplate 5-gram in EVERY doc (the hot key AQE can't split further),
+    // plus unique per-doc content
+    val boiler = "this content is licensed under"
+    val docs = (0L until 200L).map(i =>
+      (i, s"$boiler unique token run number $i alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+    val plain = rows(Dedup.dupNgramStats(docs, "doc_id", "text"))
+    graft.util.PersistScope.releaseAll()
+    val salted = rows(Dedup.dupNgramStats(docs, "doc_id", "text", saltBuckets = 8))
+    graft.util.PersistScope.releaseAll()
+    assert(salted == plain)
+    // the boilerplate run spans 5-gram windows shared by all docs -> every
+    // doc has duplicated occurrences; the unique tail keeps fractions < 1
+    assert(plain.forall { case (_, _, frac, _) => frac > 0.0 && frac < 1.0 })
+  }
 }
 
 class ColumnCommentSpec extends SparkSpec {
