@@ -384,10 +384,16 @@ object Dedup {
   def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 5, flagThreshold: Double = 0.3,
                     saltBuckets: Int = 0): DataFrame = {
-    val tk = tokens(col(textCol))
+    // Token array STAGED as a column: the gram lambda references it n+2
+    // times, and splicing the split() tree in would re-split the whole
+    // document once per element_at per gram — O(tokens·n) splits per doc
+    // (the cold-run straggler the round-6 bench caught; CollapseProject
+    // keeps the stage because the alias is non-cheap and multiply-referenced).
+    val tk = col("__tk")
     val gram = transform(sequence(lit(1), size(tk) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*))
     val g = docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
       .select(col(idCol), when(size(tk) >= n, gram)
         .otherwise(array().cast("array<string>")).as("grams"))
       // outer+filter: keep the gram construction out of scan DataFilters
