@@ -29,6 +29,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // The warmup pass only de-colds the timed pass if the compiled codegen
+      // classes SURVIVE until it: the cache defaults to 100 entries and the
+      // suite compiles several stages per query × 74 queries, so by the time
+      // the timed pass starts most warmup-era classes are evicted and the
+      // "warm" run re-pays Janino + fresh-class JIT on the clock (observed
+      // as multi-second spikes hopping between sub-second queries run to
+      // run). Static conf — must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Codegen/JIT warmup at the TARGET SF: identical (query, dir) pairs to
