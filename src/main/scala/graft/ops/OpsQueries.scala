@@ -90,6 +90,27 @@ object OpsQueries {
       shingleSets(t(s, d, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
+  /** Verified near-dup edge set (jaccard ≥ 0.8 over LSH candidates) — the
+    * pair graph x21 (clusters) and x35 (cross-source matrix) both consume.
+    * Pair-graph sized (only docs WITH a near-dup appear) and re-read by
+    * x21's propagation rounds — memory-first, unlike the corpus-sized
+    * band/shingle frames above. */
+  private def sharedEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-edges08|$d|${System.identityHashCode(s)}") {
+      val bands = sharedBands(s, d)
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val sh = sharedShingles(s, d)
+      cand.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
+        .filter(size(array_intersect(col("s1.s"), col("s2.s"))).cast("double")
+          / greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)) >= 0.8)
+        .select(col("d1"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private val SimhashBitsSql =
     """array_to_string(list_transform(generate_series(1, 32), b ->
          CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
@@ -563,24 +584,10 @@ object OpsQueries {
           lab AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id)
           SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
           FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)""") { (s, d) =>
-      import graft.util.PersistScope
-      // Band + shingle frames come from SharedStages: x21 consumes the SAME
-      // frames x02/x03/x05 build, so a full pass computes each once.
-      val bands = sharedBands(s, d)
-      val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sh = sharedShingles(s, d)
-      // Edges are pair-graph sized (small) and re-read every propagation
-      // round — memory-first, unlike the big bands/sh frames above.
-      val edges = PersistScope.track(
-        cand.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-          .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
-          .filter(size(array_intersect(col("s1.s"), col("s2.s"))).cast("double")
-            / greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)) >= 0.8)
-          .select(col("d1"), col("d2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // Band + shingle + EDGE frames come from SharedStages: x21 consumes
+      // the SAME frames x02/x03/x05/x35 build, so a full pass computes each
+      // once.
+      val edges = sharedEdges(s, d)
       val lab = Dedup.connectedComponents(
         edges.select(col("d1").as("id1"), col("d2").as("id2")))
       // Window count = one shuffle on cluster_id; the agg+join form pays two.
@@ -956,5 +963,43 @@ object OpsQueries {
         .join(hits, Seq("qid"), "left")
         .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).cast("long").as("n_candidates"),
           round(coalesce(col("h"), lit(0L)) / 3.0, 6).as("recall"))
+    },
+
+    // Cross-source duplication matrix — provenance analytics for a corpus
+    // curator: verified near-dup pair counts by (source, source), i.e. which
+    // ingestion sources copy from each other (mirrors, scrapes, re-posts).
+    // Rides the SHARED band/shingle/edge stages (x21 consumes the same edge
+    // frame), so its marginal cost is two doc_id joins over the pair-graph-
+    // sized edge set + a tiny keyed agg; the (src_a, src_b) key is
+    // direction-normalized with least/greatest so mirrored pairs land in
+    // one cell.
+    QueryDef("x35_cross_source_dup",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+            FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+          edges AS (
+            SELECT p.d1, p.d2 FROM cand p
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8)
+          SELECT least(da.source, db.source) AS src_a,
+                 greatest(da.source, db.source) AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM edges e JOIN documents da ON da.doc_id = e.d1
+                       JOIN documents db ON db.doc_id = e.d2
+          GROUP BY 1, 2""") { (s, d) =>
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      sharedEdges(s, d)
+        .join(src.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(src.as("sb"), col("d2") === col("sb.doc_id"))
+        .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+          greatest(col("sa.source"), col("sb.source")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
     })
 }

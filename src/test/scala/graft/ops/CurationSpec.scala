@@ -68,6 +68,20 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(!_._4) > rows.length / 2, "most docs are not near-dups")
   }
 
+  test("x35 cross-source matrix: direction-normalized, totals match the edge count") {
+    val rows = graft.SparkEntry.queries("x35_cross_source_dup")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    graft.util.SharedStages.releaseAll()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, n) => a <= b && n >= 1 })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // the matrix partitions the verified pair set: cell totals == pair count
+    val pairs = Dedup.nearDuplicatePairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 0.8).count()
+    graft.util.PersistScope.releaseAll()
+    assert(rows.map(_._3).sum == pairs, s"matrix total vs $pairs verified pairs")
+  }
+
   test("x30 multiprobe recall: bounded, nonzero in aggregate, candidates a strict subset") {
     val rows = graft.SparkEntry.queries("x30_ann_recall")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
