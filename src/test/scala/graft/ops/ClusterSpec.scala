@@ -109,6 +109,67 @@ class ClusterSpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L, "p q r s t u v w")))
   }
 
+  test("kmeans differential: matches an in-memory reference Lloyd over random int codes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(606L)
+    val dims = 8
+    val vecs: Seq[(Long, Array[Int])] =
+      (0L until 120L).map(i => (i, Array.fill(dims)(rnd.nextInt(255) - 127)))
+    val k = 4
+    val iters = 3
+    // reference Lloyd: same init (id < k), same (dist2, cid) tie-break,
+    // same exact integer centroid sums
+    var cents: Map[Long, Array[Double]] =
+      vecs.filter(_._1 < k).map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def d2(v: Array[Int], c: Array[Double]): Double =
+      v.zip(c).map { case (x, cc) => (x - cc) * (x - cc) }.sum
+    var expected: Map[Long, Long] = Map.empty
+    for (it <- 1 to iters) {
+      expected = vecs.map { case (id, v) =>
+        id -> cents.toSeq.map { case (cid, c) => (d2(v, c), cid) }.min._2
+      }.toMap
+      if (it < iters) {
+        cents = vecs.groupBy(v => expected(v._1)).map { case (cid, members) =>
+          val sums = Array.fill(dims)(0L)
+          members.foreach { case (_, v) => for (p <- 0 until dims) sums(p) += v(p) }
+          cid -> sums.map(_.toDouble / members.size)
+        }
+      }
+    }
+    val qb = vecs.toDF("vec_id", "qv")
+    val got = KMeans.assignments(qb, "vec_id", "qv", k, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.util.PersistScope.releaseAll()
+    assert(got == expected)
+  }
+
+  test("passage dedup differential: matches an in-memory reference over random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      // tiny alphabet + short docs -> passage collisions everywhere
+      val docs: Seq[(Long, String)] = (0L until 60L).map { i =>
+        val n = 1 + rnd.nextInt(30)
+        (i, Seq.fill(n)(('a' + rnd.nextInt(3)).toChar.toString).mkString(" "))
+      }
+      val pt = 4
+      // reference: first occurrence by (doc_id, pos) wins, docs reassemble
+      val passages = docs.flatMap { case (id, text) =>
+        text.split(" ", -1).grouped(pt).zipWithIndex.map { case (p, j) => (id, j, p.mkString(" ")) }
+      }
+      val winner = passages.groupBy(_._3).map { case (p, occ) => p -> occ.map(t => (t._1, t._2)).min }
+      val expected = docs.map { case (id, _) =>
+        val own = passages.filter(_._1 == id).sortBy(_._2)
+        val kept = own.filter(t => winner(t._3) == ((t._1, t._2)))
+        id -> ((own.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" ")))
+      }.toMap
+      val got = Dedup.passageDedup(docs.toDF("doc_id", "text"), "doc_id", "text", pt)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      graft.util.PersistScope.releaseAll()
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("passage dedup invariant: each distinct passage text kept exactly once corpus-wide") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Dedup.passageDedup(docs, "doc_id", "text").collect()
