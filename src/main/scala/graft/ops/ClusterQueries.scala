@@ -96,17 +96,7 @@ object ClusterQueries {
             FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
           doomed AS (SELECT DISTINCT i2 FROM pairs WHERE qcos >= $Tau)
           SELECT q.vec_id FROM qb q ANTI JOIN doomed d ON q.vec_id = d.i2""") { (s, d) =>
-      val a = sharedKmeans(s, d)
-        .withColumn("qn", KMeans.int8SqNorm(col("qv")))
-      val qcos = KMeans.int8Dot(col("q1"), col("q2")).cast("double") /
-        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))
-      val doomed = a.select(col("vec_id").as("i1"), col("qv").as("q1"), col("qn").as("n1"), col("cid"))
-        .join(a.select(col("vec_id").as("i2"), col("qv").as("q2"), col("qn").as("n2"), col("cid")),
-          "cid")
-        .filter(col("i1") < col("i2"))
-        .filter(qcos >= Tau)
-        .select(col("i2").as("vec_id")).distinct()
-      sharedKmeans(s, d).select("vec_id").join(doomed, Seq("vec_id"), "left_anti")
+      Dedup.dropSemanticDuplicates(sharedKmeans(s, d), "vec_id", "qv", Tau)
     },
 
     // Passage-level first-occurrence dedup (boilerplate removal): docs split

@@ -365,6 +365,41 @@ object Dedup {
           x => x.getField("ptext")), " ").as("cleaned_text"))
   }
 
+  /** SemDeDup-style semantic dedup over a k-means ASSIGNMENT frame
+    * (id, qv: int8 codes, cid — the [[KMeans.assignments]] output, possibly
+    * persisted/shared by the caller): within each cluster cell, pairs at
+    * quantized-cosine ≥ `tau` drop the larger id. Pair generation is a
+    * cluster-key equi-join — cells bound the pairwise blowup the way LSH
+    * buckets do, with k as the cost dial — and the criterion is exact
+    * integer math (int64 dot/norms, one double division), so the decision
+    * boundary cannot flake under partial-agg order. Returns the surviving
+    * ids. */
+  def dropSemanticDuplicates(assigned: DataFrame, idCol: String, qvCol: String,
+                             tau: Double): DataFrame = {
+    val a = assigned.withColumn("__qn", KMeans.int8SqNorm(col(qvCol)))
+    val qcos = KMeans.int8Dot(col("__q1"), col("__q2")).cast("double") /
+      (sqrt(col("__n1").cast("double")) * sqrt(col("__n2").cast("double")))
+    val doomed = a.select(col(idCol).as("__i1"), col(qvCol).as("__q1"),
+        col("__qn").as("__n1"), col("cid"))
+      .join(a.select(col(idCol).as("__i2"), col(qvCol).as("__q2"),
+        col("__qn").as("__n2"), col("cid")), "cid")
+      .filter(col("__i1") < col("__i2"))
+      .filter(qcos >= tau)
+      .select(col("__i2").as(idCol)).distinct()
+    assigned.select(idCol).join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** Convenience form from raw float vectors: quantize → k-means → prune.
+    * For repeated use share the assignment frame and call the other
+    * overload (the x32/x33 queries do exactly that). */
+  def dropSemanticDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int, tau: Double): DataFrame = {
+    val qb = KMeans.withInt8Codes(vecs.select(col(idCol), col(vecCol)), vecCol, "__qv")
+      .select(col(idCol), col("__qv"))
+    dropSemanticDuplicates(
+      KMeans.assignments(qb, idCol, "__qv", k, iters), idCol, "__qv", tau)
+  }
+
   /** Duplicated-n-gram statistics (the MassiveText/Gopher repetition signal
     * at corpus scope): per doc, the fraction of its word n-gram OCCURRENCES
     * whose gram also appears in at least one other document, and a flag at
