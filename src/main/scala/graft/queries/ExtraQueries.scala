@@ -234,8 +234,14 @@ object ExtraQueries {
          FROM events GROUP BY 1, 2""") { (s, d) =>
       import graft.streaming.{EventStream, ExactlyOnceSink}
       val tmp = java.nio.file.Files.createTempDirectory("s05_eo").toString
+      // State partitions sized to the STATE cardinality (~windows × types),
+      // not the session's data-shuffle width — same rationale as the other
+      // streaming queries' statePartitions: 32 HDFSBackedStateStore inits
+      // per micro-batch for a few-thousand-row state is pure fixed cost.
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", "8")
       val q = EventStream.toParquetBatches(
-        EventStream.tumblingAgg(EventStream.readEvents(s, d)),
+        EventStream.tumblingAgg(EventStream.readEvents(sess, d)),
         s"$tmp/out", s"$tmp/ckpt")
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
