@@ -614,8 +614,14 @@ object OpsQueries {
             FROM scored) WHERE rank <= 3""") { (s, d) =>
       val docs = t(s, d, "documents")
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      // ONE explode pass: df (docs per token) is a row count over the
+      // reduced tf frame — one row per (doc, token) there already — so the
+      // raw token stream is never evaluated twice (x28's trick). Persisted:
+      // the join probe and the df build both read tf.
+      val tf = graft.util.PersistScope.track(
+        tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
       tf.join(df, "token").crossJoin(broadcast(n))
