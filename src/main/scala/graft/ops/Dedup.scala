@@ -453,6 +453,38 @@ object Dedup {
         (dupFrac > flagThreshold).as("flagged"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS scheme): per doc, the DISTINCT minima of each `window`-wide run of
+    * consecutive 3-gram shingle hashes. The winnowing guarantee — every
+    * window of `window` consecutive shingles contributes a fingerprint —
+    * makes matches of length ≥ window+2 tokens detectable while keeping
+    * ~1/window of the shingle hashes, and unlike MinHash the selection is
+    * LOCAL: an edit perturbs only the fingerprints whose windows overlap it,
+    * so partial overlap (quotation, boilerplate splicing) still shares
+    * fingerprints where MinHash's global signature washes out.
+    *
+    * Returns exploded (id, fp) rows — the joinable artifact: docs sharing
+    * ≥ m fingerprints are near-dup candidates via a fp equi-join (the same
+    * bucket-join scale shape as the MinHash bands). Docs shorter than 3
+    * tokens have no shingles and emit no rows; shingle runs shorter than
+    * `window` winnow to their overall minimum. All per-doc work is
+    * expression-level (zero shuffle); hashes are md5 hex, minimized
+    * lexicographically (= numerically for hex of equal length). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 4): DataFrame = {
+    val hs = col("__hs")
+    val nw = greatest(size(hs) - (window - 1), lit(1))
+    val fps = array_distinct(transform(sequence(lit(1), nw),
+      j => array_min(slice(hs, j, lit(window)))))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), shingles(col("__tk")).as("__sh"))
+      .select(col(idCol), transform(col("__sh"), g => md5(g)).as("__hs"))
+      // outer+filter: keep the hash construction out of scan DataFilters
+      .select(col(idCol), explode_outer(when(size(hs) >= 1, fps)).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
   /** Exact dedup: one representative (min id) per identical text. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val reps = docs.groupBy(md5(col(textCol)).as("__fp")).agg(min(col(idCol)).as(idCol))

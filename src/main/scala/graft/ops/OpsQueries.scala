@@ -1007,5 +1007,21 @@ object OpsQueries {
         .select(least(col("sa.source"), col("sb.source")).as("src_a"),
           greatest(col("sa.source"), col("sb.source")).as("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // Winnowing fingerprints (the MOSS scheme) — LOCAL fingerprint selection
+    // robust to edits: each window of 4 consecutive shingle hashes
+    // contributes its minimum, so partial overlap (quotations, boilerplate
+    // splicing) still shares fingerprints where MinHash's global signature
+    // washes out. See Dedup.winnowFingerprints; the (doc, fp) frame is the
+    // joinable artifact (fp equi-join = the candidate generation).
+    QueryDef("x36_winnow_fingerprints",
+      s"""WITH sh AS (SELECT doc_id, list_transform($ShinglesSql, g -> md5(g)) AS hs FROM documents),
+          f AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(len(hs) - 3, 1)),
+                  j -> list_min(hs[j:j+3]))) AS fps
+                FROM sh WHERE len(hs) >= 1)
+          SELECT doc_id, unnest(fps) AS fp FROM f""") { (s, d) =>
+      Dedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", window = 4)
     })
 }

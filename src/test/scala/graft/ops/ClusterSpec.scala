@@ -170,6 +170,35 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: guarantee holds, selection is local under edits") {
+    import spark.implicits._
+    val w = 4
+    val rnd = new scala.util.Random(36L)
+    val base = Seq.fill(60)(('a' + rnd.nextInt(5)).toChar.toString).mkString(" ")
+    val edited = "zz " + base // one token inserted at the front
+    val docs = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", w).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = fps.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // independent reference: every w-window of 3-gram md5s contributes its min
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hashes(text: String) = text.split(" ").sliding(3).map(g => md5hex(g.mkString(" "))).toVector
+    for ((id, text) <- Seq((0L, base), (1L, edited))) {
+      val hs = hashes(text)
+      val expected = (if (hs.length <= w) Vector(hs.min)
+        else hs.sliding(w).map(_.min).toVector).toSet
+      assert(byDoc(id) == expected, s"doc $id")
+    }
+    // locality: the front edit perturbs only windows overlapping it — the
+    // two docs share the vast majority of fingerprints (MinHash would
+    // resample globally)
+    val shared = byDoc(0L).intersect(byDoc(1L)).size.toDouble / byDoc(0L).size
+    assert(shared >= 0.8, s"edit should be local, shared=$shared")
+    // compression: far fewer fingerprints than shingles
+    assert(byDoc(0L).size < hashes(base).length / 2)
+  }
+
   test("passage dedup invariant: each distinct passage text kept exactly once corpus-wide") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Dedup.passageDedup(docs, "doc_id", "text").collect()
