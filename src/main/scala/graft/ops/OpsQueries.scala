@@ -1023,5 +1023,32 @@ object OpsQueries {
                 FROM sh WHERE len(hs) >= 1)
           SELECT doc_id, unnest(fps) AS fp FROM f""") { (s, d) =>
       Dedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", window = 4)
+    },
+
+    // Per-source length quantiles with the sketch SELF-VERIFIED in-query
+    // (the x14 pattern): the exact percentiles are the oracle-checkable
+    // output, and the approx_percentile sketch — the only form that scales
+    // (exact percentile sorts per group; the KLL-style sketch is mergeable
+    // map-side state) — must land within 5% of them or the row says so.
+    // Shipping a sketch without its measured error is how drift goes
+    // unnoticed; at this SF accuracy=1000 makes the sketch exact, and at
+    // any SF the bound column keeps it honest.
+    QueryDef("x37_length_quantiles",
+      """SELECT source,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS approx_within_5pct
+         FROM documents GROUP BY source""") { (s, d) =>
+      t(s, d, "documents").groupBy("source").agg(
+          expr("percentile(n_chars, 0.5)").as("e50"),
+          expr("percentile(n_chars, 0.9)").as("e90"),
+          expr("percentile_approx(n_chars, 0.5, 1000)").as("a50"),
+          expr("percentile_approx(n_chars, 0.9, 1000)").as("a90"),
+          count(lit(1)).as("n"))
+        .select(col("source"),
+          round(col("e50"), 6).as("p50"), round(col("e90"), 6).as("p90"), col("n"),
+          (abs(col("a50") - col("e50")) / col("e50") <= 0.05 &&
+            abs(col("a90") - col("e90")) / col("e90") <= 0.05).as("approx_within_5pct"))
     })
 }
