@@ -375,14 +375,25 @@ object Dedup {
     * boundary cannot flake under partial-agg order. Returns the surviving
     * ids. */
   def dropSemanticDuplicates(assigned: DataFrame, idCol: String, qvCol: String,
-                             tau: Double): DataFrame = {
+                             tau: Double, lshPlanes: Int = 0): DataFrame = {
+    // lshPlanes > 0 sub-buckets each cell with a hyperplane LSH over the
+    // codes, so the pair join keys on (cid, bucket) — the scale path when
+    // CELLS THEMSELVES outgrow a reducer (raising k re-clusters; adding
+    // planes just splits the join key). Standard LSH recall tradeoff: only
+    // same-bucket pairs are compared, so survivors are a superset of the
+    // exhaustive form's (near-identical vectors land in the same bucket —
+    // their projections agree on every plane; borderline-tau pairs may not).
     val a = assigned.withColumn("__qn", KMeans.int8SqNorm(col(qvCol)))
+      .withColumn("__bkt",
+        if (lshPlanes > 0) VectorOps.lshBucket(
+          transform(col(qvCol), v => v.cast("double")), lshPlanes)
+        else lit(""))
     val qcos = KMeans.int8Dot(col("__q1"), col("__q2")).cast("double") /
       (sqrt(col("__n1").cast("double")) * sqrt(col("__n2").cast("double")))
     val doomed = a.select(col(idCol).as("__i1"), col(qvCol).as("__q1"),
-        col("__qn").as("__n1"), col("cid"))
+        col("__qn").as("__n1"), col("cid"), col("__bkt"))
       .join(a.select(col(idCol).as("__i2"), col(qvCol).as("__q2"),
-        col("__qn").as("__n2"), col("cid")), "cid")
+        col("__qn").as("__n2"), col("cid"), col("__bkt")), Seq("cid", "__bkt"))
       .filter(col("__i1") < col("__i2"))
       .filter(qcos >= tau)
       .select(col("__i2").as(idCol)).distinct()

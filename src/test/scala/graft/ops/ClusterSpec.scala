@@ -72,6 +72,32 @@ class ClusterSpec extends SparkSpec {
     assert(!violation, "a surviving vector still has a smaller-id near-dup survivor")
   }
 
+  test("within-cell LSH variant: catches identical codes, survivors a superset of exhaustive") {
+    val assigned = KMeans.assignments(codes(), "vec_id", "qv", k = 8, iters = 2)
+      .persist()
+    try {
+      val exhaustive = Dedup.dropSemanticDuplicates(assigned, "vec_id", "qv", 0.4)
+        .collect().map(_.getLong(0)).toSet
+      val bucketed = Dedup.dropSemanticDuplicates(assigned, "vec_id", "qv", 0.4, lshPlanes = 4)
+        .collect().map(_.getLong(0)).toSet
+      graft.util.PersistScope.releaseAll()
+      // only same-bucket pairs are compared: nothing new is dropped
+      assert(exhaustive.subsetOf(bucketed))
+      // a vector with IDENTICAL codes (same projections, same bucket) under a
+      // larger id must still be caught by the bucketed form
+      val dup = assigned.select("vec_id", "qv", "cid", "dist2").collect()
+        .find(_.getLong(0) == 7L).get
+      import spark.implicits._
+      val withCopy = assigned.unionByName(Seq(
+        (9999L, dup.getSeq[Int](1), dup.getLong(2), dup.getDouble(3)))
+        .toDF("vec_id", "qv", "cid", "dist2"))
+      val survivors = Dedup.dropSemanticDuplicates(withCopy, "vec_id", "qv", 0.4, lshPlanes = 4)
+        .collect().map(_.getLong(0)).toSet
+      graft.util.PersistScope.releaseAll()
+      assert(survivors.contains(7L) && !survivors.contains(9999L))
+    } finally assigned.unpersist()
+  }
+
   test("x33: a planted scaled copy is dropped, the original kept") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
