@@ -16,7 +16,8 @@ object ExplainPlans {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q03_top_revenue_orders", "q04_revenue_by_nation",
-        "q09_topk_orders", "p02_pii_scan", "x02_minhash_bands", "x07_ann_lsh")
+        "q09_topk_orders", "p02_pii_scan", "x02_minhash_bands", "x07_ann_lsh",
+        "x28_dup_ngram_fraction", "x32_kmeans", "x34_passage_dedup")
     for (n <- names) {
       println(s"===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
