@@ -56,9 +56,17 @@ object ClusterQueries {
     * join reads it twice. */
   private def sharedKmeans(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.util.SharedStages.cached(s"embeddings-kmeans|$d|${System.identityHashCode(s)}") {
-      val qb = KMeans.withInt8Codes(
-        t(s, d, "embeddings").select(col("vec_id"), col("embedding")), "embedding", "qv")
-        .select("vec_id", "qv")
+      // The int8 code frame is ALSO pass-scoped (not PersistScope): the
+      // shared assignment frame below outlives any single query's action,
+      // and a rebuild of its blocks must find the upstream codes still
+      // cached — a thread-local scope would have released them with the
+      // first consuming query.
+      val qb = graft.util.SharedStages.cached(
+        s"embeddings-int8|$d|${System.identityHashCode(s)}")(
+        KMeans.withInt8Codes(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")), "embedding", "qv")
+          .select("vec_id", "qv")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       KMeans.assignments(qb, "vec_id", "qv", K, Iters)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

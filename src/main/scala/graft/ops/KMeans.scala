@@ -84,8 +84,14 @@ object KMeans {
     // assignment pass per iteration — without it every consumer re-derives
     // the quantization chain from the source scan (and the update pass's
     // Generate would push the chain into scan DataFilters on top).
-    val qbP = graft.util.PersistScope.track(
-      qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // A caller that already persisted `qb` keeps ownership (the shared-stage
+    // case: the returned frame may outlive this query's PersistScope, so
+    // its upstream persist must share the same lifetime).
+    val qbP =
+      if (qb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.util.PersistScope.track(
+          qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else qb
     val init = qbP.filter(col(idCol) < k)
       .select(col(idCol).as("cid"), transform(col(qvCol), v => v.cast("double")).as("ce"))
     var assigned = assignOnce(qbP, idCol, qvCol, toArr(init))
