@@ -107,6 +107,44 @@ object ClusterQueries {
       Dedup.dropSemanticDuplicates(sharedKmeans(s, d), "vec_id", "qv", Tau)
     },
 
+    // IVF ANN with a TRAINED coarse quantizer — the production composition
+    // x15 stubs (its centroids are k-means with zero iterations): cells come
+    // from the 2-round Lloyd assignment (shared with x32/x33), queries
+    // search ONLY their own cell, ranked by exact float cosine. Training
+    // tightens the cells around the data, and the search stays a cell-key
+    // equi-join — identical scale shape, better recall per probed vector.
+    QueryDef("x38_ivf_trained", {
+      val cosSql =
+        """(list_sum(list_transform(generate_series(1, len(q.qe)), i -> q.qe[i]::DOUBLE * z.emb[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(q.qe, v -> v::DOUBLE * v::DOUBLE)))
+               * sqrt(list_sum(list_transform(z.emb, v -> v::DOUBLE * v::DOUBLE)))))"""
+      s"""WITH ${kmeansCte(withD2 = false)},
+          assigned AS (
+            SELECT a.vec_id, a.cid, e.embedding AS emb
+            FROM a2 a JOIN embeddings e USING (vec_id)),
+          q AS (SELECT vec_id AS qid, emb AS qe, cid FROM assigned WHERE vec_id >= 8 AND vec_id < 24)
+          SELECT qid, vec_id, rank, cos FROM (
+            SELECT q.qid, z.vec_id,
+              round($cosSql, 5) AS cos,
+              CAST(row_number() OVER (PARTITION BY q.qid
+                ORDER BY $cosSql DESC, z.vec_id) AS INT) AS rank
+            FROM q JOIN assigned z ON z.cid = q.cid AND z.vec_id <> q.qid)
+          WHERE rank <= 3"""
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val assigned = sharedKmeans(s, d).select("vec_id", "cid")
+        .join(t(s, d, "embeddings").select(col("vec_id"), col("embedding")), "vec_id")
+      val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+      val w = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))
+      assigned.join(broadcast(q), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rawcos", VectorOps.cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
+    },
+
     // Passage-level first-occurrence dedup (boilerplate removal): docs split
     // into 8-token passages; only the globally-first occurrence of each
     // passage text survives; docs reassembled from surviving passages.
