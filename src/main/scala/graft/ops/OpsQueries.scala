@@ -1056,5 +1056,45 @@ object OpsQueries {
           round(col("e50"), 6).as("p50"), round(col("e90"), 6).as("p90"), col("n"),
           (col("a50").between(col("lo50"), col("hi50")) &&
             col("a90").between(col("lo90"), col("hi90"))).as("sketch_in_band"))
+    },
+
+    // Per-source KL divergence from the corpus token distribution — the
+    // domain-shift signal a mixture designer reads before reweighting
+    // (which sources are lexically "far" from the blend). Per-term values
+    // are exact-count ratios (deterministic doubles); the CROSS-ROW sum is
+    // the order-dependence hazard, so each term is fixed-pointed to an
+    // int64 (floor(x·1e9 + 0.5), the x26 rounding form) and summed
+    // EXACTLY — bit-identical on any partitioning and in DuckDB. Shape:
+    // wordcount shuffle, source/token-keyed sums derived from the reduced
+    // frame, token equi-join, per-source exact-int agg.
+    QueryDef("x39_source_kl",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         s AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+         ct AS (SELECT token, sum(c) AS n FROM st GROUP BY 1),
+         tot AS (SELECT sum(c) AS nn FROM st)
+         SELECT st.source,
+           CAST(any_value(s.ns) AS BIGINT) AS n_tokens,
+           round(sum(CAST(floor((st.c::DOUBLE / s.ns) * ln((st.c::DOUBLE / s.ns) / (ct.n::DOUBLE / tot.nn))
+             * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0, 6) AS kl_from_corpus
+         FROM st JOIN s USING (source) JOIN ct USING (token), tot
+         GROUP BY st.source""") { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+      // one explode pass: source totals, corpus token counts, and the grand
+      // total all derive from the reduced (source, token) frame
+      val st = graft.util.PersistScope.track(
+        tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sTot = st.groupBy("source").agg(sum("c").as("ns"))
+      val ct = st.groupBy("token").agg(sum("c").as("n"))
+      val tot = st.agg(sum("c").as("nn"))
+      val ps = col("c").cast("double") / col("ns")
+      val pc = col("n").cast("double") / col("nn")
+      st.join(sTot, "source").join(ct, "token").crossJoin(broadcast(tot))
+        .withColumn("term", floor(ps * log(ps / pc) * 1000000000L + 0.5).cast("long"))
+        .groupBy("source")
+        .agg(max("ns").cast("long").as("n_tokens"),
+          round(sum("term") / 1000000000.0, 6).as("kl_from_corpus"))
     })
 }
