@@ -496,6 +496,25 @@ object Dedup {
       .filter(col("fp").isNotNull)
   }
 
+  /** Winnowing candidate pairs: docs sharing ≥ `minShared` winnowed
+    * fingerprints, with the shared count as the overlap strength. The
+    * candidate-generation stage of the winnowing dedup pipeline — a
+    * fingerprint equi-join (the LSH-band scale shape: shuffle ∝ fingerprints
+    * per doc ≈ shingles/window, output ∝ overlapping pairs), thresholded to
+    * suppress single-collision noise. Fingerprints are distinct per doc, so
+    * the count is the distinct-overlap size. */
+  def winnowCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int = 4, minShared: Int = 2): DataFrame = {
+    val p = graft.util.PersistScope.track(
+      winnowFingerprints(docs, idCol, textCol, window)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    p.as("a").join(p.as("b"),
+      col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Exact dedup: one representative (min id) per identical text. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val reps = docs.groupBy(md5(col(textCol)).as("__fp")).agg(min(col(idCol)).as(idCol))

@@ -1025,6 +1025,25 @@ object OpsQueries {
       Dedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", window = 4)
     },
 
+    // Winnowing candidate pairs — the dedup stage over the x36 fingerprints:
+    // docs sharing ≥ 2 winnowed fingerprints, ranked by overlap strength.
+    // Fingerprint equi-join (shuffle ∝ shingles/window per doc), threshold
+    // suppresses single-collision noise; near-dups in this corpus share up
+    // to ~40 fingerprints while unrelated docs share 0-1.
+    QueryDef("x40_winnow_pairs",
+      s"""WITH sh AS (SELECT doc_id, list_transform($ShinglesSql, g -> md5(g)) AS hs FROM documents),
+          f AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(len(hs) - 3, 1)),
+                  j -> list_min(hs[j:j+3]))) AS fps
+                FROM sh WHERE len(hs) >= 1),
+          p AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+          SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS shared_fps
+          FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2""") { (s, d) =>
+      Dedup.winnowCandidatePairs(t(s, d, "documents"), "doc_id", "text",
+        window = 4, minShared = 2)
+    },
+
     // Per-source length quantiles with the sketch SELF-VERIFIED in-query
     // (the x14 pattern): the exact percentiles are the oracle-checkable
     // output, and the approx_percentile sketch — the only form that scales

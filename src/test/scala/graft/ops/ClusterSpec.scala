@@ -225,6 +225,26 @@ class ClusterSpec extends SparkSpec {
     assert(byDoc(0L).size < hashes(base).length / 2)
   }
 
+  test("winnow pairs: cross-algorithm agreement with the MinHash-verified near-dups") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val minhash = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.util.PersistScope.releaseAll()
+    val winnow = Dedup.winnowCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    graft.util.PersistScope.releaseAll()
+    assert(minhash.nonEmpty)
+    // a verified near-dup shares long shingle runs, and the winnowing
+    // guarantee makes long matches share fingerprints — every MinHash
+    // near-dup must surface as a winnow candidate, with strong overlap
+    for (pair <- minhash)
+      assert(winnow.contains(pair), s"near-dup $pair missed by winnowing")
+    // overlap strength scales with match length: strong for typical pairs
+    // (short docs can drop to the threshold, e.g. 4 shared fingerprints)
+    val strengths = minhash.toSeq.map(winnow)
+    assert(strengths.max >= 10 && strengths.forall(_ >= 2))
+  }
+
   test("passage dedup invariant: each distinct passage text kept exactly once corpus-wide") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Dedup.passageDedup(docs, "doc_id", "text").collect()
