@@ -40,7 +40,7 @@ object OpsQueries {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  private val ShinglesSql =
+  private[ops] val ShinglesSql =
     """list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"""
 
@@ -85,7 +85,7 @@ object OpsQueries {
       bandsDf(t(s, d, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
-  private def sharedShingles(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[ops] def sharedShingles(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.util.SharedStages.cached(s"documents-shingles|$d|${System.identityHashCode(s)}")(
       shingleSets(t(s, d, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
@@ -1007,6 +1007,56 @@ object OpsQueries {
         .select(least(col("sa.source"), col("sb.source")).as("src_a"),
           greatest(col("sa.source"), col("sb.source")).as("src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // Incremental-ingest dedup: the day-2 shape of near-dup dedup — a NEW
+    // batch (source src0 stands in for "today's crawl") is deduped AGAINST
+    // the existing corpus, not within itself. Rides the same shared
+    // band/shingle/verified-edge stages; the only new work is an
+    // endpoint-side source filter over the pair-graph-sized edge set. At
+    // 100 TB the old corpus's bands are a precomputed artifact (written once
+    // at ingest), so a daily batch pays band computation only for ITSELF
+    // plus one bucket-key equi-join against the stored bands — never a
+    // corpus rescan. Docs keep their full drop/keep decision (dup_of = the
+    // smallest matching old doc) so the decision is auditable.
+    QueryDef("x43_incremental_dedup",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+            FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+          edges AS (
+            SELECT p.d1, p.d2 FROM cand p
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          xp AS (
+            SELECT CASE WHEN da.source = 'src0' THEN e.d1 ELSE e.d2 END AS new_id,
+                   CASE WHEN da.source = 'src0' THEN e.d2 ELSE e.d1 END AS dup_of
+            FROM edges e JOIN documents da ON da.doc_id = e.d1
+                         JOIN documents db ON db.doc_id = e.d2
+            WHERE (da.source = 'src0') <> (db.source = 'src0')),
+          fd AS (SELECT new_id, min(dup_of) AS dup_of FROM xp GROUP BY 1)
+          SELECT d.doc_id, fd.new_id IS NOT NULL AS dropped, fd.dup_of
+          FROM documents d LEFT JOIN fd ON fd.new_id = d.doc_id
+          WHERE d.source = 'src0'""") { (s, d) =>
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val tagged = sharedEdges(s, d)
+        .join(src.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(src.as("sb"), col("d2") === col("sb.doc_id"))
+      val isNew1 = col("sa.source") === "src0"
+      val isNew2 = col("sb.source") === "src0"
+      val firstDup = tagged.filter(isNew1 =!= isNew2)
+        .select(when(isNew1, col("d1")).otherwise(col("d2")).as("new_id"),
+          when(isNew1, col("d2")).otherwise(col("d1")).as("dup_of"))
+        .groupBy("new_id").agg(min("dup_of").as("dup_of"))
+      src.filter(col("source") === "src0")
+        .join(firstDup, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("new_id").isNotNull.as("dropped"), col("dup_of"))
     },
 
     // Winnowing fingerprints (the MOSS scheme) — LOCAL fingerprint selection

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Sketch-backed corpus analytics: the queries where a fixed-size mergeable
+  * summary replaces a cardinality-sized exact structure. Both are verified
+  * the hard way — x41 replicates the whole Count-Min grid in DuckDB SQL and
+  * bound-checks the estimates in-query (the x14/x37 self-verification
+  * pattern); x42's output is EXACT (the bloom filter is a pre-filter that
+  * cannot change the answer, only the work), so its oracle is plain SQL.
+  */
+object SketchQueries {
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val BloomBits = 65536
+  private val BloomHashes = 3
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Heavy hitters with Count-Min estimates, self-verified: the exact
+    // top-20 tokens (oracle-checkable ground truth) carry their sketch
+    // estimate, the guaranteed lower-bound check, and the eN-bound check.
+    // Scale story: the exact path shuffles a vocabulary-sized frame; the
+    // sketch is depth x width rows with map-side combine no matter how many
+    // distinct tokens exist, and merges across shards/days by cell-wise
+    // addition. At 100 TB the candidate set comes from per-shard top-k
+    // (every global heavy hitter is a shard heavy hitter for bounded shard
+    // counts), not from the exact histogram computed here for verification.
+    QueryDef("x41_cms_heavy_hitters",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+          uni AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+          tot AS (SELECT sum(n) AS nn FROM uni),
+          top AS (SELECT token, n FROM uni ORDER BY n DESC, token LIMIT 20),
+          cms AS (SELECT j, bucket, sum(n) AS bc FROM (
+              SELECT js.j, ${Sketches.bucketSql("u.token", "js.j", CmsWidth)} AS bucket, u.n
+              FROM uni u, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js)
+            GROUP BY 1, 2),
+          est AS (SELECT t.token, min(c.bc) AS est
+            FROM top t, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js
+            JOIN cms c ON c.j = js.j
+            WHERE c.bucket = ${Sketches.bucketSql("t.token", "js.j", CmsWidth)}
+            GROUP BY 1)
+          SELECT t.token, CAST(t.n AS BIGINT) AS n, CAST(e.est AS BIGINT) AS cms_est,
+            e.est >= t.n AS lower_bounded,
+            (e.est - t.n) <= ceil(tot.nn * 2.718281828459045 / $CmsWidth) AS within_bound
+          FROM top t JOIN est e ON e.token = t.token, tot""") { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cms = Sketches.countMin(tok, "token", CmsDepth, CmsWidth)
+      val uni = graft.util.PersistScope.track(
+        tok.groupBy("token").agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val tot = uni.agg(sum("n").as("nn"))
+      val top = uni.orderBy(col("n").desc, col("token")).limit(20)
+      val est = Sketches.cmsEstimate(cms, top, "token", CmsDepth, CmsWidth)
+      top.join(est, "token").crossJoin(broadcast(tot))
+        .select(col("token"), col("n").cast("long").as("n"),
+          col("cms_est").cast("long").as("cms_est"),
+          (col("cms_est") >= col("n")).as("lower_bounded"),
+          (col("cms_est") - col("n") <=
+            ceil(col("nn") * 2.718281828459045 / CmsWidth)).as("within_bound"))
+    },
+
+    // Contamination check behind a bloom gate. Same semantics as x23
+    // (benchmark = shingles of docs 0-9) but the scale-honest shape: the
+    // benchmark set is NOT broadcast exactly — its 64-Kbit bloom image is.
+    // Docs' shingles that fail the bloom skip the exact join entirely (no
+    // false negatives, so nothing real is skipped); survivors are verified
+    // by a shingle-keyed equi-join, so the output is exact and the oracle
+    // is the plain SQL with no bloom at all. At 100 TB the bloom stays a
+    // few MB however large the benchmark corpus, and the exact join only
+    // carries the ~fp-rate fraction of innocent shingles.
+    QueryDef("x42_bloom_contamination",
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${OpsQueries.ShinglesSql}) AS s FROM documents),
+          b AS (SELECT DISTINCT unnest(s) AS x FROM sh WHERE doc_id < 10),
+          ex AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE doc_id >= 10),
+          m AS (SELECT doc_id, count(*) AS m FROM ex JOIN b USING (x) GROUP BY 1)
+          SELECT sh.doc_id, CAST(len(s) AS BIGINT) AS n_shingles,
+            CAST(coalesce(m.m, 0) AS BIGINT) AS n_matched,
+            round(coalesce(m.m, 0)::DOUBLE / greatest(len(s), 1), 6) AS contamination,
+            coalesce(m.m, 0) > 0 AS contaminated
+          FROM sh LEFT JOIN m ON m.doc_id = sh.doc_id WHERE sh.doc_id >= 10""") { (s, d) =>
+      val sh = OpsQueries.sharedShingles(s, d)
+      val bench = graft.util.PersistScope.track(
+        sh.filter(col("doc_id") < 10).select(explode(col("s")).as("x")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bloom = Sketches.bloomBuild(bench, "x", BloomBits, BloomHashes)
+      val docSh = sh.filter(col("doc_id") >= 10)
+      val matched = docSh.select(col("doc_id"), explode(col("s")).as("x"))
+        .crossJoin(broadcast(bloom))
+        .filter(Sketches.bloomContains(col("bm"), col("x"), BloomBits, BloomHashes))
+        .join(bench, "x")
+        .groupBy("doc_id").agg(count(lit(1)).as("m"))
+      docSh.select(col("doc_id"), size(col("s")).as("n_sh"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"),
+          coalesce(col("m"), lit(0L)).cast("long").as("n_matched"),
+          round(coalesce(col("m"), lit(0L)).cast("double")
+            / greatest(col("n_sh"), lit(1)), 6).as("contamination"),
+          (coalesce(col("m"), lit(0L)) > 0).as("contaminated"))
+    })
+}
