@@ -27,15 +27,19 @@ object ClusterQueries {
     * centroid update, assign). The oracle's assignment is a row_number
     * window; the engine's is an in-row array_min argmin — same (dist², cid)
     * ordering, so identical assignments. */
+  /** The x26 int8-quantization chain as DuckDB CTEs (ends at `qb`). */
+  private val QuantCte =
+    """e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
+ m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS emax FROM e),
+ qb AS (SELECT vec_id, list_transform(e, v -> CASE WHEN emax = 0 THEN 0
+          ELSE CAST(floor(v / emax * 127 + 0.5) AS INT) END) AS qv FROM m)"""
+
   private def kmeansCte(withD2: Boolean): String = {
     val d2 = """list_sum(list_transform(generate_series(1, 64),
           i -> (b.qv[i]::DOUBLE - c.ce[i]) * (b.qv[i]::DOUBLE - c.ce[i])))"""
     val d2Col = if (withD2) s", $d2 AS d2" else ""
     val d2Out = if (withD2) ", d2" else ""
-    s"""e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
- m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS emax FROM e),
- qb AS (SELECT vec_id, list_transform(e, v -> CASE WHEN emax = 0 THEN 0
-          ELSE CAST(floor(v / emax * 127 + 0.5) AS INT) END) AS qv FROM m),
+    s"""$QuantCte,
  c0 AS (SELECT vec_id AS cid, list_transform(qv, v -> v::DOUBLE) AS ce FROM qb WHERE vec_id < $K),
  a1 AS (SELECT vec_id, qv, cid FROM (
     SELECT b.vec_id, b.qv, c.cid,
@@ -54,20 +58,22 @@ object ClusterQueries {
     * persisted once per (session, dir) harness pass. MEMORY_AND_DISK — the
     * frame is one row per vector with a 64-int code array, and the x33 pair
     * join reads it twice. */
+  // The int8 code frame is pass-scoped (not PersistScope): the shared
+  // assignment frame below outlives any single query's action, and a
+  // rebuild of its blocks must find the upstream codes still cached — a
+  // thread-local scope would have released them with the first consuming
+  // query. x45's seeding reads the same frame.
+  private def sharedInt8(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(
+      s"embeddings-int8|$d|${System.identityHashCode(s)}")(
+      KMeans.withInt8Codes(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")), "embedding", "qv")
+        .select("vec_id", "qv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def sharedKmeans(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.util.SharedStages.cached(s"embeddings-kmeans|$d|${System.identityHashCode(s)}") {
-      // The int8 code frame is ALSO pass-scoped (not PersistScope): the
-      // shared assignment frame below outlives any single query's action,
-      // and a rebuild of its blocks must find the upstream codes still
-      // cached — a thread-local scope would have released them with the
-      // first consuming query.
-      val qb = graft.util.SharedStages.cached(
-        s"embeddings-int8|$d|${System.identityHashCode(s)}")(
-        KMeans.withInt8Codes(
-          t(s, d, "embeddings").select(col("vec_id"), col("embedding")), "embedding", "qv")
-          .select("vec_id", "qv")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      KMeans.assignments(qb, "vec_id", "qv", K, Iters)
+      KMeans.assignments(sharedInt8(s, d), "vec_id", "qv", K, Iters)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -162,5 +168,34 @@ object ClusterQueries {
            coalesce(string_agg(ptext, ' ' ORDER BY pos) FILTER (keep), '') AS cleaned_text
          FROM kept GROUP BY doc_id""") { (s, d) =>
       Dedup.passageDedup(t(s, d, "documents"), "doc_id", "text", passageTokens = 8)
+    },
+
+    // Deterministic k-center greedy seeding (farthest-point / Gonzalez) over
+    // the shared int8 codes — the seeding x32's "first k ids" init upgrades
+    // to when cluster quality matters: maximally spread seeds, 2-approx for
+    // the k-center objective, zero RNG. The oracle unrolls the k=4 greedy
+    // rounds as chained CTEs (each = distance update + top-1) — exactly the
+    // engine's per-round broadcast + TakeOrdered, so both walk the same
+    // deterministic integer-distance sequence. See KMeans.kCenterSeeds for
+    // the scale shape (k passes, no corpus shuffle).
+    QueryDef("x45_kcenter_seeds", {
+      val di = """CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (b.qv[i]::BIGINT - c.qv[i]::BIGINT) * (b.qv[i]::BIGINT - c.qv[i]::BIGINT))) AS BIGINT)"""
+      s"""WITH $QuantCte,
+          c1 AS (SELECT vec_id, qv FROM qb WHERE vec_id = (SELECT min(vec_id) FROM qb)),
+          d1 AS (SELECT b.vec_id, b.qv, $di AS d FROM qb b, c1 c),
+          c2 AS (SELECT vec_id, qv, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+          d2 AS (SELECT b.vec_id, b.qv, least(b.d, $di) AS d FROM d1 b, c2 c),
+          c3 AS (SELECT vec_id, qv, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+          d3 AS (SELECT b.vec_id, b.qv, least(b.d, $di) AS d FROM d2 b, c3 c),
+          c4 AS (SELECT vec_id, qv, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1)
+          SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS BIGINT) AS dist2_at_pick FROM c1
+          UNION ALL SELECT CAST(2 AS INT), vec_id, CAST(d AS BIGINT) FROM c2
+          UNION ALL SELECT CAST(3 AS INT), vec_id, CAST(d AS BIGINT) FROM c3
+          UNION ALL SELECT CAST(4 AS INT), vec_id, CAST(d AS BIGINT) FROM c4"""
+    }) { (s, d) =>
+      KMeans.kCenterSeeds(sharedInt8(s, d), "vec_id", "qv", k = 4)
+        .select(col("rank").cast("int").as("rank"), col("vec_id"),
+          col("dist2_at_pick"))
     })
 }

@@ -51,6 +51,12 @@ object KMeans {
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 
+  /** Exact integer squared distance between two int-code arrays. */
+  def int8Dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
+      lit(0L), (acc, v) => acc + v)
+
   private def dist2(qv: Column, ce: Column): Column =
     aggregate(zip_with(qv, ce, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
@@ -113,5 +119,53 @@ object KMeans {
       assigned = assignOnce(qbP, idCol, qvCol, toArr(cents))
     }
     assigned
+  }
+
+  /** Deterministic k-center greedy (farthest-point / Gonzalez) seeding over
+    * int-code vectors: seed 1 = the min-id vector; each later seed = the
+    * vector FARTHEST (exact int64 dist²) from its nearest already-chosen
+    * seed, min-id tie-break. The k-means++ family's deterministic cousin —
+    * same spread intuition, a 2-approximation for the k-center objective,
+    * and no RNG, so it is oracle-checkable and retry-stable.
+    *
+    * Scale shape: k rounds, each = one broadcast of the latest seed, an
+    * in-row running-min distance update over the persisted distance frame,
+    * and a global top-1 (TakeOrdered — a tree reduce, never a corpus
+    * shuffle). Exact greedy is inherently k sequential passes; for k in the
+    * thousands switch to k-means||-style oversampling (one pass drawing
+    * many candidates per round) — the per-round machinery here composes
+    * unchanged. Returns (rank, id, dist2_at_pick), where dist2_at_pick is
+    * the seed's distance to its nearest predecessor (0 for the first). */
+  def kCenterSeeds(qb: DataFrame, idCol: String, qvCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qbP =
+      if (qb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.util.PersistScope.track(
+          qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else qb
+    val first = qbP.orderBy(col(idCol)).limit(1)
+    val picks = scala.collection.mutable.ArrayBuffer[DataFrame](
+      first.select(lit(1).as("rank"), col(idCol), lit(0L).as("dist2_at_pick")))
+    // Running (id, qv, nearest-seed dist²) state; each round's frame is
+    // persisted so round r+1's update reads r's result instead of replaying
+    // the whole chain from the scan (the lineage would otherwise double the
+    // work per round).
+    var dists = graft.util.PersistScope.track(
+      qbP.crossJoin(broadcast(first.select(col(qvCol).as("__c"))))
+        .select(col(idCol), col(qvCol),
+          int8Dist2(col(qvCol), col("__c")).as("__d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    for (r <- 2 to k) {
+      val next = dists.orderBy(col("__d").desc, col(idCol)).limit(1)
+      picks += next.select(lit(r).as("rank"), col(idCol), col("__d").as("dist2_at_pick"))
+      if (r < k) {
+        dists = graft.util.PersistScope.track(
+          dists.crossJoin(broadcast(next.select(col(qvCol).as("__c"))))
+            .select(col(idCol), col(qvCol),
+              least(col("__d"), int8Dist2(col(qvCol), col("__c"))).as("__d"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    }
+    picks.reduce(_ unionByName _)
   }
 }

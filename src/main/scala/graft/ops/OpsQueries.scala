@@ -1136,6 +1136,40 @@ object OpsQueries {
     // EXACTLY — bit-identical on any partitioning and in DuckDB. Shape:
     // wordcount shuffle, source/token-keyed sums derived from the reduced
     // frame, token equi-join, per-source exact-int agg.
+    // Source-vocabulary overlap matrix — the pairwise companion to x39's
+    // KL-from-blend: which sources duplicate each other's lexicon (merge
+    // candidates; near-identical crawls) vs contribute unique mass. Shape:
+    // one (source, token)-distinct frame (wordcount-sized, persisted), a
+    // token-keyed self-join whose fan-out per token is bounded by the
+    // number of SOURCES sharing it (sources are datasets — tens to
+    // hundreds, never corpus-scale), and a broadcast of the source-count
+    // vocab sizes. For thousands of sources, switch the self-join to a
+    // per-token source-list + bounded pair explode; same output.
+    QueryDef("x44_source_overlap",
+      """WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         v AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+         i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS ni
+               FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(ni AS BIGINT) AS n_shared,
+           round(ni::DOUBLE / (va.nv + vb.nv - ni), 6) AS jaccard
+         FROM i JOIN v va ON va.source = i.src_a JOIN v vb ON vb.source = i.src_b""") { (s, d) =>
+      val st = graft.util.PersistScope.track(
+        t(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("token")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val v = st.groupBy("source").agg(count(lit(1)).as("nv"))
+      st.as("a").join(st.as("b"),
+          col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("ni"))
+        .join(broadcast(v.as("va")), col("src_a") === col("va.source"))
+        .join(broadcast(v.as("vb")), col("src_b") === col("vb.source"))
+        .select(col("src_a"), col("src_b"), col("ni").cast("long").as("n_shared"),
+          round(col("ni").cast("double")
+            / (col("va.nv") + col("vb.nv") - col("ni")), 6).as("jaccard"))
+    },
+
     QueryDef("x39_source_kl",
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
          st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
