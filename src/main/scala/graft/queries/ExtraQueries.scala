@@ -254,6 +254,28 @@ object ExtraQueries {
         .select("window_start", "event_type", "n", "sum_value")
     },
 
+    // Stream-STREAM interval join: click→purchase attribution within 1 hour,
+    // both sides watermarked, the range condition on the event-time columns
+    // themselves so state eviction is derivable (see
+    // EventStream.attributionJoin). Inner join ⇒ append mode; the result
+    // must equal the batch self-join oracle exactly. Timestamps are floored
+    // to seconds on BOTH engines so sub-second precision (parquet nanos vs
+    // Spark micros) can never flip a boundary pair.
+    QueryDef("s07_stream_interval_join",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch(date_trunc('second', p.ts)) - epoch(date_trunc('second', c.ts)) AS BIGINT) AS lag_seconds
+         FROM events c JOIN events p
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND date_trunc('second', p.ts) >= date_trunc('second', c.ts)
+          AND date_trunc('second', p.ts) <= date_trunc('second', c.ts) + INTERVAL 1 HOUR""") { (s, d) =>
+      val name = "s07_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runAttribution(s, d, name, statePartitions = Some(8))
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+    },
+
     // INCREMENTAL PII scan — the reference's core batch use case run as a
     // stream: the customer sample arrives through a streaming source, the
     // same one-pass detection expression runs per micro-batch (stateless →

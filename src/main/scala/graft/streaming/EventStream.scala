@@ -201,6 +201,61 @@ object EventStream {
       .start()
   }
 
+  /** Stream-STREAM interval join (click→purchase attribution): purchases
+    * matched to same-user clicks with the purchase inside
+    * [click, click + windowSeconds]. Both sides carry watermarks and the
+    * range condition is expressed directly on the watermarked event-time
+    * columns — that pair is what lets Spark derive the state-cleanup
+    * constraint (clicks evict once the watermark passes click + window;
+    * purchases once it passes their own timestamp). A join keyed or ranged
+    * on anything else (e.g. unix_timestamp of the column) would keep state
+    * forever. Inner join ⇒ matches emit as they arrive; the watermark only
+    * governs eviction.
+    *
+    * Timestamps are floored to SECONDS before the join on both sides so the
+    * pair set is identical across engines regardless of sub-second
+    * precision (parquet nanos vs Spark micros). */
+  def attributionJoin(events: DataFrame, windowSeconds: Long = 3600,
+                      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), date_trunc("second", col("ts")).as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), date_trunc("second", col("ts")).as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    clicks.join(purchases,
+        col("p_uid") === col("c_uid") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("c_uid").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_seconds"))
+  }
+
+  /** Run the attribution join to completion over the (finite) events dir:
+    * append-mode memory sink, AvailableNow. See [[runOnce]] for the
+    * statePartitions rationale (state here is per-user click/purchase
+    * buffers within the watermark horizon). */
+  def runAttribution(spark: SparkSession, dir: String,
+                     queryName: String = "events_attribution",
+                     statePartitions: Option[Int] = None,
+                     glob: String = "events.parquet",
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = statePartitions match {
+      case Some(n) =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+        s
+      case None => spark
+    }
+    attributionJoin(readEvents(session, dir, glob, maxFilesPerTrigger))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-static enrichment join + aggregate: the events stream joined to
     * a static dimension (per micro-batch broadcast hash join — the static
     * side is a plain DataFrame, never streaming state) and aggregated per

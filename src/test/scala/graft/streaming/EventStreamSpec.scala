@@ -62,6 +62,53 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch self-join") {
+    val q = EventStream.runAttribution(spark, sf, "attr_test", statePartitions = Some(4))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val streamed = q.sparkSession.table("attr_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the same attributionJoin code on a batch frame (withWatermark is a
+    // no-op there) is the reference: parity isolates the streaming machinery
+    val batch = EventStream.attributionJoin(QueryDef.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stream-stream join is correct across time-ordered micro-batches") {
+    // Time-ordered 3-way split (batch i = i-th tercile of event time): the
+    // 2h watermark comfortably covers the 1h join window, so pairs whose
+    // click and purchase land in DIFFERENT micro-batches must still match —
+    // the cross-batch state-retention path. (An out-of-order split would
+    // legitimately drop late rows per watermark semantics; ordered arrival
+    // is the realistic shape for an event log.)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    val tmp = Files.createTempDirectory("stream_attr_batches").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet") // ts stays raw nanos-long
+      .withColumn("__b", ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+    for (i <- 1 to 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(col("__b") === i).drop("__b").coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runAttribution(spark, tmp, "attr_multibatch",
+      statePartitions = Some(4), glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected multiple data micro-batches")
+    val streamed = q.sparkSession.table("attr_multibatch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = EventStream.attributionJoin(QueryDef.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("evictAfterGap drops a user's state once the watermark passes end+gap") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, lit}
