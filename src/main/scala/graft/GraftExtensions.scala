@@ -57,5 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim", "_FUNC_(a, b) - one-pass cosine similarity") {
       es => graft.ops.CosineSimExpr(es.head, es(1))
     }
+    inject("nfc_normalize", "_FUNC_(s) - Unicode NFC normalization") {
+      es => graft.ops.NfcNormalizeExpr(es.head)
+    }
   }
 }

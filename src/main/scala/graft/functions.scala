@@ -31,6 +31,20 @@ object functions {
   def luhn(s: Column): Column = col1(LuhnExpr)(s)
   def verhoeff(s: Column): Column = col1(VerhoeffExpr)(s)
 
+  /** Unicode NFC normalization (canonical composition). */
+  def nfc_normalize(s: Column): Column =
+    graft.ops.NfcNormalizeExpr.nfc_normalize(s)
+
+  /** Full corpus text cleaning: NFC normalize, strip control characters,
+    * collapse whitespace runs to single spaces, trim. Mirrors the DuckDB
+    * chain `trim(regexp_replace(regexp_replace(nfc_normalize(s),
+    * '\p{Cc}', '', 'g'), '\s+', ' ', 'g'))` exactly — step order matters
+    * (NFC first: composition never produces controls or whitespace). */
+  def clean_text(s: Column): Column = {
+    import org.apache.spark.sql.functions.{regexp_replace, trim}
+    trim(regexp_replace(regexp_replace(nfc_normalize(s), "\\p{Cc}", ""), "\\s+", " "))
+  }
+
   /** MinHash signature from a pre-shingled array. */
   def minhash_sig(shingles: Column, k: Int): Column =
     graft.ops.MinHashSigExpr.minhash_sig(shingles, k)
@@ -78,5 +92,7 @@ object functions {
         if (es.size > 2) es(2).eval().asInstanceOf[Number].intValue() else 64), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es =>
       graft.ops.CosineSimExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es =>
+      graft.ops.NfcNormalizeExpr(es.head), "scala_udf")
   }
 }

@@ -1136,6 +1136,28 @@ object OpsQueries {
     // EXACTLY — bit-identical on any partitioning and in DuckDB. Shape:
     // wordcount shuffle, source/token-keyed sums derived from the reduced
     // frame, token equi-join, per-source exact-int agg.
+    // Corpus text cleaning — the pre-dedup normalization pass: Unicode NFC
+    // (via the codegen'd NfcNormalizeExpr — byte-variants of identically
+    // rendered text must collapse BEFORE exact/shingle fingerprinting or
+    // cross-source dups hide), control-char strip, whitespace collapse,
+    // trim. Pure map stage, zero shuffle; both engines run the same
+    // normalize→strip→collapse→trim chain (DuckDB's nfc_normalize is the
+    // same Unicode form C). The synthetic corpus is already clean — the
+    // changed flag oracle-pins that the chain is a no-op exactly where it
+    // should be; the Unicode-bearing cases live in NormalizeSpec.
+    QueryDef("x46_clean_text",
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text), '\p{Cc}', '', 'g'), '\s+', ' ', 'g')) AS cleaned,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text), '\p{Cc}', '', 'g'), '\s+', ' ', 'g')) <> text AS changed,
+           CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text), '\p{Cc}', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+         FROM documents""") { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("cleaned", graft.functions.clean_text(col("text")))
+        .select(col("doc_id"), col("cleaned"),
+          (col("cleaned") =!= col("text")).as("changed"),
+          length(col("cleaned")).cast("long").as("n_chars_clean"))
+    },
+
     // Source-vocabulary overlap matrix — the pairwise companion to x39's
     // KL-from-blend: which sources duplicate each other's lexicon (merge
     // candidates; near-identical crawls) vs contribute unique mass. Shape:

@@ -354,3 +354,39 @@ object HammingBitsExpr {
       HammingBitsExpr(org.apache.spark.sql.graftshim.shims.expression(a),
         org.apache.spark.sql.graftshim.shims.expression(b)))
 }
+
+/** `nfc_normalize(s)` → string: Unicode NFC normalization (canonical
+  * composition), the first step of corpus text cleaning — byte-level
+  * variants of the same rendered text (decomposed accents, compatibility
+  * leftovers from scrapers) collapse to one canonical form so exact-dedup
+  * fingerprints and shingle hashes agree across sources. Mirrors DuckDB's
+  * `nfc_normalize` (both implement Unicode normalization form C, so the
+  * oracle replicates it verbatim). Codegen'd as a static call; ASCII input
+  * short-circuits inside the JDK (Normalizer quick-check), so the common
+  * case costs one scan of the bytes. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(s: Any): Any =
+    NfcNormalizeExpr.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.NfcNormalizeExpr.nfc($s)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
+object NfcNormalizeExpr {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // quick-check inside Normalizer makes the already-NFC path allocation-light
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfc_normalize(c: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      NfcNormalizeExpr(org.apache.spark.sql.graftshim.shims.expression(c)))
+}
