@@ -197,5 +197,44 @@ object ClusterQueries {
       KMeans.kCenterSeeds(sharedInt8(s, d), "vec_id", "qv", k = 4)
         .select(col("rank").cast("int").as("rank"), col("vec_id"),
           col("dist2_at_pick"))
+    },
+
+    // k-means|| oversampled seeding — x45's large-k escape hatch as a real
+    // operator: each round admits every point whose PORTABLE-HASH priority
+    // falls under the paper's l·d²/cost admission probability (determinism
+    // replaces the RNG; expected ~l candidates/round at ANY corpus size),
+    // then the admitted set gets k-means||'s weights (points nearest each
+    // center). The oracle unrolls both rounds: seed → distances → cost →
+    // admission → running-min update → admission → weight assignment, every
+    // quantity an exact integer or a single well-defined double ratio.
+    QueryDef("x47_kmeanspp_oversample", {
+      def di(a: String, b: String) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> (($a.qv)[i]::BIGINT - ($b.qv)[i]::BIGINT) * (($a.qv)[i]::BIGINT - ($b.qv)[i]::BIGINT))) AS BIGINT)"""
+      s"""WITH $QuantCte,
+          c0 AS (SELECT vec_id, qv FROM qb WHERE vec_id = (SELECT min(vec_id) FROM qb)),
+          d0 AS (SELECT b.vec_id, b.qv, ${di("b", "c")} AS d FROM qb b, c0 c),
+          t0 AS (SELECT sum(d) AS cost FROM d0),
+          s1 AS (SELECT vec_id, qv FROM d0 b, t0
+                 WHERE ${Sketches.bucketSql("b.vec_id::VARCHAR", "'1'", 65536)} / 65536.0 < 8.0 * b.d / t0.cost),
+          m1 AS (SELECT b.vec_id, min(${di("b", "s")}) AS md FROM d0 b, s1 s GROUP BY b.vec_id),
+          d1 AS (SELECT b.vec_id, b.qv, least(b.d, coalesce(m1.md, b.d)) AS d
+                 FROM d0 b LEFT JOIN m1 USING (vec_id)),
+          t1 AS (SELECT sum(d) AS cost FROM d1),
+          s2 AS (SELECT vec_id, qv FROM d1 b, t1
+                 WHERE ${Sketches.bucketSql("b.vec_id::VARCHAR", "'2'", 65536)} / 65536.0 < 8.0 * b.d / t1.cost),
+          centers AS (SELECT vec_id, qv, 0 AS round FROM c0
+            UNION ALL SELECT vec_id, qv, 1 FROM s1
+            UNION ALL SELECT vec_id, qv, 2 FROM s2),
+          a AS (SELECT vec_id, cid FROM (
+            SELECT b.vec_id, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY ${di("b", "c")}, c.vec_id) AS rn
+            FROM qb b CROSS JOIN centers c) WHERE rn = 1),
+          w AS (SELECT cid, count(*) AS weight FROM a GROUP BY 1)
+          SELECT c.vec_id, CAST(c.round AS INT) AS round,
+            CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+          FROM centers c LEFT JOIN w ON w.cid = c.vec_id"""
+    }) { (s, d) =>
+      KMeans.parallelSeeds(sharedInt8(s, d), "vec_id", "qv", l = 8.0, rounds = 2)
     })
 }

@@ -168,4 +168,73 @@ object KMeans {
     }
     picks.reduce(_ unionByName _)
   }
+
+  /** Deterministic k-means|| oversampled seeding — the large-k path x45's
+    * exact greedy documents: instead of one farthest point per pass, each
+    * round INDEPENDENTLY admits every point whose hash priority falls under
+    * l·d²(x)/cost(X) (the k-means|| admission probability with the RNG
+    * replaced by the portable md5 hash, so the draw is deterministic,
+    * partition-independent, and oracle-replicable). Expected ~l candidates
+    * per round regardless of corpus size; `rounds` rounds ≈ O(log n) in the
+    * paper, 2 suffices for a well-spread oversample here. Already-admitted
+    * points (and the seed) have running d² = 0 ⇒ admission threshold 0 ⇒
+    * never re-admitted.
+    *
+    * Returns every center with its round and WEIGHT (how many corpus points
+    * are nearest to it, min-(d², id) tie-break) — the weighted candidate
+    * set the final small local clustering consumes, per the k-means||
+    * paper's reduce step.
+    *
+    * Scale shape per round: one integer-sum reduce (cost), one broadcast of
+    * the candidate array, one in-row running-min update — no corpus
+    * shuffle; the weight pass is one broadcast argmin + a center-keyed
+    * count. */
+  def parallelSeeds(qb: DataFrame, idCol: String, qvCol: String,
+                    l: Double, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val qbP =
+      if (qb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.util.PersistScope.track(
+          qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else qb
+    val c0 = qbP.orderBy(col(idCol)).limit(1)
+    var centers = c0.select(col(idCol), col(qvCol), lit(0).as("round"))
+    var dists = graft.util.PersistScope.track(
+      qbP.crossJoin(broadcast(c0.select(col(qvCol).as("__c"))))
+        .select(col(idCol), col(qvCol), int8Dist2(col(qvCol), col("__c")).as("__d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    for (r <- 1 to rounds) {
+      val cost = dists.agg(sum("__d").as("__cost"))
+      val cand = graft.util.PersistScope.track(
+        dists.crossJoin(broadcast(cost))
+          .filter(Sketches.bucket(col(idCol).cast("string"), lit(r), 65536).cast("double")
+            / 65536.0 < lit(l) * col("__d") / col("__cost"))
+          .select(col(idCol), col(qvCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      centers = centers.unionByName(cand.select(col(idCol), col(qvCol), lit(r).as("round")))
+      if (r < rounds) {
+        // empty-candidate round: transform over the empty collected array
+        // yields an empty array, array_min null, coalesce keeps d — the
+        // same semantics as the oracle's left-join + coalesce.
+        val candArr = cand.agg(collect_list(col(qvCol)).as("__cs"))
+        dists = graft.util.PersistScope.track(
+          dists.crossJoin(broadcast(candArr))
+            .select(col(idCol), col(qvCol),
+              least(col("__d"), coalesce(array_min(transform(col("__cs"),
+                c => int8Dist2(col(qvCol), c))), col("__d"))).as("__d"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    }
+    val centArr = centers.agg(
+      collect_list(struct(col(idCol).as("cid"), col(qvCol).as("ce"))).as("__cs"))
+    val best = array_min(transform(col("__cs"),
+      c => struct(int8Dist2(col(qvCol), c.getField("ce")).as("d2"),
+        c.getField("cid").as("cid"))))
+    val weights = qbP.crossJoin(broadcast(centArr))
+      .select(col(idCol), best.getField("cid").as("__w_cid"))
+      .groupBy("__w_cid").agg(count(lit(1)).as("__w"))
+    centers.join(weights, centers(idCol) === weights("__w_cid"), "left")
+      .select(centers(idCol), col("round"),
+        coalesce(col("__w"), lit(0L)).cast("long").as("weight"))
+  }
 }
