@@ -1009,6 +1009,59 @@ object OpsQueries {
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
     },
 
+    // Effective dataset size after transitive dedup — the number a mixture
+    // designer actually budgets against: per source, docs/tokens SURVIVING
+    // min-id-representative dedup over the x21 cluster structure (cluster
+    // label IS the min member id under min-label propagation, so survival
+    // is the cheap predicate doc_id = cluster_id — no extra reduction).
+    // Rides the shared edge stage + the same connectedComponents call as
+    // x21; marginal cost = a doc-keyed left join and a source-keyed agg.
+    QueryDef("x48_effective_size",
+      s"""WITH RECURSIVE bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+            FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+          edges AS (
+            SELECT p.d1, p.d2 FROM cand p
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          sym AS (SELECT d1 AS src, d2 AS dst FROM edges UNION ALL SELECT d2, d1 FROM edges),
+          reach(doc_id, r) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM sym) t0
+            UNION
+            SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.doc_id),
+          lab AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id),
+          dd AS (SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS nt, l.cluster_id
+                 FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id)
+          SELECT source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(*) FILTER (cluster_id IS NULL OR doc_id = cluster_id) AS BIGINT) AS n_surviving,
+            CAST(sum(nt) AS BIGINT) AS n_tokens,
+            CAST(sum(nt) FILTER (cluster_id IS NULL OR doc_id = cluster_id) AS BIGINT) AS n_tokens_surviving,
+            round((sum(nt) FILTER (cluster_id IS NULL OR doc_id = cluster_id))::DOUBLE / sum(nt), 6) AS token_keep_ratio
+          FROM dd GROUP BY source""") { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("nt"))
+      val lab = Dedup.connectedComponents(
+        sharedEdges(s, d).select(col("d1").as("id1"), col("d2").as("id2")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val survives = col("cluster_id").isNull || col("doc_id") === col("cluster_id")
+      docs.join(lab, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count(when(survives, 1)).cast("long").as("n_surviving"),
+          sum("nt").cast("long").as("n_tokens"),
+          sum(when(survives, col("nt")).otherwise(0)).cast("long").as("n_tokens_surviving"),
+          round(sum(when(survives, col("nt")).otherwise(0)).cast("double")
+            / sum("nt"), 6).as("token_keep_ratio"))
+    },
+
     // Incremental-ingest dedup: the day-2 shape of near-dup dedup — a NEW
     // batch (source src0 stands in for "today's crawl") is deduped AGAINST
     // the existing corpus, not within itself. Rides the same shared
