@@ -65,6 +65,66 @@ object SketchQueries {
             ceil(col("nn") * 2.718281828459045 / CmsWidth)).as("within_bound"))
     },
 
+    // The x41 scale path operationalized: candidates from per-SHARD
+    // (per-source) top-m — a global heavy hitter is a shard heavy hitter
+    // for bounded shard counts — ranked by their Count-Min estimates into a
+    // global top-k, with membership in the EXACT global top-k as the
+    // self-verifying output column. The exact global histogram exists here
+    // only to verify; the production pipeline ships shard top-m lists
+    // (m·shards rows) plus the mergeable grid, never the vocabulary.
+    QueryDef("x49_sharded_heavy_hitters",
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+          st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+          shard AS (SELECT DISTINCT token FROM (
+              SELECT token, row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rn
+              FROM st) WHERE rn <= 5),
+          uni AS (SELECT token, sum(c) AS n FROM st GROUP BY 1),
+          exact AS (SELECT token FROM uni ORDER BY n DESC, token LIMIT 10),
+          cms AS (SELECT j, bucket, sum(n) AS bc FROM (
+              SELECT js.j, ${Sketches.bucketSql("u.token", "js.j", CmsWidth)} AS bucket, u.n
+              FROM uni u, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js)
+            GROUP BY 1, 2),
+          est AS (SELECT s.token, min(c.bc) AS est
+            FROM shard s, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js
+            JOIN cms c ON c.j = js.j
+            WHERE c.bucket = ${Sketches.bucketSql("s.token", "js.j", CmsWidth)}
+            GROUP BY 1),
+          pick AS (SELECT token, est FROM est ORDER BY est DESC, token LIMIT 10)
+          SELECT p.token, CAST(p.est AS BIGINT) AS cms_est,
+            CAST(u.n AS BIGINT) AS n,
+            EXISTS (SELECT 1 FROM exact e WHERE e.token = p.token) AS in_exact_topk
+          FROM pick p JOIN uni u ON u.token = p.token""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val st = graft.util.PersistScope.track(
+        tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val shard = st
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("token"))))
+        .filter(col("rn") <= 5).select("token").distinct()
+      val uni = graft.util.PersistScope.track(
+        st.groupBy("token").agg(sum("c").as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val exact = uni.orderBy(col("n").desc, col("token")).limit(10)
+        .select(col("token").as("e_token"))
+      // the grid from the reduced (token, n) frame: identical cell values
+      // to the raw-stream build (commutative sums), cheaper to verify with
+      val cms = uni
+        .select(col("n"), posexplode(transform(sequence(lit(0), lit(CmsDepth - 1)),
+          j => Sketches.bucket(col("token"), j, CmsWidth))).as(Seq("j", "bucket")))
+        .groupBy("j", "bucket").agg(sum("n").as("bc"))
+      val pick = Sketches.cmsEstimate(cms, shard, "token", CmsDepth, CmsWidth)
+        .withColumnRenamed("cms_est", "est")
+        .orderBy(col("est").desc, col("token")).limit(10)
+      pick.join(uni, "token")
+        .join(broadcast(exact), col("token") === col("e_token"), "left")
+        .select(col("token"), col("est").cast("long").as("cms_est"),
+          col("n").cast("long").as("n"),
+          col("e_token").isNotNull.as("in_exact_topk"))
+    },
+
     // Contamination check behind a bloom gate. Same semantics as x23
     // (benchmark = shingles of docs 0-9) but the scale-honest shape: the
     // benchmark set is NOT broadcast exactly — its 64-Kbit bloom image is.

@@ -210,6 +210,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), (sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"))
     },
 
+    // CUBE — the full grouping-sets lattice (rollup's sibling surface):
+    // every (flag, status) margin in one pass. Spark expands the sets and
+    // aggregates once with map-side combine; no per-set rescans.
+    QueryDef("q26_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""") { (s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_price"))
+    },
+
     // JSON extraction from the events props column (C22 JSON codec surface).
     QueryDef("q13_json_props",
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
