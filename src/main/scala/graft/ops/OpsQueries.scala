@@ -111,6 +111,17 @@ object OpsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Transitive cluster labels over the verified edge set — x21 (cluster
+    * listing) and x48 (effective size) both need the same connected
+    * components; the propagation rounds are the most expensive stage either
+    * query runs, so one computation serves both. Label-frame sized (only
+    * docs with a near-dup). */
+  private def sharedComponents(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-components|$d|${System.identityHashCode(s)}")(
+      Dedup.connectedComponents(
+        sharedEdges(s, d).select(col("d1").as("id1"), col("d2").as("id2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val SimhashBitsSql =
     """array_to_string(list_transform(generate_series(1, 32), b ->
          CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
@@ -584,12 +595,10 @@ object OpsQueries {
           lab AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id)
           SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
           FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)""") { (s, d) =>
-      // Band + shingle + EDGE frames come from SharedStages: x21 consumes
-      // the SAME frames x02/x03/x05/x35 build, so a full pass computes each
-      // once.
-      val edges = sharedEdges(s, d)
-      val lab = Dedup.connectedComponents(
-        edges.select(col("d1").as("id1"), col("d2").as("id2")))
+      // Band + shingle + edge + COMPONENT frames come from SharedStages:
+      // x21 consumes the same frames x02/x03/x05/x35/x48 build, so a full
+      // pass computes each once (the propagation rounds run once per pass).
+      val lab = sharedComponents(s, d)
       // Window count = one shuffle on cluster_id; the agg+join form pays two.
       lab.select(col("id").as("doc_id"), col("cluster_id"),
           count(lit(1)).over(Window.partitionBy("cluster_id")).as("cluster_size"))
@@ -1048,8 +1057,7 @@ object OpsQueries {
           FROM dd GROUP BY source""") { (s, d) =>
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("nt"))
-      val lab = Dedup.connectedComponents(
-        sharedEdges(s, d).select(col("d1").as("id1"), col("d2").as("id2")))
+      val lab = sharedComponents(s, d)
         .select(col("id").as("doc_id"), col("cluster_id"))
       val survives = col("cluster_id").isNull || col("doc_id") === col("cluster_id")
       docs.join(lab, Seq("doc_id"), "left")

@@ -270,7 +270,11 @@ object ExtraQueries {
           AND date_trunc('second', p.ts) >= date_trunc('second', c.ts)
           AND date_trunc('second', p.ts) <= date_trunc('second', c.ts) + INTERVAL 1 HOUR""") { (s, d) =>
       val name = "s07_sink_" + math.abs(d.hashCode).toString
-      val q = graft.streaming.EventStream.runAttribution(s, d, name, statePartitions = Some(8))
+      // statePartitions=4: stream-stream join keeps TWO keyed state stores
+      // per partition (one per side); state cardinality is the user count,
+      // so 8 partitions paid 16 store inits per micro-batch for no
+      // parallelism the 150-key state can use.
+      val q = graft.streaming.EventStream.runAttribution(s, d, name, statePartitions = Some(4))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
       q.sparkSession.table(name)
