@@ -86,9 +86,10 @@ object Sketches {
   }
 
   /** Membership test against a [[bloomBuild]] bitmap column: all `hashes`
-    * bits set. No false negatives; false-positive rate ~ (1-e^{-kn/m})^k. */
+    * bits set. No false negatives; false-positive rate ~ (1-e^{-kn/m})^k.
+    * Backed by [[BloomContainsExpr]] — one digest buffer, early exit on the
+    * first clear bit; the composable forall/transform HOF form it replaced
+    * re-ran interpreted md5 lambdas per probe and dominated the x42 gate. */
   def bloomContains(bm: Column, x: Column, bits: Int, hashes: Int): Column =
-    forall(transform(sequence(lit(0), lit(hashes - 1)), p => bucket(x, p, bits)),
-      pos => element_at(bm, floor(pos / 64).cast("int") + 1)
-        .bitwiseAND(element_at(Masks, (pos % 64).cast("int") + 1)) =!= 0)
+    BloomContainsExpr.bloom_might_contain(bm, x, bits, hashes)
 }

@@ -390,3 +390,47 @@ object NfcNormalizeExpr {
     org.apache.spark.sql.graftshim.shims.column(
       NfcNormalizeExpr(org.apache.spark.sql.graftshim.shims.expression(c)))
 }
+
+/** `bloom_might_contain(bm, x)` → boolean: membership probe against a
+  * [[Sketches.bloomBuild]] packed-long bitmap, all `hashes` bits set.
+  * Semantically identical to the composable
+  * `forall(transform(sequence(0,k-1), p -> bucket(x,p)), bit test)` form
+  * (and to the spec's naive-set reference), but one pass with a reused
+  * MessageDigest and an early exit on the first clear bit — the
+  * interpreted-HOF form re-allocated per probe and was the whole cost of
+  * the x42 bloom gate. Bucket scheme matches Sketches.bucket: first two
+  * md5 bytes of "p|x" mod `bits`. */
+case class BloomContainsExpr(left: Expression, right: Expression, bits: Int, hashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  require(bits > 0 && bits <= 65536 && bits % 64 == 0,
+    s"bits must be in (0, 65536] and pack into longs, got $bits")
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(bm: Any, x: Any): Any = {
+    val arr = bm.asInstanceOf[ArrayData]
+    val xb = x.asInstanceOf[UTF8String].getBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var p = 0
+    while (p < hashes) {
+      md.reset()
+      md.update((p.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(xb)
+      val dig = md.digest()
+      val pos = (((dig(0) & 0xff) << 8) | (dig(1) & 0xff)) % bits
+      if ((arr.getLong(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      p += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomContainsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "bloom_might_contain"
+}
+
+object BloomContainsExpr {
+  def bloom_might_contain(bm: Column, x: Column, bits: Int, hashes: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      BloomContainsExpr(org.apache.spark.sql.graftshim.shims.expression(bm),
+        org.apache.spark.sql.graftshim.shims.expression(x), bits, hashes))
+}
