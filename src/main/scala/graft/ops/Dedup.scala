@@ -255,6 +255,33 @@ object Dedup {
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Incremental-ingest drop list: given a verified near-dup pair graph
+    * over the WHOLE corpus (`pairs`: id1/id2, any orientation), a doc →
+    * group tag frame, and the tag of the NEW batch, returns one row per new
+    * doc: (idCol, dropped, dup_of) where dup_of is the smallest matching
+    * OLD doc (auditable decision). New-vs-new pairs are ignored — dedup
+    * WITHIN the batch is [[dropNearDuplicates]]'s job; this is the day-2
+    * against-the-corpus pass. At scale the old corpus's bands are a stored
+    * artifact, so `pairs` costs one batch-side band computation plus a
+    * bucket equi-join against the store — never a corpus rescan. */
+  def incrementalDropList(pairs: DataFrame, tags: DataFrame,
+                          idCol: String, tagCol: String, newTag: String): DataFrame = {
+    val src = tags.select(col(idCol).as("__id"), col(tagCol).as("__tag"))
+    val tagged = pairs
+      .join(src.as("ta"), col("id1") === col("ta.__id"))
+      .join(src.as("tb"), col("id2") === col("tb.__id"))
+    val isNew1 = col("ta.__tag") === newTag
+    val isNew2 = col("tb.__tag") === newTag
+    val firstDup = tagged.filter(isNew1 =!= isNew2)
+      .select(when(isNew1, col("id1")).otherwise(col("id2")).as("__new_id"),
+        when(isNew1, col("id2")).otherwise(col("id1")).as("dup_of"))
+      .groupBy("__new_id").agg(min("dup_of").as("dup_of"))
+    src.filter(col("__tag") === newTag)
+      .join(firstDup, col("__id") === col("__new_id"), "left")
+      .select(col("__id").as(idCol), col("__new_id").isNotNull.as("dropped"),
+        col("dup_of"))
+  }
+
   /** Verified embedding near-duplicate pairs (id1 < id2, cosine ≥ threshold).
     * Candidates come from a random-hyperplane LSH bucket equi-join — the same
     * scale shape as the MinHash path: shuffle ∝ 1 row/vector, never O(n²). */

@@ -1105,19 +1105,10 @@ object OpsQueries {
           SELECT d.doc_id, fd.new_id IS NOT NULL AS dropped, fd.dup_of
           FROM documents d LEFT JOIN fd ON fd.new_id = d.doc_id
           WHERE d.source = 'src0'""") { (s, d) =>
-      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
-      val tagged = sharedEdges(s, d)
-        .join(src.as("sa"), col("d1") === col("sa.doc_id"))
-        .join(src.as("sb"), col("d2") === col("sb.doc_id"))
-      val isNew1 = col("sa.source") === "src0"
-      val isNew2 = col("sb.source") === "src0"
-      val firstDup = tagged.filter(isNew1 =!= isNew2)
-        .select(when(isNew1, col("d1")).otherwise(col("d2")).as("new_id"),
-          when(isNew1, col("d2")).otherwise(col("d1")).as("dup_of"))
-        .groupBy("new_id").agg(min("dup_of").as("dup_of"))
-      src.filter(col("source") === "src0")
-        .join(firstDup, col("doc_id") === col("new_id"), "left")
-        .select(col("doc_id"), col("new_id").isNotNull.as("dropped"), col("dup_of"))
+      Dedup.incrementalDropList(
+        sharedEdges(s, d).select(col("d1").as("id1"), col("d2").as("id2")),
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", newTag = "src0")
     },
 
     // Winnowing fingerprints (the MOSS scheme) — LOCAL fingerprint selection

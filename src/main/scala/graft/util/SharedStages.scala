@@ -22,12 +22,35 @@ import org.apache.spark.sql.DataFrame
   * consumers from one set of blocks.
   */
 object SharedStages {
-  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Per-key memo cell: the build runs inside the CELL's monitor, NOT
+    * inside the ConcurrentHashMap's bin lock. computeIfAbsent's mapping
+    * function must not touch the map — but stage builders DO re-enter
+    * `cached` for their upstream stages (components → edges → bands/
+    * shingles; kmeans → int8), and several run Spark ACTIONS. Running
+    * those inside computeIfAbsent is specified as undefined behavior
+    * (reentrancy on the same bin can corrupt or deadlock the map under
+    * Verify's concurrent query pool). The two-phase memoizer makes the
+    * map operation a cheap allocation; nested builds then recurse through
+    * the map freely. Builder dependencies form a DAG, so cell-monitor
+    * nesting cannot deadlock. */
+  private final class Memo(build: () => DataFrame) {
+    @volatile private var built: Option[DataFrame] = None
+    def value: DataFrame = synchronized {
+      built.getOrElse { val df = build(); built = Some(df); df }
+    }
+    /** The frame if the build ever completed — releaseAll must not trigger
+      * a build just to unpersist it. */
+    def peek: Option[DataFrame] = built
+  }
+
+  private val cache = new ConcurrentHashMap[String, Memo]()
 
   /** The frame for `key`, building it (persist included — the builder's
-    * job) on first use. */
+    * job) on first use; concurrent callers of the same key block on the
+    * cell and share one frame. */
   def cached(key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(key, _ => build)
+    cache.computeIfAbsent(key, _ => new Memo(() => build)).value
 
   /** Unpersist and forget every shared stage. Harnesses call this at
     * end-of-pass — and a bench additionally between its warmup and timed
@@ -36,7 +59,10 @@ object SharedStages {
     * them the cost of the pipeline). */
   def releaseAll(): Unit = {
     val it = cache.entrySet().iterator()
-    while (it.hasNext) { it.next().getValue.unpersist(blocking = false); it.remove() }
+    while (it.hasNext) {
+      it.next().getValue.peek.foreach(_.unpersist(blocking = false))
+      it.remove()
+    }
   }
 
   /** Number of live shared stages (spec hook). */

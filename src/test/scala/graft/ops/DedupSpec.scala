@@ -169,4 +169,18 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("incrementalDropList: new docs drop only against OLD matches, min dup_of") {
+    import spark.implicits._
+    // pairs: 10~1 and 10~2 (old), 10~11 (new-new: ignored), 12 has no pair
+    val pairs = Seq((1L, 10L), (10L, 2L), (10L, 11L)).toDF("id1", "id2")
+    val tags = Seq((1L, "old"), (2L, "old"), (10L, "new"), (11L, "new"), (12L, "new"))
+      .toDF("doc_id", "batch")
+    val got = Dedup.incrementalDropList(pairs, tags, "doc_id", "batch", newTag = "new")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // 10 drops (dup of min(1,2)=1); 11's only pair is new-new -> kept;
+    // 12 untouched -> kept
+    assert(got == Set((10L, true, 1L), (11L, false, -1L), (12L, false, -1L)))
+  }
 }
