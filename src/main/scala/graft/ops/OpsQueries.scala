@@ -1111,6 +1111,89 @@ object OpsQueries {
         "doc_id", "source", newTag = "src0")
     },
 
+    // The CAPSTONE composition — the whole curation pipeline as one query,
+    // each stage one of the verified operators: clean (x46 chain) → exact
+    // dedup on the CLEANED text (x01 shape, min-id representative via one
+    // fingerprint window) → near-dup dedup over the shared verified-edge
+    // artifact (x03; in production bands are rebuilt post-clean — here the
+    // edge set is an input artifact, the day-2 posture of x43) → benchmark
+    // contamination gate (x23, docs 0-9 are the benchmark and exempt) →
+    // greedy sequence packing of survivors (x25). Every doc leaves with an
+    // auditable disposition; kept docs carry their training bin. Stage
+    // precedence exact > contaminated > near: a near-dup OF the benchmark
+    // is contamination (the stronger drop reason), while ordinary near-dups
+    // keep their own label; each gate only runs on the previous gate's
+    // survivors at scale.
+    QueryDef("x50_curation_pipeline",
+      s"""WITH cl AS (SELECT doc_id, lang,
+              trim(regexp_replace(regexp_replace(nfc_normalize(text), '\\p{Cc}', '', 'g'), '\\s+', ' ', 'g')) AS ct
+            FROM documents),
+          rep AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(ct)) AS rep FROM cl),
+          bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+            FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+          edges AS (
+            SELECT p.d1, p.d2 FROM cand p
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          doomed AS (SELECT DISTINCT d2 FROM edges),
+          b AS (SELECT list_distinct(flatten(list(s))) AS bset FROM sh WHERE doc_id < 10),
+          cont AS (SELECT sh.doc_id,
+              len(list_filter(s, x -> list_contains(bset, x)))::DOUBLE / greatest(len(s), 1) AS frac
+            FROM sh, b),
+          st AS (SELECT cl.doc_id, cl.lang, cl.ct,
+              CASE WHEN cl.doc_id <> rep.rep THEN 'exact_dup'
+                   WHEN cl.doc_id >= 10 AND cont.frac >= 0.5 THEN 'contaminated'
+                   WHEN dm.d2 IS NOT NULL THEN 'near_dup'
+                   ELSE 'kept' END AS status
+            FROM cl JOIN rep ON rep.doc_id = cl.doc_id
+            LEFT JOIN doomed dm ON dm.d2 = cl.doc_id
+            LEFT JOIN cont ON cont.doc_id = cl.doc_id),
+          kept AS (SELECT doc_id, lang, len(string_split(ct, ' ')) AS nt FROM st WHERE status = 'kept'),
+          packed AS (SELECT doc_id,
+              CAST(floor(coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin_id
+            FROM kept)
+          SELECT s.doc_id, s.status, p.bin_id
+          FROM st s LEFT JOIN packed p ON p.doc_id = s.doc_id""") { (s, d) =>
+      val cl = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), graft.functions.clean_text(col("text")).as("ct"))
+      val doomed = sharedEdges(s, d).select(col("d2")).distinct()
+      val sh = sharedShingles(s, d)
+      val bench = sh.filter(col("doc_id") < 10)
+        .agg(array_distinct(flatten(collect_list(col("s")))).as("bset"))
+      val cont = sh.crossJoin(broadcast(bench))
+        .select(col("doc_id"),
+          (size(array_intersect(col("s"), col("bset"))).cast("double")
+            / greatest(size(col("s")), lit(1))).as("frac"))
+      val repW = Window.partitionBy(md5(col("ct")))
+      val st = cl
+        .withColumn("rep", min("doc_id").over(repW))
+        .join(doomed, col("doc_id") === col("d2"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("doc_id") =!= col("rep"), "exact_dup")
+            .when(col("doc_id") >= 10 && col("frac") >= 0.5, "contaminated")
+            .when(col("d2").isNotNull, "near_dup")
+            .otherwise("kept"))
+      val packW = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packed = st.filter(col("status") === "kept")
+        .select(col("doc_id"), col("lang"), size(split(col("ct"), " ")).as("nt"))
+        .withColumn("bin_id",
+          floor(coalesce(sum("nt").over(packW), lit(0)) / 2048.0).cast("long"))
+        .select(col("doc_id"), col("bin_id"))
+      st.join(packed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"), col("bin_id"))
+    },
+
     // Winnowing fingerprints (the MOSS scheme) — LOCAL fingerprint selection
     // robust to edits: each window of 4 consecutive shingle hashes
     // contributes its minimum, so partial overlap (quotations, boilerplate
