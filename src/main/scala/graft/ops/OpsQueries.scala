@@ -1174,7 +1174,11 @@ object OpsQueries {
           (size(array_intersect(col("s"), col("bset"))).cast("double")
             / greatest(size(col("s")), lit(1))).as("frac"))
       val repW = Window.partitionBy(md5(col("ct")))
-      val st = cl
+      // Persisted: both the packing branch and the final disposition join
+      // read `st`; without it the packing side re-derives the entire
+      // clean+window+join chain (plan-audit finding — the NFC chain showed
+      // up twice in the physical plan).
+      val st = graft.util.PersistScope.track(cl
         .withColumn("rep", min("doc_id").over(repW))
         .join(doomed, col("doc_id") === col("d2"), "left")
         .join(cont, Seq("doc_id"), "left")
@@ -1183,6 +1187,7 @@ object OpsQueries {
             .when(col("doc_id") >= 10 && col("frac") >= 0.5, "contaminated")
             .when(col("d2").isNotNull, "near_dup")
             .otherwise("kept"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val packW = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val packed = st.filter(col("status") === "kept")
