@@ -35,14 +35,27 @@ object functions {
   def nfc_normalize(s: Column): Column =
     graft.ops.NfcNormalizeExpr.nfc_normalize(s)
 
-  /** Full corpus text cleaning: NFC normalize, strip control characters,
-    * collapse whitespace runs to single spaces, trim. Mirrors the DuckDB
-    * chain `trim(regexp_replace(regexp_replace(nfc_normalize(s),
-    * '\p{Cc}', '', 'g'), '\s+', ' ', 'g'))` exactly — step order matters
-    * (NFC first: composition never produces controls or whitespace). */
+  /** Control characters to strip during cleaning: the Cc block MINUS the
+    * whitespace controls \t \n \r, which must survive to the whitespace
+    * pass so "line1\nline2" collapses to "line1 line2" instead of
+    * concatenating. Written as an explicit range class (not
+    * `[\p{Cc}&&[^\t\n\r]]`) because DuckDB's RE2 has no class
+    * intersection — this exact class runs verbatim in both engines.
+    * NOTE: \x0B (VT) and \x0C (FF) stay in the STRIP set even though Java
+    * counts them as `\s`: RE2's `\s` is `[\t\n\f\r ]` (no VT), so leaving
+    * VT for the collapse pass would diverge between engines. */
+  val ControlStripClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /** Full corpus text cleaning: NFC normalize, strip non-whitespace control
+    * characters, collapse whitespace runs to single spaces, trim. Mirrors
+    * the DuckDB chain `trim(regexp_replace(regexp_replace(nfc_normalize(s),
+    * '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g'))`
+    * exactly — step order matters (NFC first: composition never produces
+    * controls or whitespace; strip keeps \t\n\r so line breaks become word
+    * separators, not concatenations). */
   def clean_text(s: Column): Column = {
     import org.apache.spark.sql.functions.{regexp_replace, trim}
-    trim(regexp_replace(regexp_replace(nfc_normalize(s), "\\p{Cc}", ""), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(nfc_normalize(s), ControlStripClass, ""), "\\s+", " "))
   }
 
   /** MinHash signature from a pre-shingled array. */

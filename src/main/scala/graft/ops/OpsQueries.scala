@@ -1126,7 +1126,7 @@ object OpsQueries {
     // survivors at scale.
     QueryDef("x50_curation_pipeline",
       s"""WITH cl AS (SELECT doc_id, lang,
-              trim(regexp_replace(regexp_replace(nfc_normalize(text), '\\p{Cc}', '', 'g'), '\\s+', ' ', 'g')) AS ct
+              trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g'), '\\s+', ' ', 'g')) AS ct
             FROM documents),
           rep AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(ct)) AS rep FROM cl),
           bands AS (
@@ -1287,9 +1287,9 @@ object OpsQueries {
     // should be; the Unicode-bearing cases live in NormalizeSpec.
     QueryDef("x46_clean_text",
       """SELECT doc_id,
-           trim(regexp_replace(regexp_replace(nfc_normalize(text), '\p{Cc}', '', 'g'), '\s+', ' ', 'g')) AS cleaned,
-           trim(regexp_replace(regexp_replace(nfc_normalize(text), '\p{Cc}', '', 'g'), '\s+', ' ', 'g')) <> text AS changed,
-           CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text), '\p{Cc}', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+           trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g')) AS cleaned,
+           trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g')) <> text AS changed,
+           CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
          FROM documents""") { (s, d) =>
       t(s, d, "documents")
         .withColumn("cleaned", graft.functions.clean_text(col("text")))

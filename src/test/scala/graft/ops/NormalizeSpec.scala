@@ -28,9 +28,17 @@ class NormalizeSpec extends SparkSpec {
   test("control characters are stripped, whitespace runs collapse, ends trim") {
     assert(clean("a\u0000b\u0007c") == Seq("abc"))
     assert(clean("  a \t\n b\r\n  c  ") == Seq("a b c"))
-    // vertical tab is a control char: stripped by the Cc pass before the
-    // whitespace pass could have turned it into a space
+    // \t \n \r are NOT in the strip class: words separated only by a
+    // line break must stay separated (the old strip-everything-Cc-first
+    // order concatenated them into "line1line2")
+    assert(clean("line1\nline2") == Seq("line1 line2"))
+    assert(clean("col1\tcol2") == Seq("col1 col2"))
+    // vertical tab IS stripped (not collapsed to a space): Java counts VT
+    // as \s but RE2 does not, so the only engine-identical treatment is
+    // to strip it with the other non-\t\n\r controls
     assert(clean("a\u000bb") == Seq("ab"))
+    // C1 controls (e.g. NEL U+0085) are stripped too
+    assert(clean("a\u0085b") == Seq("ab"))
   }
 
   test("nulls and empties pass through") {
