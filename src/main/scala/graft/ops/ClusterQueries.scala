@@ -159,8 +159,8 @@ object ClusterQueries {
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          p AS (SELECT doc_id, j AS pos, array_to_string(tk[(j*8+1):(j*8+8)], ' ') AS ptext
                FROM tk, unnest(generate_series(0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS t(j)),
-         w AS (SELECT md5(ptext) AS h, min(doc_id * 1000000000 + pos) AS win FROM p GROUP BY 1),
-         kept AS (SELECT p.doc_id, p.pos, p.ptext, (p.doc_id * 1000000000 + p.pos = w.win) AS keep
+         w AS (SELECT md5(ptext) AS h, min(struct_pack(d:=doc_id, p:=pos)) AS win FROM p GROUP BY 1),
+         kept AS (SELECT p.doc_id, p.pos, p.ptext, (struct_pack(d:=p.doc_id, p:=p.pos) = w.win) AS keep
                   FROM p JOIN w ON md5(p.ptext) = w.h)
          SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_passages,
@@ -189,10 +189,12 @@ object ClusterQueries {
           c3 AS (SELECT vec_id, qv, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
           d3 AS (SELECT b.vec_id, b.qv, least(b.d, $di) AS d FROM d2 b, c3 c),
           c4 AS (SELECT vec_id, qv, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1)
-          SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS BIGINT) AS dist2_at_pick FROM c1
-          UNION ALL SELECT CAST(2 AS INT), vec_id, CAST(d AS BIGINT) FROM c2
-          UNION ALL SELECT CAST(3 AS INT), vec_id, CAST(d AS BIGINT) FROM c3
-          UNION ALL SELECT CAST(4 AS INT), vec_id, CAST(d AS BIGINT) FROM c4"""
+          SELECT * FROM (
+            SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS BIGINT) AS dist2_at_pick FROM c1
+            UNION ALL SELECT CAST(2 AS INT), vec_id, CAST(d AS BIGINT) FROM c2
+            UNION ALL SELECT CAST(3 AS INT), vec_id, CAST(d AS BIGINT) FROM c3
+            UNION ALL SELECT CAST(4 AS INT), vec_id, CAST(d AS BIGINT) FROM c4)
+          WHERE rank = 1 OR dist2_at_pick > 0"""
     }) { (s, d) =>
       KMeans.kCenterSeeds(sharedInt8(s, d), "vec_id", "qv", k = 4)
         .select(col("rank").cast("int").as("rank"), col("vec_id"),

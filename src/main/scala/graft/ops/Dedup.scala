@@ -374,10 +374,12 @@ object Dedup {
         .select(col(idCol), posexplode_outer(passages).as(Seq("pos", "ptext")))
         .filter(col("ptext").isNotNull)
         .withColumn("h", xxhash64(col("ptext")))
-        // (docId, pos) encoded as one int64 so the winner is a plain MIN
-        // (map-side combinable); 1e9 bounds passages/doc at a billion —
-        // far past any real document at 8+ tokens per passage
-        .withColumn("key", col(idCol).cast("long") * 1000000000L + col("pos"))
+        // first-occurrence winner = MIN over the (docId, pos) STRUCT —
+        // lexicographic struct ordering, still a plain map-side-combinable
+        // min. (The earlier docId*1e9+pos packed int64 silently wrapped
+        // for doc ids >= ~9.2e9, exactly the 1e10+ corpus regime this op
+        // targets, and the wrap broke the (docId, pos) winner order.)
+        .withColumn("key", struct(col(idCol).cast("long").as("d"), col("pos").as("p")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val winners = p.groupBy("h").agg(min("key").as("win"))
     p.join(winners, "h")

@@ -135,7 +135,15 @@ object KMeans {
     * thousands switch to k-means||-style oversampling (one pass drawing
     * many candidates per round) — the per-round machinery here composes
     * unchanged. Returns (rank, id, dist2_at_pick), where dist2_at_pick is
-    * the seed's distance to its nearest predecessor (0 for the first). */
+    * the seed's distance to its nearest predecessor (0 for the first).
+    *
+    * Honest size: when fewer than k DISTINCT vectors exist, the greedy
+    * winner's distance hits 0 (the only way a post-round-1 winner can be at
+    * distance 0 is to coincide with an already-chosen seed), and every
+    * later round would re-pick that same min-id duplicate. Those rounds are
+    * filtered out, so the result has one row per distinct seed actually
+    * found — possibly fewer than k — with contiguous ranks, instead of k
+    * rows padded with silent duplicates. */
   def kCenterSeeds(qb: DataFrame, idCol: String, qvCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val qbP =
@@ -166,7 +174,11 @@ object KMeans {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
     }
+    // Duplicate rounds are lazy no-ops (a 0-distance pick equals an
+    // existing seed, so the running-min update changes nothing) — dropping
+    // them here needs no per-round driver action to detect exhaustion.
     picks.reduce(_ unionByName _)
+      .filter(col("rank") === 1 || col("dist2_at_pick") > 0)
   }
 
   /** Deterministic k-means|| oversampled seeding — the large-k path x45's

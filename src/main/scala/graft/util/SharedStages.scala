@@ -35,13 +35,28 @@ object SharedStages {
     * the map freely. Builder dependencies form a DAG, so cell-monitor
     * nesting cannot deadlock. */
   private final class Memo(build: () => DataFrame) {
-    @volatile private var built: Option[DataFrame] = None
+    private var built: Option[DataFrame] = None
+    private var released = false
     def value: DataFrame = synchronized {
-      built.getOrElse { val df = build(); built = Some(df); df }
+      built.getOrElse {
+        val df = build()
+        // A release that ran while this builder was queued on the monitor
+        // (or before it started) must not leave a persisted orphan: honor
+        // it by unpersisting immediately — the caller still gets a correct
+        // (merely uncached) frame.
+        if (released) df.unpersist(blocking = false) else built = Some(df)
+        df
+      }
     }
-    /** The frame if the build ever completed — releaseAll must not trigger
-      * a build just to unpersist it. */
-    def peek: Option[DataFrame] = built
+    /** Unpersist the frame if built; WAITS for an in-flight build (the
+      * builder holds this monitor), so releaseAll can never race a build
+      * into leaking its cached blocks, and marks the cell dead so a build
+      * that starts after removal cannot leak either. */
+    def release(): Unit = synchronized {
+      built.foreach(_.unpersist(blocking = false))
+      built = None
+      released = true
+    }
   }
 
   private val cache = new ConcurrentHashMap[String, Memo]()
@@ -58,9 +73,15 @@ object SharedStages {
     * (leaving the warmup's blocks in place would time cache reads and call
     * them the cost of the pipeline). */
   def releaseAll(): Unit = {
+    // release() synchronizes on each cell, so a build mid-flight when the
+    // harness calls this is waited out and its blocks are freed (the old
+    // peek-based sweep skipped exactly those cells, leaking their persisted
+    // frames while the next cached() call rebuilt a second copy). Only one
+    // cell monitor is held at a time, so builder-side monitor nesting
+    // (components -> edges -> bands) cannot deadlock against this sweep.
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
-      it.next().getValue.peek.foreach(_.unpersist(blocking = false))
+      it.next().getValue.release()
       it.remove()
     }
   }

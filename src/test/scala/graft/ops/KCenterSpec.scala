@@ -16,11 +16,17 @@ class KCenterSpec extends SparkSpec {
     val byId = vecs.sortBy(_._1)
     val dists = scala.collection.mutable.Map(byId.map(v => v._1 -> d2(v._2, byId.head._2)): _*)
     val out = scala.collection.mutable.ArrayBuffer((1, byId.head._1, 0L))
-    for (r <- 2 to k) {
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
       val (nid, nd) = dists.toSeq.sortBy { case (id, dd) => (-dd, id) }.head
-      out += ((r, nid, nd))
-      val nqv = byId.find(_._1 == nid).get._2
-      byId.foreach(v => dists(v._1) = math.min(dists(v._1), d2(v._2, nqv)))
+      // a 0-distance winner coincides with an existing seed: the distinct
+      // vectors are exhausted, and the engine stops emitting rows here too
+      if (nd == 0L) exhausted = true
+      else {
+        out += ((r, nid, nd))
+        val nqv = byId.find(_._1 == nid).get._2
+        byId.foreach(v => dists(v._1) = math.min(dists(v._1), d2(v._2, nqv)))
+      }
     }
     out.toSeq
   }
@@ -43,10 +49,26 @@ class KCenterSpec extends SparkSpec {
     picks.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
   }
 
-  test("duplicate-only corpus degenerates deterministically (no crash)") {
+  test("duplicate-only corpus returns the one honest seed, not k copies") {
     val vecs = (0L until 10L).map(i => (i, Seq(1, 2, 3)))
     val got = KMeans.kCenterSeeds(vecs.toDF("id", "qv"), "id", "qv", 3)
       .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 0L, 0L)))
     assert(got == reference(vecs, 3))
+  }
+
+  test("k past the distinct-vector count stops at the honest seed set") {
+    // 3 distinct vectors, each duplicated; k=5 must yield exactly 3 seeds
+    // with contiguous ranks (the old behavior padded rounds 4-5 with
+    // duplicate min-id picks at dist2_at_pick=0)
+    val vecs = Seq(
+      0L -> Seq(0, 0), 1L -> Seq(0, 0),
+      2L -> Seq(100, 0), 3L -> Seq(100, 0),
+      4L -> Seq(0, 90), 5L -> Seq(0, 90))
+    val got = KMeans.kCenterSeeds(vecs.toDF("id", "qv"), "id", "qv", 5)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3))
+    assert(got.map(_._2).toSet == Set(0L, 2L, 4L))
+    assert(got == reference(vecs, 5))
   }
 }

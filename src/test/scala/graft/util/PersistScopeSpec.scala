@@ -55,6 +55,45 @@ class PersistScopeSpec extends SparkSpec {
     assert((persistedIds -- baseline).isEmpty)
   }
 
+  test("SharedStages.releaseAll racing an in-flight build leaks nothing") {
+    import spark.implicits._
+    SharedStages.releaseAll()
+    val baseline = persistedIds
+    val buildEntered = new java.util.concurrent.CountDownLatch(1)
+    val releaseDone = new java.util.concurrent.CountDownLatch(1)
+    val builder = new Thread(() => {
+      SharedStages.cached("race-stage") {
+        buildEntered.countDown()
+        // Hold the build open until releaseAll has returned on the main
+        // thread; under the old peek-based sweep this frame was removed
+        // from the map mid-build and its blocks leaked forever.
+        releaseDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        val df = Seq(1, 2, 3).toDF("n")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        df.count()
+        df
+      }
+      ()
+    })
+    builder.start()
+    buildEntered.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    // releaseAll either waits out the build (monitor) or marks the cell
+    // dead so the build unpersists its own result on completion.
+    val releaser = new Thread(() => SharedStages.releaseAll())
+    releaser.start()
+    Thread.sleep(100) // give releaseAll a chance to reach the cell
+    releaseDone.countDown()
+    releaser.join(30000)
+    builder.join(30000)
+    assert(SharedStages.size == 0)
+    // storage cleanup is async (blocking = false): poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    while ((persistedIds -- baseline).nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert((persistedIds -- baseline).isEmpty,
+      s"leaked RDD ids: ${persistedIds -- baseline}")
+  }
+
   test("track returns the dataset unchanged and releaseAll is idempotent") {
     import spark.implicits._
     val baseline = persistedIds
