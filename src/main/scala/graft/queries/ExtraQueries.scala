@@ -169,7 +169,7 @@ object ExtraQueries {
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
          FROM events GROUP BY 1, 2""") { (s, d) =>
       val name = "s01_sink_" + math.abs(d.hashCode).toString
-      val q = graft.streaming.EventStream.runOnce(s, d, name, statePartitions = Some(8))
+      val q = graft.streaming.EventStream.runOnce(s, d, name, statePartitions = Some(4))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
       // the memory sink registers in the stream's (child) session catalog
@@ -188,7 +188,7 @@ object ExtraQueries {
          FROM events e JOIN customer c ON c.c_custkey = e.user_id
          GROUP BY 1""") { (s, d) =>
       val name = "s03_sink_" + math.abs(d.hashCode).toString
-      val q = graft.streaming.EventStream.runEnriched(s, d, name, statePartitions = Some(8))
+      val q = graft.streaming.EventStream.runEnriched(s, d, name, statePartitions = Some(4))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
       q.sparkSession.table(name)
@@ -201,7 +201,7 @@ object ExtraQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
          FROM events GROUP BY 1""") { (s, d) =>
       val name = "s04_sink_" + math.abs(d.hashCode).toString
-      val q = graft.streaming.EventStream.runDistinctUsers(s, d, name, statePartitions = Some(8))
+      val q = graft.streaming.EventStream.runDistinctUsers(s, d, name, statePartitions = Some(4))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
       q.sparkSession.table(name)
@@ -232,17 +232,22 @@ object ExtraQueries {
          count(*) AS n,
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
          FROM events GROUP BY 1, 2""") { (s, d) =>
-      import graft.streaming.{EventStream, ExactlyOnceSink}
+      import graft.streaming.{Ckpt, EventStream, ExactlyOnceSink}
       val tmp = java.nio.file.Files.createTempDirectory("s05_eo").toString
       // State partitions sized to the STATE cardinality (~windows × types),
       // not the session's data-shuffle width — same rationale as the other
       // streaming queries' statePartitions: 32 HDFSBackedStateStore inits
       // per micro-batch for a few-thousand-row state is pure fixed cost.
+      // The trailing no-data batch is dropped (update-mode agg: it emits
+      // nothing, only evicts state the replay discards) and the checkpoint
+      // rides tmpfs; the parquet OUTPUT stays on disk — that's the sink's
+      // durable product, the checkpoint is replay scaffolding.
       val sess = s.newSession()
-      sess.conf.set("spark.sql.shuffle.partitions", "8")
+      sess.conf.set("spark.sql.shuffle.partitions", "4")
+      sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q = EventStream.toParquetBatches(
         EventStream.tumblingAgg(EventStream.readEvents(sess, d)),
-        s"$tmp/out", s"$tmp/ckpt")
+        s"$tmp/out", Ckpt.fresh("s05"))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
       import org.apache.spark.sql.expressions.Window
@@ -289,18 +294,30 @@ object ExtraQueries {
     // tell it apart from the batch one.
     QueryDef("s06_stream_pii_scan",
       PiiQueries.defs.find(_.name == "p01_pii_candidates").get.oracle.get) { (s, d) =>
-      import graft.streaming.{EventStream, ExactlyOnceSink}
-      // FileStreamSource takes a directory; select the customer file by glob
-      val schema = s.read.parquet(s"$d/customer.parquet").schema
+      import graft.streaming.{Ckpt, EventStream, ExactlyOnceSink}
+      // FileStreamSource takes a directory; select the customer file by glob.
+      // Stateless append pipeline: no state stores, but the no-data batch
+      // would still write (and commit) an empty parquet batch — drop it.
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val schema = sess.read.parquet(s"$d/customer.parquet").schema
+      // The file source splits by FILE, and the sample is one single-row-
+      // group parquet file — without a repartition the whole detect
+      // expression runs in ONE task per micro-batch (measured 1.9 s of the
+      // query's 2 s). The shuffle moves only the raw sample text (sub-MB);
+      // at scale, arriving batches are many files wide and this repartition
+      // is what keeps a skewed batch (one fat file) from serializing the
+      // scan anyway.
       val detected = PiiInputs.fromCustomer(
-          s.readStream.schema(schema).option("pathGlobFilter", "customer.parquet").parquet(d))
+          sess.readStream.schema(schema).option("pathGlobFilter", "customer.parquet").parquet(d))
+        .repartition(16)
         .select(col("doc_id"),
           posexplode(graft.functions.pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
         .select(col("doc_id"), col("candidate_idx"),
           col("c.value").as("value"), col("c.rule_label").as("rule_label"),
           col("c.rule_confidence").as("rule_confidence"))
       val tmp = java.nio.file.Files.createTempDirectory("s06_eo").toString
-      val q = EventStream.toParquetBatches(detected, s"$tmp/out", s"$tmp/ckpt")
+      val q = EventStream.toParquetBatches(detected, s"$tmp/out", Ckpt.fresh("s06"))
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
       ExactlyOnceSink.readCommitted(s, s"$tmp/out")

@@ -11,7 +11,9 @@ class EventStreamSpec extends SparkSpec {
   test("streaming tumbling agg over the finite events dir matches batch") {
     val q = EventStream.runOnce(spark, sf, "events_agg_test")
     try q.awaitTermination(120000) finally if (q.isActive) q.stop()
-    val streamed = spark.table("events_agg_test").collect()
+    // the runner executes in a child replay session; the memory sink
+    // registers in THAT session's catalog
+    val streamed = q.sparkSession.table("events_agg_test").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val batch = graft.SparkEntry.queries("q10_events_tumbling")(spark, sf).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
