@@ -43,11 +43,17 @@ object Bench {
     // the timed loop, so the exact physical plans AQE will pick are the ones
     // that get compiled. This costs one extra pass of wall-clock before the
     // timed region but is the only way the timed numbers measure plans.
-    SparkEntry.all.foreach { q =>
+    // The warmup pass is also TIMED: emitting cold numbers alongside warm
+    // makes each BENCH_rN.json self-explaining — a warm/cold gap is JIT +
+    // codegen compilation, not a plan problem, and readers shouldn't have
+    // to re-derive that from run-to-run variance.
+    val cold = SparkEntry.all.map { q =>
+      val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
       } finally util.PersistScope.releaseAll()
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     // Streaming machinery warmup (state store, microbatch planner, sink
     // codegen) — the streaming queries get the same JIT treatment as batch.
@@ -74,10 +80,13 @@ object Bench {
       q.name -> dt
     }
     util.SharedStages.releaseAll()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "queries"/"value" stay the WARM pass (measures plans); "cold" is the
+    // same queries' first execution at this SF (includes Janino + JIT).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
+      s""""cold":${jmap(cold)},"cold_total":${cold.map(_._2).sum},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
