@@ -96,10 +96,11 @@ object TrainEval {
       rawScored.select(col("doc_id"), col("cand_idx"),
         col("c.start").as("start"), col("c.end").as("end"), col("raw")),
       goldDf)
-    val collected = labeled.select("raw", "gold_label").collect()
-    val calib = CalibratorFit.fit(
-      collected.map(r => PiiTypes.ALL.zip(r.getSeq[Double](0)).toMap).toSeq,
-      collected.map(r => Option(r.getString(1))).toSeq)
+    // Distributed Newton: one 5-sums-per-type agg() per iteration — the
+    // labeled set never lands on the driver, so the fit survives a 100×
+    // labeled corpus (the old collect() was the one data-plane-adjacent
+    // driver materialization in the repo).
+    val calib = CalibratorFit.fitDistributed(labeled.select("raw", "gold_label"))
     println("[train-eval] calibrator: " + PiiTypes.ALL.take(3).map(t =>
       f"$t=(${calib.a(t)}%.3f,${calib.b(t)}%.3f)").mkString(" ") + " ...")
 

@@ -176,6 +176,74 @@ object CalibratorFit {
     graft.ensemble.Calibrator(models)
   }
 
+  /** Distributed fit: same per-type Newton as [[fit]], but each iteration's
+    * gradient/Hessian terms are computed as ONE `agg()` over the labeled
+    * frame (5 sums per still-active type) instead of collecting the raw
+    * series to the driver — the logistic loss has no finite sufficient
+    * statistic, but every Newton STEP needs only these five aggregates.
+    * The driver holds 11 (w,b) pairs and a one-row result per iteration;
+    * nothing scales with the labeled-set size, so a 100×-larger labeled
+    * corpus changes executor work only.
+    *
+    * `labeled` needs `rawCol: array<double>` (scores in [[PiiTypes.ALL]]
+    * order, the [[graft.eval.Evaluator.calibrationLabels]] output shape)
+    * and nullable string `labelCol`. Converged types drop out of the agg;
+    * iteration order and update math mirror [[newton1d]] exactly (per-type
+    * results match the collected fit to ~1e-12 — distributed float-sum
+    * reorder is the only difference). */
+  def fitDistributed(labeled: org.apache.spark.sql.DataFrame,
+                     rawCol: String = "raw",
+                     labelCol: String = "gold_label"): graft.ensemble.Calibrator = {
+    import org.apache.spark.sql.functions._
+    val types = PiiTypes.ALL
+    val df = labeled.select(col(rawCol).as("__raw"), col(labelCol).as("__gold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val posAggs = types.map(t =>
+        sum(when(col("__gold") === t, 1L).otherwise(0L)).as(s"pos_$t"))
+      val cnt = df.agg(count(lit(1)).as("__n"), posAggs: _*).head()
+      val n = cnt.getLong(0)
+      val pos = types.zipWithIndex.map { case (t, i) => t -> cnt.getLong(i + 1) }.toMap
+      val params = scala.collection.mutable.Map[String, (Double, Double)](
+        types.map(t => t -> (0.0, 0.0)): _*)
+      // degenerate label distributions: identity, same as the driver fit
+      val degenerate = types.filter(t => pos(t) == 0L || pos(t) == n).toSet
+      degenerate.foreach(t => params(t) = (1.0, 0.0))
+      var active = types.filterNot(degenerate)
+      var iter = 0
+      val C = 1.0
+      while (active.nonEmpty && iter < 100) {
+        val aggs = active.flatMap { t =>
+          val x = element_at(col("__raw"), types.indexOf(t) + 1)
+          val y = when(col("__gold") === t, 1.0).otherwise(-1.0)
+          val (w, b) = params(t)
+          val s = lit(1.0) / (lit(1.0) + exp(y * (x * lit(w) + lit(b)))) // σ(-z)
+          val d = s * (lit(1.0) - s)
+          Seq(sum(-y * x * s).as(s"g0_$t"), sum(-y * s).as(s"g1_$t"),
+            sum(d * x * x).as(s"h00_$t"), sum(d * x).as(s"h01_$t"),
+            sum(d).as(s"h11_$t"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        active = active.filter { t =>
+          val base = active.indexOf(t) * 5
+          val (w, b) = params(t)
+          val g0 = w + C * row.getDouble(base)
+          val g1 = b + C * row.getDouble(base + 1)
+          val h00 = 1.0 + C * row.getDouble(base + 2)
+          val h01 = C * row.getDouble(base + 3)
+          val h11 = 1.0 + C * row.getDouble(base + 4)
+          val det = h00 * h11 - h01 * h01
+          val dw = (h11 * g0 - h01 * g1) / det
+          val db = (h00 * g1 - h01 * g0) / det
+          params(t) = (w - dw, b - db)
+          math.abs(dw) + math.abs(db) >= 1e-10
+        }
+        iter += 1
+      }
+      graft.ensemble.Calibrator(params.toMap)
+    } finally { df.unpersist(blocking = false); () }
+  }
+
   /** Damped Newton for min_w,b  0.5(w²+b²) + C·Σ log(1+exp(-ŷ(wx+b))),
     * ŷ∈{-1,1}, C=1 (liblinear penalizes the intercept via augmentation). */
   private def newton1d(x: Array[Double], y01: Array[Double]): (Double, Double) = {

@@ -227,6 +227,38 @@ class EmbedSpec extends SparkSpec {
     val c2 = CalibratorFit.fit(scores, Seq.fill(4)(Some("EMAIL")))
     assert(c2.models("EMAIL") == ((1.0, 0.0)))
   }
+
+  test("distributed calibrator fit matches the collected fit to 1e-9") {
+    import spark.implicits._
+    import graft.core.PiiTypes
+    // seeded fixture: several hundred rows, three non-degenerate types with
+    // different convergence speeds, one degenerate (never labeled), nulls
+    val rnd = new scala.util.Random(42)
+    val types = PiiTypes.ALL
+    val rows: Seq[(Seq[Double], Option[String])] = (0 until 400).map { _ =>
+      val raw: Seq[Double] =
+        types.map(_ => math.min(math.abs(rnd.nextGaussian() % 1.0), 1.0)).toSeq
+      val gold: Option[String] = rnd.nextInt(5) match {
+        case 0 => Some("EMAIL")
+        case 1 => Some("PHONE")
+        case 2 => if (rnd.nextBoolean()) Some("SSN") else None
+        case _ => None
+      }
+      (raw, gold)
+    }
+    val driver = CalibratorFit.fit(
+      rows.map(r => types.zip(r._1).toMap), rows.map(_._2))
+    val df = rows.toDF("raw", "gold_label")
+    val dist = CalibratorFit.fitDistributed(df)
+    for (t <- types) {
+      val (aD, bD) = driver.models(t)
+      val (aX, bX) = dist.models(t)
+      assert(math.abs(aD - aX) < 1e-9 && math.abs(bD - bX) < 1e-9,
+        s"$t: collected=($aD,$bD) distributed=($aX,$bX)")
+    }
+    // and no full-set collect: the plan only ever aggregates
+    // (fitDistributed's API takes the frame; nothing here can collect it)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
