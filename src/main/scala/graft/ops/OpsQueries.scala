@@ -632,12 +632,20 @@ object OpsQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      // PARTIAL top-k instead of a row_number window: the bounded-heap
+      // aggregate (TopKMinExpr) keeps 3 rows per doc on the MAP side, so
+      // the shuffle carries <=3 rows per (partition, doc) and nothing is
+      // sorted — the window form shuffled and sorted the entire scored
+      // (doc, token) frame to rank 3 survivors per doc. topk_min on
+      // struct(-tfidf, token) = (tfidf desc, token asc), the window's
+      // exact order; rank = 1 + array position.
       tf.join(df, "token").crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"), col("rank"))
+        .groupBy("doc_id")
+        .agg(TopK.topk_min(struct((-col("tfidf")).as("neg"), col("token")), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "e")))
+        .select(col("doc_id"), col("e.token").as("token"),
+          round(-col("e.neg"), 6).as("tfidf"), (col("i") + 1).cast("int").as("rank"))
     },
 
     // Benchmark-contamination check: fraction of a doc's 3-gram shingles
