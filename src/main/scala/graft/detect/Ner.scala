@@ -38,8 +38,8 @@ object EmptyProvider extends NerProvider {
     texts.map(_ => Seq.empty)
 }
 
-/** Model-backed provider skeleton — the M4 spaCy/ONNX runtime slot,
-  * exercising the real `mapPartitions` model plumbing end-to-end:
+/** Model-backed provider — the M4 spaCy/ONNX runtime slot, exercising the
+  * real `mapPartitions` model plumbing end-to-end:
   *
   *  - the session is created LAZILY, ONCE PER EXECUTOR JVM (the expensive
   *    part of a real ONNX Runtime / JNI model load) and shared across that
@@ -48,10 +48,14 @@ object EmptyProvider extends NerProvider {
   *  - texts run through the session in fixed-size batches (the `nlp.pipe`
   *    shape, ner.py:104-117) rather than row-at-a-time.
   *
-  * The container ships no NLP runtime, so [[ModelNerProvider.ToySession]]
-  * is a deterministic JVM stand-in (honorific + capitalized-word PERSON
-  * tagger); swapping it for an ONNX `InferenceSession` changes nothing on
-  * the Spark side. */
+  * The container ships no onnxruntime jar, so the session speaks
+  * [[graft.ml.OnnxLike]] — a call-surface mirror of `ai.onnxruntime`
+  * (`OrtEnvironment.getEnvironment` → `createSession(modelBytes)` →
+  * `run(inputs)`) whose executor does real tensor math over real model
+  * bytes. [[ModelNerProvider.OnnxNerSession]] owns the full inference
+  * pipeline: tokenize with offsets → featurize → [batch, seqLen, features]
+  * tensor → forward pass → sigmoid-gated span decode. Swapping to the real
+  * runtime changes the import and the model bytes, nothing Spark-side. */
 class ModelNerProvider(batchSize: Int = 32) extends NerProvider {
   @transient private lazy val session = ModelNerProvider.acquireSession()
   override def analyzeBatch(texts: Iterator[String]): Iterator[Seq[NerSpan]] =
@@ -66,22 +70,79 @@ object ModelNerProvider {
   /** Sessions created in this JVM — the plumbing spec asserts exactly 1. */
   def initCount: Int = inits
 
-  private lazy val shared: Session = synchronized { inits += 1; new ToySession }
+  private lazy val shared: Session = synchronized { inits += 1; new OnnxNerSession }
   def acquireSession(): Session = shared
 
-  /** Deterministic toy model: a capitalized word directly following an
-    * honorific (Mr/Ms/Mrs/Dr, with or without '.') is a PERSON at 0.85. */
-  class ToySession extends Session {
-    private val re = java.util.regex.Pattern.compile(
-      """\b(?:Mr|Ms|Mrs|Dr)\.?\s+([A-Z][a-z]+)""")
-    override def run(batch: Seq[String]): Seq[Seq[NerSpan]] =
-      batch.map { t =>
-        val m = re.matcher(t)
+  /** Spec hook: the live ONNX-shaped session, if one was created. */
+  def sessionForSpec: Option[OnnxNerSession] = if (inits > 0) Some(
+    shared.asInstanceOf[OnnxNerSession]) else None
+
+  /** Token featurization width: (isCapitalizedWord, prevIsHonorific) —
+    * the bias term lives in the model. */
+  private val Features = 2
+
+  /** The bundled toy NER "model": PERSON iff capitalized word directly
+    * after an honorific (Mr/Ms/Mrs/Dr, optional '.'), scored
+    * σ(5·isCap + 5·prevHon − 8.265399) ≈ 0.85 — either feature alone
+    * lands far below the 0.60 confidence gate. */
+  private[detect] val modelBytes: Array[Byte] =
+    graft.ml.OnnxLike.denseModelBytes(Array(5f, 5f), bias = -8.265399f)
+
+  /** Full inference pipeline against the ONNX-shaped runtime. */
+  final class OnnxNerSession extends Session {
+    import graft.ml.OnnxLike._
+    private val env = OrtEnvironment.getEnvironment()
+    private[detect] val ort = env.createSession(modelBytes)
+
+    private val tokenRe = java.util.regex.Pattern.compile("""\S+""")
+    private val honorificRe = java.util.regex.Pattern.compile("""(?:Mr|Ms|Mrs|Dr)\.?""")
+
+    /** Longest [A-Z][a-z]+ prefix length of a token, 0 if none (ASCII, the
+      * old regex tagger's exact capture). */
+    private def capPrefix(tok: String): Int = {
+      if (tok.isEmpty || tok.head < 'A' || tok.head > 'Z') return 0
+      var i = 1
+      while (i < tok.length && tok(i) >= 'a' && tok(i) <= 'z') i += 1
+      if (i >= 2) i else 0
+    }
+
+    override def run(batch: Seq[String]): Seq[Seq[NerSpan]] = {
+      if (batch.isEmpty) return Seq.empty
+      // 1. tokenize with offsets (model sees features; offsets stay here,
+      //    the standard split between tokenizer and graph)
+      val toks: Seq[Array[(Int, Int, String)]] = batch.map { t =>
+        val m = tokenRe.matcher(t)
+        val b = Array.newBuilder[(Int, Int, String)]
+        while (m.find()) b += ((m.start, m.end, m.group))
+        b.result()
+      }
+      val maxLen = math.max(1, toks.map(_.length).max)
+      // 2. featurize, padded to [batch, maxLen, Features]
+      val feats = Array.ofDim[Float](batch.length, maxLen, Features)
+      for (bi <- toks.indices; li <- toks(bi).indices) {
+        val tok = toks(bi)(li)._3
+        feats(bi)(li)(0) = if (capPrefix(tok) > 0) 1f else 0f
+        feats(bi)(li)(1) =
+          if (li > 0 && honorificRe.matcher(toks(bi)(li - 1)._3).matches()) 1f else 0f
+      }
+      // 3. forward pass
+      val logits = ort.run(java.util.Map.of(
+        "features", OnnxTensor.createTensor(env, feats))).get("logits")
+      // 4. sigmoid-gated span decode (padding rows decode below the gate)
+      toks.indices.map { bi =>
         val out = Seq.newBuilder[NerSpan]
-        while (m.find())
-          out += NerSpan(m.start(1), m.end(1), m.group(1), graft.core.PiiTypes.PERSON, 0.85)
+        for (li <- toks(bi).indices) {
+          val score = 1.0 / (1.0 + math.exp(-logits(bi)(li)(0)))
+          if (score >= 0.5) {
+            val (s, _, tok) = toks(bi)(li)
+            val plen = capPrefix(tok)
+            if (plen > 0)
+              out += NerSpan(s, s + plen, tok.take(plen), graft.core.PiiTypes.PERSON, score)
+          }
+        }
         out.result()
       }
+    }
   }
 }
 

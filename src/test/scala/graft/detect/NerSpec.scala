@@ -38,12 +38,22 @@ class NerSpec extends SparkSpec {
       .collect()
     assert(got.length == rows.count(_._2.contains("Dr.")))
     val r = got.minBy(_.getLong(0))
-    assert(r.getString(4) == PiiTypes.PERSON && r.getDouble(5) == 0.85)
+    // score is the model's sigmoid output (σ(5+5−8.265399) ≈ 0.85), not a
+    // hardcoded constant — a real inference ran
+    assert(r.getString(4) == PiiTypes.PERSON && math.abs(r.getDouble(5) - 0.85) < 1e-5)
     // offsets point at the capitalized name, not the honorific
     val sample = rows.find(_._1 == r.getLong(0)).get._2
     assert(sample.substring(r.getInt(1), r.getInt(2)) == r.getString(3))
     assert(ModelNerProvider.initCount == 1,
       s"expected one shared session per JVM, got ${ModelNerProvider.initCount}")
+    // ONNX-shaped runtime assertions: ONE OrtEnvironment in the JVM, real
+    // forward passes through the session, every tensor batch bounded by
+    // the provider's batchSize
+    assert(graft.ml.OnnxLike.OrtEnvironment.envCount == 1)
+    val ort = ModelNerProvider.sessionForSpec.get.ort
+    assert(ort.runCount >= 7, // 100 rows / 8 partitions / batch 16 => >=8 chunks
+      s"expected one forward pass per chunk, got ${ort.runCount}")
+    assert(ort.maxBatch <= 16, s"tensor batch dim ${ort.maxBatch} exceeds batchSize")
     // providerFor honors the offline gate (ner.py:128-139)
     assert(Ner.providerFor("model", offline = true) == OfflineProvider)
     assert(Ner.providerFor("model", offline = false).isInstanceOf[ModelNerProvider])
