@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
 object ColumnStore {
 
   val Key = Seq("catalog", "schema", "table", "column")
-  private val Fields = Seq("data_type", "description")
+  /** Non-key fields with coalesce-update semantics (shared with
+    * [[LakeMergeBackend]]'s generated MERGE). */
+  val MergedFields = Seq("data_type", "description")
+  private val Fields = MergedFields
 
   /** Set-oriented upsert_column semantics. Incoming rows are deduplicated on
     * the natural key first (last-writer-wins within a batch is meaningless

@@ -110,4 +110,54 @@ class ColumnStoreSpec extends SparkSpec {
     assert(merged.count() == 1)
     assert(snap(merged) == Set(Row("c", "s", "t", "x", "int", "b"))) // max per field
   }
+
+  test("ParquetSwapBackend routes the same upsert/read semantics through the trait") {
+    val path = java.nio.file.Files.createTempDirectory("colstore_be").toString + "/columns"
+    val be: MergeBackend = ParquetSwapBackend(path)
+    be.upsert(spark, df(("c", "s", "t", "email", "string", "e")))
+    be.upsert(spark, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("c", "s", "t", "email", null, "PII: EMAIL"),
+        Row("c", "s", "t", "id", "int", null))),
+      df(("x", "x", "x", "x", "x", "x")).schema))
+    assert(snap(be.read(spark)) == Set(
+      Row("c", "s", "t", "email", "string", "PII: EMAIL"),
+      Row("c", "s", "t", "id", "int", null)))
+  }
+
+  test("LakeMergeBackend generates the exact Delta/Iceberg MERGE statement") {
+    val sql = LakeMergeBackend("lake.catalog_columns").mergeSql("batch_src")
+    assert(sql ==
+      """MERGE INTO lake.catalog_columns t
+        |USING batch_src s
+        |ON t.`catalog` = s.`catalog` AND t.`schema` = s.`schema` AND t.`table` = s.`table` AND t.`column` = s.`column`
+        |WHEN MATCHED THEN UPDATE SET t.`data_type` = coalesce(s.`data_type`, t.`data_type`), t.`description` = coalesce(s.`description`, t.`description`)
+        |WHEN NOT MATCHED THEN INSERT (`catalog`, `schema`, `table`, `column`, `data_type`, `description`)
+        |VALUES (s.`catalog`, s.`schema`, s.`table`, s.`column`, s.`data_type`, s.`description`)""".stripMargin)
+  }
+
+  test("generated MERGE is valid Spark SQL: fails on table CAPABILITY, not syntax") {
+    // No Delta/Iceberg jar ships in this container, so the statement cannot
+    // commit — but driving it at a plain parquet-backed table proves the
+    // parser and pre-analysis accept it: the error must be the table's
+    // missing row-level-operation support (what the format jar provides),
+    // never a ParseException. With such a jar on the classpath the
+    // identical upsert() call commits transactionally.
+    val warehouse = java.nio.file.Files.createTempDirectory("lake_tbl").toString
+    spark.sql("DROP TABLE IF EXISTS lake_merge_probe")
+    df(("c", "s", "t", "email", "string", "e")).write
+      .option("path", s"$warehouse/lake_merge_probe").saveAsTable("lake_merge_probe")
+    try {
+      val be = LakeMergeBackend("lake_merge_probe")
+      val err = intercept[Exception] {
+        be.upsert(spark, df(("c", "s", "t", "id", "int", "i")))
+      }
+      assert(!err.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException],
+        s"generated MERGE failed to parse: ${err.getMessage}")
+      val msg = Option(err.getMessage).getOrElse("")
+      assert(msg.toUpperCase.contains("MERGE") || msg.contains("row-level")
+        || msg.contains("SUPPORTS_ROW_LEVEL_OPERATIONS") || msg.contains("UNSUPPORTED"),
+        s"expected a capability error, got: $msg")
+    } finally spark.sql("DROP TABLE IF EXISTS lake_merge_probe")
+  }
 }
