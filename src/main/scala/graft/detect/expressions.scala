@@ -55,6 +55,41 @@ case class PiiCandidatesExpr(child: Expression)
   override def prettyName: String = "pii_candidates"
 }
 
+/** `pii_candidates_rows(text)`: GENERATOR form of [[PiiCandidatesExpr]] —
+  * emits one (candidate_idx, c) row per candidate straight from the rule
+  * pass, replacing the `posexplode(pii_candidates(text))` two-step. What
+  * it buys over array-then-explode:
+  *
+  *  - no intermediate GenericArrayData materialized per document and then
+  *    re-walked by the explode;
+  *  - the plan is a single Generate node over the scan (no projection of
+  *    a fallback expression feeding a second operator);
+  *  - immune to the p04 double-eval trap by construction:
+  *    InferFiltersFromGenerate only reasons about the explode family's
+  *    array child, so there is no `size(pii_candidates(text)) > 0` to
+  *    push into the scan as a re-evaluated DataFilter.
+  *
+  * Inner-generate semantics (zero-candidate docs emit nothing) — the
+  * behavior every explode call site restores anyway. The regex pass
+  * stays interpreted (CodegenFallback, like Spark's own RegExpExtractAll);
+  * the win is structural, not codegen of the regexes themselves. */
+case class PiiCandidatesGenerator(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("candidate_idx", IntegerType, nullable = false),
+    StructField("c", CandidateSchema.struct, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else Rules.proposeCandidates(t.toString).iterator.zipWithIndex
+      .map { case (c, i) => InternalRow(i, CandidateSchema.toRow(c)) }
+  }
+  override protected def withNewChildInternal(c: Expression): PiiCandidatesGenerator = copy(c)
+  override def prettyName: String = "pii_candidates_rows"
+}
+
 /** `ner_spans(text)` → array<struct<start,end,value,label,score>>: the
   * deterministic offline NER provider — EMAIL 0.99 / PHONE_NUMBER 0.90 via
   * the rules regexes (the tested no-model fallback, ner.py:61-81). */

@@ -17,6 +17,11 @@ object functions {
     * detector order. */
   def pii_candidates(text: Column): Column = col1(PiiCandidatesExpr)(text)
 
+  /** Generator form: one (candidate_idx, c) row per candidate — use instead
+    * of `posexplode(pii_candidates(text))` when the array itself isn't
+    * needed (see [[graft.detect.PiiCandidatesGenerator]]). */
+  def pii_candidates_rows(text: Column): Column = col1(PiiCandidatesGenerator)(text)
+
   /** Offline NER provider spans (EMAIL/PHONE regex fallback). */
   def ner_spans(text: Column): Column = col1(NerSpansExpr)(text)
 

@@ -53,7 +53,8 @@ object ExtraQueries {
           FROM cands WHERE rule_label IN ('EMAIL', 'CREDIT_CARD')""") { (s, d) =>
       import graft.functions.pii_candidates
       PiiInputs.df(s, d)
-        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
+        .select(col("doc_id"),
+          graft.functions.pii_candidates_rows(col("text")).as(Seq("candidate_idx", "c")))
         .filter(col("c.rule_label").isin("EMAIL", "CREDIT_CARD"))
         .withColumn("fv", graft.detect.Features.featureVector(
           col("c.value"), col("c.rule_label"), col("c.rule_confidence"), col("c.validations")))
@@ -312,7 +313,7 @@ object ExtraQueries {
           sess.readStream.schema(schema).option("pathGlobFilter", "customer.parquet").parquet(d))
         .repartition(16)
         .select(col("doc_id"),
-          posexplode(graft.functions.pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
+          graft.functions.pii_candidates_rows(col("text")).as(Seq("candidate_idx", "c")))
         .select(col("doc_id"), col("candidate_idx"),
           col("c.value").as("value"), col("c.rule_label").as("rule_label"),
           col("c.rule_confidence").as("rule_confidence"))

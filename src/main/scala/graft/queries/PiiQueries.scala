@@ -180,7 +180,8 @@ object PiiQueries {
       s"""$candidatesCteSql
           SELECT doc_id, candidate_idx, value, rule_label, rule_confidence FROM cands""") { (s, d) =>
       PiiInputs.df(s, d)
-        .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("candidate_idx", "c")))
+        .select(col("doc_id"),
+          graft.functions.pii_candidates_rows(col("text")).as(Seq("candidate_idx", "c")))
         .select(col("doc_id"), col("candidate_idx"),
           col("c.value").as("value"), col("c.rule_label").as("rule_label"),
           col("c.rule_confidence").as("rule_confidence"))
@@ -197,7 +198,8 @@ object PiiQueries {
           FROM cands""") { (s, d) =>
       PiiEnsemble.withPredictionOffline(
           PiiInputs.df(s, d)
-            .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("candidate_idx", "c"))),
+            .select(col("doc_id"),
+              graft.functions.pii_candidates_rows(col("text")).as(Seq("candidate_idx", "c"))),
           col("c.rule_label"), col("c.rule_confidence"), col("c.validations"),
           Calibrator.identity, Weights.runtimeDefault)
         .select(col("doc_id"), col("candidate_idx"), col("c.value").as("value"),
