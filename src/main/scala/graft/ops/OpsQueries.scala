@@ -1369,5 +1369,111 @@ object OpsQueries {
         .groupBy("source")
         .agg(max("ns").cast("long").as("n_tokens"),
           round(sum("term") / 1000000000.0, 6).as("kl_from_corpus"))
+    },
+
+    // DSIR importance resampling (Xie et al., NeurIPS 2023): score every
+    // corpus doc by how much more likely its tokens are under the TARGET
+    // domain's unigram model than the general corpus's, then keep the
+    // top-k. Docs 0-9 stand in for the target-domain sample (the x23
+    // convention); weight(doc) = Σ_tokens ln(p_target(w)/p_source(w)),
+    // add-one smoothed over the shared vocabulary. Shape: two vocab-sized
+    // count tables from ONE wordcount pass, a token equi-join back to the
+    // exploded corpus (AQE broadcasts the vocab side while it fits; at
+    // real scale DSIR hashes features into 2^20 buckets, which bounds this
+    // table regardless of corpus size), per-doc exact int64 term sums, and
+    // the global top-k via the bounded-heap aggregate — one row total
+    // broadcast back, NO global sort (the window form would funnel every
+    // doc through one partition). Ties at the boundary break on doc_id
+    // through the same struct order in both engines.
+    QueryDef("x51_dsir_resampling",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         cnt AS (SELECT token, count(*) FILTER (doc_id < 10) AS ct, count(*) FILTER (doc_id >= 10) AS cs
+                 FROM tok GROUP BY 1),
+         tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns, count(*) AS v FROM cnt),
+         w AS (SELECT t.doc_id, count(*) AS n_tokens,
+                 sum(CAST(floor(ln(((c.ct + 1)::DOUBLE / (tot.nt + tot.v)) / ((c.cs + 1)::DOUBLE / (tot.ns + tot.v)))
+                   * 1000000000 + 0.5) AS BIGINT)) AS wi
+               FROM tok t JOIN cnt c USING (token), tot
+               WHERE t.doc_id >= 10 GROUP BY 1),
+         thr AS (SELECT max(struct_pack(nw := -wi, id := doc_id)) AS b FROM
+                   (SELECT wi, doc_id FROM w ORDER BY -wi ASC, doc_id ASC LIMIT 50))
+         SELECT w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+           round(w.wi / 1000000000.0, 6) AS weight,
+           struct_pack(nw := -w.wi, id := w.doc_id) <= thr.b AS selected
+         FROM w, thr""") { (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val cnt = graft.util.PersistScope.track(
+        tok.groupBy("token").agg(
+          sum(when(col("doc_id") < 10, 1L).otherwise(0L)).as("ct"),
+          sum(when(col("doc_id") >= 10, 1L).otherwise(0L)).as("cs"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"), count(lit(1)).as("v"))
+      val pt = (col("ct") + 1).cast("double") / (col("nt") + col("v"))
+      val psrc = (col("cs") + 1).cast("double") / (col("ns") + col("v"))
+      val w = tok.filter(col("doc_id") >= 10)
+        .join(cnt, "token").crossJoin(broadcast(tot))
+        .withColumn("term", floor(log(pt / psrc) * 1000000000L + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"), sum("term").as("wi"))
+      // global top-50 as ONE topk_min row (ascending (-wi, id) = weight
+      // desc, id asc); the boundary is its LAST element, so k larger than
+      // the doc count degrades to selecting everything — honestly.
+      val thr = w.agg(TopK.topk_min(struct((-col("wi")).as("nw"), col("doc_id").as("id")), 50).as("top"))
+        .select(element_at(col("top"), size(col("top"))).as("b"))
+      w.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("wi") / 1000000000.0, 6).as("weight"),
+          (struct((-col("wi")).as("nw"), col("doc_id").as("id")) <= col("b")).as("selected"))
+    },
+
+    // Bigram log-probability scoring — the perplexity-filter upgrade of
+    // x24's unigram form: score = mean -ln p(w2|w1) under the corpus's own
+    // add-one-smoothed bigram model (real LM-filter pipelines swap in a
+    // trained KenLM/transformer; the smoothed count model keeps the oracle
+    // exact). High score = improbable token SEQUENCES, which catches
+    // shuffled/boilerplate text that unigram stats miss. Shape: bigrams
+    // come from one in-row transform over the token array (no positional
+    // self-join), one bigram-keyed wordcount for the model, a context-count
+    // reduction of that frame, the vocab size as a one-row broadcast, and a
+    // per-doc exact int64 mean. Docs with fewer than two tokens have no
+    // bigrams and drop out in both engines.
+    QueryDef("x52_bigram_logprob",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+                FROM tk, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+         bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         cc AS (SELECT w1, sum(c) AS cw FROM bc GROUP BY 1),
+         v AS (SELECT count(DISTINCT token) AS v FROM
+                 (SELECT unnest(string_split(text, ' ')) AS token FROM documents))
+         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(CAST(floor(-ln((bc.c + 1)::DOUBLE / (cc.cw + v.v)) * 1000000000 + 0.5) AS BIGINT))
+             / (count(*) * 1000000000.0), 6) AS avg_neg_logprob
+         FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1), v
+         GROUP BY bg.doc_id""") { (s, d) =>
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      // bigram stream from one in-row transform (x28's stage-the-array
+      // lesson: the token array is a column, split once per row)
+      val bg = graft.util.PersistScope.track(
+        tk.select(col("doc_id"), explode(transform(
+            sequence(lit(0), size(col("tk")) - 2),
+            i => struct(element_at(col("tk"), i + 1).as("w1"),
+              element_at(col("tk"), i + 2).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bc = graft.util.PersistScope.track(
+        bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cc = bc.groupBy("w1").agg(sum("c").as("cw"))
+      val v = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(countDistinct("token").as("v"))
+      bg.join(bc, Seq("w1", "w2")).join(cc, "w1").crossJoin(broadcast(v))
+        .withColumn("term",
+          floor(-log((col("c") + 1).cast("double") / (col("cw") + col("v"))) * 1000000000L + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(sum("term") / (count(lit(1)) * 1000000000.0), 6).as("avg_neg_logprob"))
     })
 }
