@@ -122,6 +122,32 @@ object OpsQueries {
         sharedEdges(s, d).select(col("d1").as("id1"), col("d2").as("id2")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The full DuckDB replica of the shared component stage (bands →
+    * LSH candidates → jaccard-verified edges → recursive min-label
+    * components as `lab(doc_id, cluster_id)`) — the oracle prefix x21 and
+    * x53 both build on. */
+  private val ComponentsCteSql =
+    s"""WITH RECURSIVE bands AS (
+          SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+          FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+               (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
+          WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+        edges AS (
+          SELECT p.d1, p.d2 FROM cand p
+          JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+          WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+            / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+        sym AS (SELECT d1 AS src, d2 AS dst FROM edges UNION ALL SELECT d2, d1 FROM edges),
+        reach(doc_id, r) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM sym) t0
+          UNION
+          SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.doc_id),
+        lab AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id)"""
+
   private val SimhashBitsSql =
     """array_to_string(list_transform(generate_series(1, 32), b ->
          CASE WHEN list_sum(list_transform(string_split(text, ' '), tk ->
@@ -573,26 +599,7 @@ object OpsQueries {
     // (alternating conditional star contractions), which keeps the same
     // join+agg primitive and only changes the propagation rule.
     QueryDef("x21_dedup_clusters",
-      s"""WITH RECURSIVE bands AS (
-            SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
-            FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
-                 (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
-            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-          sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
-          edges AS (
-            SELECT p.d1, p.d2 FROM cand p
-            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
-            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
-              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
-          sym AS (SELECT d1 AS src, d2 AS dst FROM edges UNION ALL SELECT d2, d1 FROM edges),
-          reach(doc_id, r) AS (
-            SELECT src, src FROM (SELECT DISTINCT src FROM sym) t0
-            UNION
-            SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.doc_id),
-          lab AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id)
+      s"""$ComponentsCteSql
           SELECT l.doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
           FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c USING (cluster_id)""") { (s, d) =>
       // Band + shingle + edge + COMPONENT frames come from SharedStages:
@@ -1475,5 +1482,61 @@ object OpsQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
           round(sum("term") / (count(lit(1)) * 1000000000.0), 6).as("avg_neg_logprob"))
+    },
+
+    // Quality-aware cluster representatives — production near-dup dedup
+    // keeps the BEST document of each duplicate cluster, not the min-id
+    // one (x03's convention): here best = most characters, doc_id
+    // tie-break (swap in any per-doc quality score; the argmax shape is
+    // unchanged). Rides the shared component stage; the winner is one
+    // struct-max per cluster (map-side partials, no window sort), joined
+    // back cluster-keyed. Cluster-graph sized throughout — only docs WITH
+    // a near-dup appear.
+    QueryDef("x53_cluster_representatives",
+      s"""$ComponentsCteSql,
+          q AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+                FROM lab l JOIN documents d USING (doc_id)),
+          rep AS (SELECT cluster_id, max(struct_pack(n := n_chars, ni := -doc_id)) AS b
+                  FROM q GROUP BY 1)
+          SELECT q.doc_id, q.cluster_id, CAST(-((rep.b).ni) AS BIGINT) AS rep_id,
+            q.doc_id = -((rep.b).ni) AS keep
+          FROM q JOIN rep USING (cluster_id)""") { (s, d) =>
+      val q = sharedComponents(s, d)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+      val rep = q.groupBy("cluster_id")
+        .agg(max(struct(col("n_chars").as("n"), (-col("doc_id")).as("ni"))).as("b"))
+      q.join(rep, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"),
+          (-col("b.ni")).cast("long").as("rep_id"),
+          (col("doc_id") === -col("b.ni")).as("keep"))
+    },
+
+    // Contamination provenance — x23 says HOW contaminated a doc is; this
+    // says BY WHICH benchmark doc: every (corpus doc, benchmark doc) pair
+    // sharing at least one 3-gram shingle, with the shared count and the
+    // fraction of the corpus doc's shingles covered. The audit artifact a
+    // decontamination run files alongside the drop list. Shape: the bench
+    // side is eval-sized (docs 0-9) → exploded and BROADCAST; the corpus
+    // side streams through one shingle-keyed broadcast join, and the
+    // group-by fan-out per corpus doc is bounded by the benchmark's size.
+    // No corpus-side self-join at any scale.
+    QueryDef("x54_contamination_pairs",
+      s"""WITH sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+          c AS (SELECT doc_id, unnest(s) AS g, len(s) AS n_sh FROM sh WHERE doc_id >= 10),
+          b AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh WHERE doc_id < 10)
+          SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared,
+            round(count(*)::DOUBLE / greatest(max(c.n_sh), 1), 6) AS frac
+          FROM c JOIN b USING (g)
+          GROUP BY 1, 2""") { (s, d) =>
+      val sh = sharedShingles(s, d)
+      val c = sh.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), size(col("s")).as("n_sh"), explode(col("s")).as("g"))
+      val b = sh.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"), explode(col("s")).as("g"))
+      c.join(broadcast(b), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).cast("long").as("n_shared"),
+          round(count(lit(1)).cast("double") / greatest(max("n_sh"), lit(1)), 6).as("frac"))
     })
 }
