@@ -50,4 +50,37 @@ object Multimodal {
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
       lit("text/plain").as("media_type")).as[MediaRow]
   }
+
+  case class SampledFrame(doc_id: Long, frame_idx: Int, fp: String, n_frames: Long)
+
+  /** Frame sampling over an opaque media blob — the video-preprocessing
+    * shape: the blob is a sequence of fixed-size frames; every `stride`-th
+    * frame is decoded (stubbed to an md5 fingerprint) and emitted with its
+    * ORIGINAL frame index, so downstream joins can reference positions in
+    * the source media. Same batch contract as [[decodeFeatures]]: one
+    * kernel instance per partition, iterator in/out, output rows bounded by
+    * frames/stride per doc — a 2-hour video at 30 fps sampled at stride
+    * 30 emits 2 rows per second of media regardless of resolution, and no
+    * blob is ever resident more than once. */
+  def sampleFrames(media: Dataset[MediaRow],
+                   frameBytes: Int = 16, stride: Int = 4): Dataset[SampledFrame] = {
+    require(frameBytes >= 1 && stride >= 1, s"bad frameBytes=$frameBytes stride=$stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init (stubbed; a real codec opens here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val n = row.media.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, n)
+          md.reset()
+          md.update(row.media, from, until - from)
+          SampledFrame(row.doc_id, i,
+            md.digest().map("%02x".format(_)).mkString, nFrames.toLong)
+        }
+      }
+    }
+  }
 }

@@ -193,6 +193,29 @@ object PipelineQueries {
         .toDF()
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("head_byte").cast("int").as("head_byte"), col("fp"))
+    },
+
+    // Multimodal frame sampling: the video-preprocessing shape — the blob
+    // is a sequence of fixed 16-byte "frames", every 4th is decoded
+    // (stubbed to a fingerprint) with its ORIGINAL index kept for
+    // source-position joins. Same per-partition batched-kernel contract as
+    // x13; output rows ∝ frames/stride per doc, blob never resident twice.
+    // The oracle replays the exact chunking in SQL (ASCII corpus: char
+    // offsets == byte offsets; TESTDATA pins that).
+    QueryDef("x55_frame_sample",
+      """WITH f AS (SELECT doc_id, text,
+             CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames
+           FROM documents WHERE length(text) > 0)
+         SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS fp, n_frames
+         FROM f, unnest(generate_series(0, n_frames - 1)) AS g(i)
+         WHERE i % 4 = 0""") { (s, d) =>
+      import graft.ops.Multimodal
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(
+            t(s, d, "documents").filter(length(col("text")) > 0)),
+          frameBytes = 16, stride = 4)
+        .toDF()
     })
 
   /** Regex literals reused by q16 (kept here to avoid a cyclic reference). */

@@ -273,4 +273,26 @@ class MultimodalSpec extends SparkSpec {
       assert(f.feature.forall(v => v >= 0f && v <= 1f))
     }
   }
+
+  test("frame sampling: stride coverage, original indices, short-tail frame") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // 70 bytes at frameBytes=16 -> 5 frames (last one 6 bytes); stride 2
+    // samples frames 0,2,4
+    val blob = ("x" * 70).getBytes("UTF-8")
+    val media = Seq(Multimodal.MediaRow(7L, blob, "video/fake")).toDS()
+    val got = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(got.forall(_.n_frames == 5))
+    assert(got.forall(_.doc_id == 7L))
+    // frames 0 and 2 are identical 16-byte runs of 'x' -> same fingerprint;
+    // the 6-byte tail frame differs
+    assert(got(0).fp == got(1).fp)
+    assert(got(2).fp != got(0).fp)
+    assert(got.forall(_.fp.length == 32))
+    // empty blob: zero frames, zero rows
+    val empty = Seq(Multimodal.MediaRow(8L, Array.empty[Byte], "video/fake")).toDS()
+    assert(Multimodal.sampleFrames(empty).count() == 0)
+  }
 }
