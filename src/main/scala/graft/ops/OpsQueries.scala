@@ -73,6 +73,33 @@ object OpsQueries {
       .withColumn("sh", shingles(col("toks")))
       .select(col("doc_id"), array_distinct(col("sh")).as("s"))
 
+  /** The corpus-side staging tables an ingest-dedup stream joins against
+    * (s08): the PASS-WIDE shared band/shingle frames (same artifacts
+    * x02/x03/x05/x21 consume — the stored-band day-2 posture), so the
+    * streaming query's marginal static cost is a filter, not a corpus
+    * MinHash pass. */
+  private[graft] def sharedBandsFor(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedBands(s, d)
+  private[graft] def sharedShinglesFor(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedShingles(s, d)
+
+  /** Staged doc → (doc_id, s, band, band_hash): the band explode CARRYING
+    * the doc's shingle set — the one-frame form a STATELESS stream-side
+    * ingest-dedup needs (s08): deriving bands and shingles as two frames
+    * and re-joining them would be a stream self-join, i.e. stateful; this
+    * keeps the whole incoming-doc pipeline a per-row map + explode. The
+    * 4×-per-doc duplication of `s` is the price of statelessness and is
+    * bounded by the band count. Exposed for the streaming queries. */
+  private[graft] def stagedBandsWithShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) > 0 && size(tokens(col("text"))) >= 3)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sig", MinHashFromTokensExpr.minhash_from_tokens(col("toks"), NumHashes))
+      .withColumn("s", array_distinct(shingles(col("toks"))))
+      .select(col("doc_id"), col("s"),
+        posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+          b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize))))))
+          .as(Seq("band", "band_hash")))
+
   // Shared across queries (x02/x03/x21 bands; x03/x05/x21/x23 shingles):
   // one DISK_ONLY materialization per (session, dir) per harness pass
   // instead of one per query. DISK_ONLY, not memory-first: these are the

@@ -323,5 +323,62 @@ object ExtraQueries {
       if (q.isActive) q.stop()
       ExactlyOnceSink.readCommitted(s, s"$tmp/out")
         .select("doc_id", "candidate_idx", "value", "rule_label", "rule_confidence")
+    },
+
+    // STREAMING ingest dedup — x43's day-2 shape as it actually runs in
+    // production: new docs (source 'src0') arrive through a stream and are
+    // checked against the STORED corpus's band/shingle artifacts. The whole
+    // per-batch pipeline is STATELESS — the incoming doc's bands and
+    // shingle set ride ONE frame (stagedBandsWithShingles; two stream
+    // derivatives re-joined would be a stateful stream self-join), then two
+    // stream-STATIC joins: band-hash collision against the corpus band
+    // table (candidates, shuffle ∝ 4 rows/doc), jaccard-verify against the
+    // corpus shingle sets. Verified (new, corp) pairs append to the sink
+    // possibly multiple times (one per colliding band — statelessness over
+    // a streaming distinct, which would be unbounded state); the batch-side
+    // min-agg dedups them, exactly as x43's first-duplicate rule wants.
+    QueryDef("s08_stream_ingest_dedup",
+      graft.ops.OpsQueries.defs.find(_.name == "x43_incremental_dedup").get.oracle.get) { (s, d) =>
+      import graft.ops.OpsQueries
+      import graft.streaming.Ckpt
+      // Runs on the PARENT session: the pipeline is fully stateless (no
+      // state stores to size, no watermark so no trailing no-data batch),
+      // and the corpus-side artifacts are the pass-wide shared band/shingle
+      // frames — the streaming query's marginal static cost is a semi-join
+      // against the corpus id set, not a corpus MinHash pass. (Production
+      // stores the band table partitioned by source; the semi-join stands
+      // in for that partition filter.)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val corpIds = s.read.parquet(s"$d/documents.parquet")
+        .filter(col("source") =!= "src0").select(col("doc_id").as("corp_id"))
+      val corpBands = OpsQueries.sharedBandsFor(s, d)
+        .select(col("doc_id").as("corp_id"), col("band"), col("band_hash"))
+        .join(broadcast(corpIds), Seq("corp_id"), "left_semi")
+      val corpSh = OpsQueries.sharedShinglesFor(s, d)
+        .select(col("doc_id").as("corp_id"), col("s").as("corp_s"))
+        .join(broadcast(corpIds), Seq("corp_id"), "left_semi")
+      val incoming = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("source") === "src0")
+      val pairs = OpsQueries.stagedBandsWithShingles(incoming)
+        .join(corpBands, Seq("band", "band_hash"))
+        .join(corpSh, "corp_id")
+        .filter(size(array_intersect(col("s"), col("corp_s"))).cast("double")
+          / greatest(size(array_union(col("s"), col("corp_s"))), lit(1)) >= 0.8)
+        .select(col("doc_id"), col("corp_id"))
+      val name = "s08_sink_" + math.abs(d.hashCode).toString
+      val q = pairs.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", Ckpt.fresh("s08"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      val fd = q.sparkSession.table(name)
+        .groupBy("doc_id").agg(min("corp_id").as("dup_of"))
+      s.read.parquet(s"$d/documents.parquet").filter(col("source") === "src0")
+        .select(col("doc_id"))
+        .join(fd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("dropped"), col("dup_of"))
     })
 }
