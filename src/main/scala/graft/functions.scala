@@ -112,5 +112,12 @@ object functions {
       graft.ops.CosineSimExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", es =>
       graft.ops.NfcNormalizeExpr(es.head), "scala_udf")
+    // generator: SELECT pii_candidates_rows(text) or LATERAL VIEW
+    reg.createOrReplaceTempFunction("pii_candidates_rows", es =>
+      PiiCandidatesGenerator(es.head), "scala_udf")
+    // aggregate: the analyzer wraps the bare AggregateFunction
+    reg.createOrReplaceTempFunction("topk_min", es =>
+      graft.ops.TopKMinExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

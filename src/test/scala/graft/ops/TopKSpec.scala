@@ -52,6 +52,16 @@ class TopKSpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 1))
   }
 
+  test("SQL registration: topk_min callable from spark.sql") {
+    graft.functions.register(spark)
+    Seq((1L, 5.0), (1L, 1.0), (1L, 3.0), (2L, 9.0)).toDF("g", "v")
+      .createOrReplaceTempView("__topk_sql")
+    val got = spark.sql(
+      "SELECT g, topk_min(v, 2) AS t FROM __topk_sql GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(got == Seq((1L, Seq(1.0, 3.0)), (2L, Seq(9.0))))
+  }
+
   test("duplicate-heavy input: ties kept deterministically by full struct order") {
     val df = Seq.tabulate(100)(i => (0L, s"t${i % 5}", 1.0)).toDF("g", "token", "score")
     val got = df.groupBy("g")
