@@ -73,6 +73,22 @@ object OpsQueries {
       .withColumn("sh", shingles(col("toks")))
       .select(col("doc_id"), array_distinct(col("sh")).as("s"))
 
+  /** Shared corpus wordcount frame: (doc_id, source, token, c) — the
+    * reduced form of the full token explode, which x10/x22/x24/x39/x44/
+    * x51/x52 each re-ran privately before round 7. Everything those
+    * queries need re-derives from this one pass with further map-side-
+    * combinable aggs (counts are exact integers, so every derivation is
+    * order-independent); `source` rides along (constant per doc,
+    * dictionary-compressed) so the per-source views need no join back to
+    * the documents table. One corpus tokenization per pass instead of
+    * seven. */
+  private[graft] def sharedWordCounts(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-wordcounts|$d|${System.identityHashCode(s)}")(
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "source", "token").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The corpus-side staging tables an ingest-dedup stream joins against
     * (s08): the PASS-WIDE shared band/shingle frames (same artifacts
     * x02/x03/x05/x21 consume — the stored-band day-2 posture), so the
@@ -419,9 +435,8 @@ object OpsQueries {
     QueryDef("x10_top_tokens",
       """SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY n DESC, token LIMIT 20""") { (s, d) =>
-      t(s, d, "documents")
-        .select(explode(tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
+      sharedWordCounts(s, d)
+        .groupBy("token").agg(sum("c").as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)
     },
 
@@ -656,14 +671,11 @@ object OpsQueries {
               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
             FROM scored) WHERE rank <= 3""") { (s, d) =>
       val docs = t(s, d, "documents")
-      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      // ONE explode pass: df (docs per token) is a row count over the
-      // reduced tf frame — one row per (doc, token) there already — so the
-      // raw token stream is never evaluated twice (x28's trick). Persisted:
-      // the join probe and the df build both read tf.
-      val tf = graft.util.PersistScope.track(
-        tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // tf IS the shared wordcount frame (one corpus tokenization per
+      // pass); df (docs per token) is a row count over it — one row per
+      // (doc, token) there already, so the raw token stream is never
+      // evaluated twice (x28's trick).
+      val tf = sharedWordCounts(s, d).select(col("doc_id"), col("token"), col("c").as("tf"))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       // PARTIAL top-k instead of a row_number window: the bounded-heap
@@ -726,15 +738,18 @@ object OpsQueries {
             round(avg(-ln((uni.c + 1)::DOUBLE / (tot.n + tot.v))), 6) AS avg_neg_logprob
           FROM tok JOIN uni USING (token), tot
           GROUP BY doc_id""") { (s, d) =>
-      val docs = t(s, d, "documents")
-      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val uni = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      // instance-count-weighted mean over the shared wordcount frame: every
+      // instance of a (doc, token) carries the identical nlp double, so
+      // Σ(c·nlp)/Σc equals the oracle's per-instance avg (and has FEWER
+      // float additions than the old per-instance form)
+      val wc = sharedWordCounts(s, d).select(col("doc_id"), col("token"), col("c").as("tc"))
+      val uni = wc.groupBy("token").agg(sum("tc").as("c"))
       val tot = uni.agg(sum("c").as("n"), count(lit(1)).as("v"))
-      tok.join(uni, "token").crossJoin(broadcast(tot))
+      wc.join(uni, "token").crossJoin(broadcast(tot))
         .withColumn("nlp", -log((col("c") + 1).cast("double") / (col("n") + col("v"))))
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          round(avg("nlp"), 6).as("avg_neg_logprob"))
+        .agg(sum("tc").cast("long").as("n_tokens"),
+          round(sum(col("tc") * col("nlp")) / sum("tc"), 6).as("avg_neg_logprob"))
     },
 
     // Greedy sequence packing (training-batch prep): docs are packed into
@@ -1359,8 +1374,7 @@ object OpsQueries {
            round(ni::DOUBLE / (va.nv + vb.nv - ni), 6) AS jaccard
          FROM i JOIN v va ON va.source = i.src_a JOIN v vb ON vb.source = i.src_b""") { (s, d) =>
       val st = graft.util.PersistScope.track(
-        t(s, d, "documents")
-          .select(col("source"), explode(tokens(col("text"))).as("token")).distinct()
+        sharedWordCounts(s, d).select(col("source"), col("token")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val v = st.groupBy("source").agg(count(lit(1)).as("nv"))
       st.as("a").join(st.as("b"),
@@ -1386,12 +1400,12 @@ object OpsQueries {
              * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0, 6) AS kl_from_corpus
          FROM st JOIN s USING (source) JOIN ct USING (token), tot
          GROUP BY st.source""") { (s, d) =>
-      val tok = t(s, d, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("token"))
-      // one explode pass: source totals, corpus token counts, and the grand
-      // total all derive from the reduced (source, token) frame
+      // (source, token) counts re-reduce from the shared wordcount frame
+      // (exact integer sums, so the re-grouping cannot change any value);
+      // source totals, corpus token counts, and the grand total all derive
+      // from this reduced frame
       val st = graft.util.PersistScope.track(
-        tok.groupBy("source", "token").agg(count(lit(1)).as("c"))
+        sharedWordCounts(s, d).groupBy("source", "token").agg(sum("c").as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val sTot = st.groupBy("source").agg(sum("c").as("ns"))
       val ct = st.groupBy("token").agg(sum("c").as("n"))
@@ -1435,21 +1449,23 @@ object OpsQueries {
            round(w.wi / 1000000000.0, 6) AS weight,
            struct_pack(nw := -w.wi, id := w.doc_id) <= thr.b AS selected
          FROM w, thr""") { (s, d) =>
-      val tok = t(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      // all from the shared wordcount frame: the per-instance fixed-point
+      // term is identical for every instance of a (doc, token), so the
+      // per-doc sum is exactly c × term — integer math, no explode rerun
+      val wc = sharedWordCounts(s, d)
       val cnt = graft.util.PersistScope.track(
-        tok.groupBy("token").agg(
-          sum(when(col("doc_id") < 10, 1L).otherwise(0L)).as("ct"),
-          sum(when(col("doc_id") >= 10, 1L).otherwise(0L)).as("cs"))
+        wc.groupBy("token").agg(
+          sum(when(col("doc_id") < 10, col("c")).otherwise(0L)).as("ct"),
+          sum(when(col("doc_id") >= 10, col("c")).otherwise(0L)).as("cs"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val tot = cnt.agg(sum("ct").as("nt"), sum("cs").as("ns"), count(lit(1)).as("v"))
       val pt = (col("ct") + 1).cast("double") / (col("nt") + col("v"))
       val psrc = (col("cs") + 1).cast("double") / (col("ns") + col("v"))
-      val w = tok.filter(col("doc_id") >= 10)
+      val w = wc.filter(col("doc_id") >= 10)
         .join(cnt, "token").crossJoin(broadcast(tot))
-        .withColumn("term", floor(log(pt / psrc) * 1000000000L + 0.5).cast("long"))
+        .withColumn("term", col("c") * floor(log(pt / psrc) * 1000000000L + 0.5).cast("long"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_tokens"), sum("term").as("wi"))
+        .agg(sum("c").cast("long").as("n_tokens"), sum("term").as("wi"))
       // global top-50 as ONE topk_min row (ascending (-wi, id) = weight
       // desc, id asc); the boundary is its LAST element, so k larger than
       // the doc count degrades to selecting everything — honestly.
@@ -1500,8 +1516,7 @@ object OpsQueries {
         bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val cc = bc.groupBy("w1").agg(sum("c").as("cw"))
-      val v = t(s, d, "documents")
-        .select(explode(tokens(col("text"))).as("token"))
+      val v = sharedWordCounts(s, d)
         .agg(countDistinct("token").as("v"))
       bg.join(bc, Seq("w1", "w2")).join(cc, "w1").crossJoin(broadcast(v))
         .withColumn("term",
