@@ -1504,26 +1504,32 @@ object OpsQueries {
       val tk = t(s, d, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
       // bigram stream from one in-row transform (x28's stage-the-array
-      // lesson: the token array is a column, split once per row)
-      val bg = graft.util.PersistScope.track(
+      // lesson: the token array is a column, split once per row), reduced
+      // IMMEDIATELY to per-doc bigram counts — the model join and the
+      // per-doc mean both ride the reduced frame (every instance of a
+      // (doc, w1, w2) gets the identical integer term, so the instance sum
+      // is exactly c × term and n_bigrams is Σc). Only the reduced frame
+      // persists; the raw instance stream is consumed once by its own
+      // map-side combine and never shuffles.
+      val dbc = graft.util.PersistScope.track(
         tk.select(col("doc_id"), explode(transform(
             sequence(lit(0), size(col("tk")) - 2),
             i => struct(element_at(col("tk"), i + 1).as("w1"),
               element_at(col("tk"), i + 2).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val bc = graft.util.PersistScope.track(
-        bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bc = dbc.groupBy("w1", "w2").agg(sum("c").as("c"))
       val cc = bc.groupBy("w1").agg(sum("c").as("cw"))
       val v = sharedWordCounts(s, d)
         .agg(countDistinct("token").as("v"))
-      bg.join(bc, Seq("w1", "w2")).join(cc, "w1").crossJoin(broadcast(v))
+      dbc.join(bc.withColumnRenamed("c", "mc"), Seq("w1", "w2"))
+        .join(cc, "w1").crossJoin(broadcast(v))
         .withColumn("term",
-          floor(-log((col("c") + 1).cast("double") / (col("cw") + col("v"))) * 1000000000L + 0.5).cast("long"))
+          floor(-log((col("mc") + 1).cast("double") / (col("cw") + col("v"))) * 1000000000L + 0.5).cast("long"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          round(sum("term") / (count(lit(1)) * 1000000000.0), 6).as("avg_neg_logprob"))
+        .agg(sum("c").cast("long").as("n_bigrams"),
+          round(sum(col("c") * col("term")) / (sum("c") * 1000000000.0), 6).as("avg_neg_logprob"))
     },
 
     // Quality-aware cluster representatives — production near-dup dedup
