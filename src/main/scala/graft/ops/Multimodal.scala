@@ -51,6 +51,60 @@ object Multimodal {
       lit("text/plain").as("media_type")).as[MediaRow]
   }
 
+  case class ResizedMedia(doc_id: Long, out_w: Int, out_h: Int, head: Int,
+                          media: Array[Byte], checksum: Long)
+
+  /** Block-average downsample of an opaque raster blob — the image-resize
+    * shape: the blob is a row-major `w`-wide byte raster, and each
+    * `factor`×`factor` block becomes one output byte (integer floor mean).
+    * Input crops to whole blocks (h = n/w full rows, then oh = h/factor
+    * block rows) the way a real resize aligns to its kernel; blobs shorter
+    * than one block drop out. Same batch contract as [[decodeFeatures]]:
+    * one kernel instance per partition, iterator in/out, output blob
+    * factor²× smaller than the input, nothing resident more than once. The
+    * arithmetic mean is the stub — swap in a real resampler (bilinear /
+    * Lanczos via a JNI codec) without touching the pipeline shape. `head`
+    * (first output byte) and `checksum` (Σ output bytes, exact int64) let
+    * an oracle verify every output pixel arithmetic without shipping the
+    * blob. */
+  def resizeBlocks(media: Dataset[MediaRow],
+                   w: Int = 16, factor: Int = 2): Dataset[ResizedMedia] = {
+    require(w >= 1 && factor >= 1 && w % factor == 0,
+      s"raster width $w must be a positive multiple of factor $factor")
+    import media.sparkSession.implicits._
+    val ow = w / factor
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val oh = (row.media.length / w) / factor
+        if (oh == 0) Iterator.empty
+        else {
+          val out = new Array[Byte](oh * ow)
+          var checksum = 0L
+          var r = 0
+          while (r < oh) {
+            var c = 0
+            while (c < ow) {
+              var s = 0
+              var dr = 0
+              while (dr < factor) {
+                val base = (r * factor + dr) * w + c * factor
+                var dc = 0
+                while (dc < factor) { s += row.media(base + dc) & 0xff; dc += 1 }
+                dr += 1
+              }
+              val v = s / (factor * factor)
+              out(r * ow + c) = v.toByte
+              checksum += v
+              c += 1
+            }
+            r += 1
+          }
+          Iterator.single(ResizedMedia(row.doc_id, ow, oh, out(0) & 0xff, out, checksum))
+        }
+      }
+    }
+  }
+
   case class SampledFrame(doc_id: Long, frame_idx: Int, fp: String, n_frames: Long)
 
   /** Frame sampling over an opaque media blob — the video-preprocessing

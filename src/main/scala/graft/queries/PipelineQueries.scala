@@ -216,6 +216,36 @@ object PipelineQueries {
             t(s, d, "documents").filter(length(col("text")) > 0)),
           frameBytes = 16, stride = 4)
         .toDF()
+    },
+
+    // Multimodal resize: the blob as a 16-wide row-major byte raster,
+    // 2×2-block floor-mean downsampled in the same per-partition batched
+    // kernel as x13/x55 (the image-resize preprocessing shape; the mean is
+    // the stubbed resampler). The oracle re-derives every output pixel from
+    // the text bytes (ASCII corpus: char offsets == byte offsets) and
+    // checks dims + first pixel + the exact integer pixel-sum checksum, so
+    // any wrong output byte anywhere hash-mismatches. Blobs shorter than
+    // one 2×2 block crop out in both engines.
+    QueryDef("x56_media_resize",
+      """WITH m AS (SELECT doc_id, text, (length(text) // 16) // 2 AS oh FROM documents),
+         cells AS (SELECT doc_id, text, oh, g // 8 AS r, g % 8 AS c
+                   FROM m, unnest(generate_series(0, oh * 8 - 1)) AS t(g)
+                   WHERE oh > 0),
+         px AS (SELECT doc_id, oh, r, c,
+                  (ascii(substr(text, (r*2)*16 + c*2 + 1, 1))
+                 + ascii(substr(text, (r*2)*16 + c*2 + 2, 1))
+                 + ascii(substr(text, (r*2+1)*16 + c*2 + 1, 1))
+                 + ascii(substr(text, (r*2+1)*16 + c*2 + 2, 1))) // 4 AS v
+                FROM cells)
+         SELECT doc_id, 8 AS out_w, CAST(oh AS INT) AS out_h,
+           CAST(max(CASE WHEN r = 0 AND c = 0 THEN v END) AS INT) AS head,
+           CAST(sum(v) AS BIGINT) AS checksum
+         FROM px GROUP BY doc_id, oh""") { (s, d) =>
+      import graft.ops.Multimodal
+      Multimodal.resizeBlocks(
+          Multimodal.mediaFromDocuments(t(s, d, "documents")), w = 16, factor = 2)
+        .toDF()
+        .select(col("doc_id"), col("out_w"), col("out_h"), col("head"), col("checksum"))
     })
 
   /** Regex literals reused by q16 (kept here to avoid a cyclic reference). */

@@ -295,4 +295,36 @@ class MultimodalSpec extends SparkSpec {
     val empty = Seq(Multimodal.MediaRow(8L, Array.empty[Byte], "video/fake")).toDS()
     assert(Multimodal.sampleFrames(empty).count() == 0)
   }
+
+  test("resize: exact block means, crop alignment, short blobs drop") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // a 4-wide raster of bytes 0..15 plus a 3-byte ragged tail; factor 2:
+    // h = 19/4 = 4 full rows, oh = 2, ow = 2 — the tail row is cropped
+    val blob = (0 until 16).map(_.toByte).toArray ++ Array[Byte](99, 99, 99)
+    val media = Seq(Multimodal.MediaRow(3L, blob, "image/fake")).toDS()
+    val r = Multimodal.resizeBlocks(media, w = 4, factor = 2).collect()
+    assert(r.length == 1 && r(0).out_w == 2 && r(0).out_h == 2)
+    // blocks: {0,1,4,5}->2  {2,3,6,7}->4  {8,9,12,13}->10  {10,11,14,15}->12
+    assert(r(0).media.toSeq == Seq[Byte](2, 4, 10, 12))
+    assert(r(0).head == 2)
+    assert(r(0).checksum == 2 + 4 + 10 + 12)
+    // floor mean, not rounding: {0,1,4,6} sums to 11 -> 2 (not 3)
+    val odd = Seq(Multimodal.MediaRow(4L,
+      Array[Byte](0, 1, 2, 3, 4, 6, 7, 8), "image/fake")).toDS()
+    assert(Multimodal.resizeBlocks(odd, w = 4, factor = 2)
+      .collect()(0).media.head == 2.toByte)
+    // high bytes stay unsigned through the mean (0xFF avg 0xFD = 0xFE)
+    val hi = Seq(Multimodal.MediaRow(5L,
+      Array[Byte](-1, -1, -3, -3), "image/fake")).toDS()
+    val hr = Multimodal.resizeBlocks(hi, w = 2, factor = 2).collect()(0)
+    assert((hr.media.head & 0xff) == 0xfe && hr.checksum == 0xfe && hr.head == 0xfe)
+    // blobs with no complete factor-block of full rows emit nothing
+    val short = Seq(Multimodal.MediaRow(6L, Array[Byte](1, 2, 3, 4, 5), "image/fake")).toDS()
+    assert(Multimodal.resizeBlocks(short, w = 4, factor = 2).count() == 0)
+    // width must divide by factor
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeBlocks(media, w = 5, factor = 2)
+    }
+  }
 }
