@@ -238,5 +238,61 @@ object ClusterQueries {
           FROM centers c LEFT JOIN w ON w.cid = c.vec_id"""
     }) { (s, d) =>
       KMeans.parallelSeeds(sharedInt8(s, d), "vec_id", "qv", l = 8.0, rounds = 2)
+    },
+
+    // Mini-batch k-means — the large-k/large-corpus path of x32: each update
+    // round assigns ONE deterministic batch (vec_id % 2 here) and centroids
+    // are the cumulative exact-integer batch statistics (Sculley's 1/n_c
+    // step telescoped to its closed form), so update rounds scan corpus/
+    // batches rows and only the final assignment pass touches everything.
+    // The oracle unrolls both rounds: seed → batch-0 assign → cumulative
+    // update (seed fallback for untouched centroids) → batch-1 assign →
+    // cumulative update → full assign. Same argmin/tie-break chain as x32;
+    // the emitted distance is the EXACT count-scaled integer Σ(qv_i·n−s_i)²
+    // (= n²·dist², all int64) — a rounded float dist² hit a half-midpoint
+    // at sf0.001 where the engines' round() disagree by one ulp.
+    QueryDef("x57_minibatch_kmeans", {
+      val d2 = """list_sum(list_transform(generate_series(1, 64),
+            i -> (b.qv[i]::DOUBLE - c.ce[i]) * (b.qv[i]::DOUBLE - c.ce[i])))"""
+      s"""WITH $QuantCte,
+          c0 AS (SELECT vec_id AS cid, list_transform(qv, v -> v::DOUBLE) AS ce FROM qb WHERE vec_id < $K),
+          a1 AS (SELECT vec_id, qv, cid FROM (
+             SELECT b.vec_id, b.qv, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cid) AS rn
+             FROM (SELECT * FROM qb WHERE vec_id % 2 = 0) b CROSS JOIN c0 c) WHERE rn = 1),
+          u1 AS (SELECT cid, pos, sum(qv[pos]) AS s, count(*) AS n
+                 FROM a1, (SELECT unnest(generate_series(1, 64)) AS pos) GROUP BY cid, pos),
+          cs1 AS (SELECT cid, list(s::DOUBLE / n ORDER BY pos) AS ce FROM u1 GROUP BY cid),
+          c1 AS (SELECT c0.cid, coalesce(cs1.ce, c0.ce) AS ce FROM c0 LEFT JOIN cs1 USING (cid)),
+          a2 AS (SELECT vec_id, qv, cid FROM (
+             SELECT b.vec_id, b.qv, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cid) AS rn
+             FROM (SELECT * FROM qb WHERE vec_id % 2 = 1) b CROSS JOIN c1 c) WHERE rn = 1),
+          u2 AS (SELECT cid, pos, sum(qv[pos]) AS s, count(*) AS n
+                 FROM a2, (SELECT unnest(generate_series(1, 64)) AS pos) GROUP BY cid, pos),
+          uc AS (SELECT cid, pos, sum(s) AS s, sum(n) AS n
+                 FROM (SELECT * FROM u1 UNION ALL SELECT * FROM u2) GROUP BY cid, pos),
+          cs2 AS (SELECT cid, list(s::DOUBLE / n ORDER BY pos) AS ce FROM uc GROUP BY cid),
+          c2 AS (SELECT c0.cid, coalesce(cs2.ce, c0.ce) AS ce FROM c0 LEFT JOIN cs2 USING (cid)),
+          csx AS (SELECT cid, list(s ORDER BY pos) AS sa, min(n) AS n FROM uc GROUP BY cid),
+          cx AS (SELECT c0.cid,
+                   coalesce(csx.sa, list_transform(c0.ce, v -> CAST(v AS BIGINT))) AS sa,
+                   coalesce(csx.n, 1) AS n
+                 FROM c0 LEFT JOIN csx USING (cid)),
+          af AS (SELECT vec_id, qv, cid FROM (
+             SELECT b.vec_id, b.qv, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY $d2, c.cid) AS rn
+             FROM qb b CROSS JOIN c2 c) WHERE rn = 1)
+          SELECT af.vec_id, CAST(af.cid AS BIGINT) AS cluster,
+            CAST(count(*) OVER (PARTITION BY af.cid) AS BIGINT) AS cluster_size,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> (af.qv[i]::BIGINT * cx.n - cx.sa[i]) * (af.qv[i]::BIGINT * cx.n - cx.sa[i])))
+              AS BIGINT) AS dist2n
+          FROM af JOIN cx USING (cid)"""
+    }) { (s, d) =>
+      KMeans.miniBatchAssignments(sharedInt8(s, d), "vec_id", "qv", K, batches = 2)
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          count(lit(1)).over(Window.partitionBy("cid")).as("cluster_size"),
+          col("dist2n"))
     })
 }

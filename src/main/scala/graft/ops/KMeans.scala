@@ -121,6 +121,92 @@ object KMeans {
     assigned
   }
 
+  /** Deterministic mini-batch k-means (Sculley 2010's update schedule with
+    * the RNG replaced by id-deterministic batches, and the per-center
+    * learning-rate recurrence replaced by its closed form): round r assigns
+    * ONLY batch r (`id % batches == r`) against the current centroids, then
+    * every touched centroid becomes Σ(batch sums so far) / Σ(counts so far)
+    * — cumulative EXACT int64 statistics, which is precisely what Sculley's
+    * 1/n_c step-size telescopes to, so the whole trajectory is
+    * partition-independent and oracle-replicable. A centroid no batch has
+    * touched keeps its seed. The final pass assigns the whole corpus with
+    * the last centroids.
+    *
+    * Why this exists next to [[assignments]]: a full Lloyd round scans the
+    * corpus per iteration — at 100 TB, k in the thousands and tens of
+    * rounds is unaffordable. Here each update round scans corpus/batches
+    * rows (the batch predicate prunes at the scan), the update shuffle is
+    * still only (cid, dim) integer partials, and the corpus-wide work is
+    * ONE final shuffle-free assignment pass. With batches = 1 this
+    * degenerates to exactly one Lloyd iteration ([[assignments]] with
+    * iters = 2) — the spec pins that equivalence. Production batching would
+    * hash the id first; the modulo keeps the oracle's arithmetic plain. */
+  def miniBatchAssignments(qb: DataFrame, idCol: String, qvCol: String,
+                           k: Int, batches: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(batches >= 1, s"batches must be >= 1, got $batches")
+    val qbP =
+      if (qb.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.util.PersistScope.track(
+          qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else qb
+    val init = qbP.filter(col(idCol) < k)
+      .select(col(idCol).as("cid"), transform(col(qvCol), v => v.cast("double")).as("ce"))
+    var cents = init
+    // Cumulative (cid, pos) -> (Σv, Σ1) exact integer stats across batches;
+    // persisted per round so round r+1 extends r's frame instead of
+    // replaying every earlier batch's assignment from the scan.
+    var stats: DataFrame = null
+    for (r <- 0 until batches) {
+      val batch = qbP.filter(pmod(col(idCol), lit(batches)) === r)
+      val delta = assignOnce(batch, idCol, qvCol, toArr(cents))
+        .select(col("cid"), posexplode_outer(col(qvCol)).as(Seq("pos", "v")))
+        .filter(col("pos").isNotNull)
+        .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      stats = graft.util.PersistScope.track(
+        (if (stats == null) delta
+         else stats.unionByName(delta)
+           .groupBy("cid", "pos").agg(sum("s").as("s"), sum("n").as("n")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // Touched centroids: the exact rational cumulative mean, dimension
+      // order restored by the (pos, val) struct sort (pos unique per cid).
+      // Untouched centroids keep the seed via the whole-array coalesce —
+      // per-position mixing can't occur because a touched cid has every pos.
+      val ceStats = stats
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("n")).as("val")))).as("pv"))
+        .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce2"))
+      cents = init.join(ceStats, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ce2"), col("ce")).as("ce"))
+    }
+    // Alongside the float dist2, emit the EXACT integer distance to the
+    // assigned centroid, scaled by its count: dist2n = Σ(qv_i·n_c − s_c,i)²
+    // = n_c²·dist2 with every term an int64. The float d2 drives the argmin
+    // (centroid ulp-ties are astronomically unlikelier than rounding-
+    // boundary hits), but anything EMITTED cross-engine must be exact —
+    // round(d2, 4) hit a half-midpoint at sf0.001 where Spark and DuckDB
+    // round() disagree by one ulp. Untouched centroids are their integer
+    // seed with n = 1.
+    val exactCents = {
+      val fromStats = stats.groupBy("cid").agg(
+        array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
+        min("n").as("__nc")) // n is constant across pos within a cid
+        .select(col("cid"), transform(col("ps"), x => x.getField("s")).as("__sa"),
+          col("__nc"))
+      init.select(col("cid"), transform(col("ce"), v => v.cast("long")).as("__sa0"))
+        .join(fromStats, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__sa"), col("__sa0")).as("__sa"),
+          coalesce(col("__nc"), lit(1L)).as("__nc"))
+    }
+    assignOnce(qbP, idCol, qvCol, toArr(cents))
+      .join(broadcast(exactCents), Seq("cid"))
+      .withColumn("dist2n", aggregate(zip_with(col(qvCol), col("__sa"),
+        (x, sc) => (x.cast("long") * col("__nc") - sc) * (x.cast("long") * col("__nc") - sc)),
+        lit(0L), (acc, v) => acc + v))
+      .select(col(idCol), col(qvCol), col("cid"), col("dist2"),
+        col("__nc").as("nc"), col("dist2n"))
+  }
+
   /** Deterministic k-center greedy (farthest-point / Gonzalez) seeding over
     * int-code vectors: seed 1 = the min-id vector; each later seed = the
     * vector FARTHEST (exact int64 dist²) from its nearest already-chosen

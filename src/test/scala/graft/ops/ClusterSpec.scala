@@ -46,6 +46,46 @@ class ClusterSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("mini-batch kmeans: batches=1 is exactly one Lloyd iteration") {
+    val qb = codes().persist()
+    try {
+      def norm(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+      // one batch = assign-all + cumulative update + final assign, which is
+      // the iters=2 Lloyd chain verbatim — the closed-form-step equivalence
+      val mb = norm(KMeans.miniBatchAssignments(qb, "vec_id", "qv", k = 8, batches = 1)
+        .select("vec_id", "qv", "cid", "dist2").collect())
+      val ll = norm(KMeans.assignments(qb, "vec_id", "qv", k = 8, iters = 2)
+        .select("vec_id", "qv", "cid", "dist2").collect())
+      assert(mb == ll)
+    } finally qb.unpersist()
+  }
+
+  test("mini-batch kmeans: every vector assigned, deterministic, seeds persist for untouched clusters") {
+    val qb = codes().persist()
+    try {
+      def run() = KMeans.miniBatchAssignments(qb, "vec_id", "qv", k = 8, batches = 2)
+        .select("vec_id", "cid", "dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val a = run()
+      assert(a.length == qb.count())
+      assert(a.map(_._1).distinct.length == a.length)
+      assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+      assert(run() == a)
+      // a batch count that starves every round (ids 0..n-1, batches > n:
+      // rounds r >= n see empty batches) leaves the seed centroids intact —
+      // the final assignment is then plain nearest-seed
+      import spark.implicits._
+      val tiny = Seq((0L, Seq(0, 0)), (1L, Seq(100, 100)), (5L, Seq(99, 99)))
+        .toDF("vec_id", "qv")
+      val seeded = KMeans.miniBatchAssignments(tiny, "vec_id", "qv", k = 2, batches = 7)
+        .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // batches touched: only vec_id 5 lands in round 5 (5 % 7); rounds 0/1
+      // move centroid 0/1 toward themselves only — 5 stays nearest seed 1
+      assert(seeded(5L) == 1L && seeded(0L) == 0L)
+    } finally qb.unpersist()
+  }
+
   test("x33 semantic dedup: every dropped vector has a smaller-id cluster-mate at qcos >= tau") {
     val a = KMeans.assignments(codes(), "vec_id", "qv", k = 8, iters = 2)
       .withColumn("qn", KMeans.int8SqNorm(col("qv")))
