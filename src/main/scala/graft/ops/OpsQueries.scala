@@ -1477,6 +1477,37 @@ object OpsQueries {
           (struct((-col("wi")).as("nw"), col("doc_id").as("id")) <= col("b")).as("selected"))
     },
 
+    // Deterministic train/val/test split assignment — the reproducible
+    // 80/10/10 partition every training run starts from: the split is a
+    // pure function of doc_id through the portable md5 bucket (x47's
+    // admission hash), so it is identical on any cluster size, any
+    // partitioning, and re-runs — no rand(), no global sort, no state.
+    // n_in_cell (docs sharing this doc's (source, split) cell) rides along
+    // so the gate audits the per-source stratification proportions, not
+    // just the assignment. Scale shape: pure map for the split; the cell
+    // counts are a sources×3-row aggregate broadcast back — the corpus
+    // never shuffles (the window form would shuffle everything).
+    QueryDef("x58_train_split",
+      s"""WITH b AS (SELECT doc_id, source,
+              ${Sketches.bucketSql("doc_id::VARCHAR", "'split'", 65536)} AS b
+            FROM documents),
+          a AS (SELECT doc_id, source,
+              CASE WHEN b < 52429 THEN 'train' WHEN b < 58982 THEN 'val' ELSE 'test' END AS split
+            FROM b),
+          c AS (SELECT source, split, count(*) AS n_in_cell FROM a GROUP BY 1, 2)
+          SELECT a.doc_id, a.source, a.split, c.n_in_cell
+          FROM a JOIN c USING (source, split)""") { (s, d) =>
+      val a = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          Sketches.bucket(col("doc_id").cast("string"), lit("split"), 65536).as("b"))
+        .withColumn("split",
+          when(col("b") < 52429, "train").when(col("b") < 58982, "val").otherwise("test"))
+        .drop("b")
+      val c = a.groupBy("source", "split").agg(count(lit(1)).as("n_in_cell"))
+      a.join(broadcast(c), Seq("source", "split"))
+        .select(col("doc_id"), col("source"), col("split"), col("n_in_cell"))
+    },
+
     // Bigram log-probability scoring — the perplexity-filter upgrade of
     // x24's unigram form: score = mean -ln p(w2|w1) under the corpus's own
     // add-one-smoothed bigram model (real LM-filter pipelines swap in a
