@@ -327,4 +327,33 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resizeBlocks(media, w = 5, factor = 2)
     }
   }
+
+  test("resize differential: matches an in-memory reference over random blobs") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val rnd = new scala.util.Random(421)
+    def reference(bytes: Array[Byte], w: Int, f: Int): Option[(Int, Int, Seq[Byte], Long)] = {
+      val ow = w / f
+      val oh = (bytes.length / w) / f
+      if (oh == 0) None else Some {
+        val px = for (r <- 0 until oh; c <- 0 until ow) yield {
+          val block = for (dr <- 0 until f; dc <- 0 until f)
+            yield bytes((r * f + dr) * w + c * f + dc) & 0xff
+          (block.sum / (f * f)).toByte
+        }
+        (ow, oh, px, px.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }
+    for ((w, f) <- Seq((16, 2), (16, 4), (8, 2), (4, 4), (6, 3))) {
+      val rows = (0 until 40).map { i =>
+        // lengths straddle the crop boundaries, bytes use the full range
+        val n = rnd.nextInt(4 * w * f + 3)
+        Multimodal.MediaRow(i.toLong, Array.fill(n)(rnd.nextInt(256).toByte), "image/fake")
+      }
+      val got = Multimodal.resizeBlocks(rows.toDS(), w, f).collect()
+        .map(r => r.doc_id -> ((r.out_w, r.out_h, r.media.toSeq, r.checksum))).toMap
+      val want = rows.flatMap(r => reference(r.media, w, f).map(r.doc_id -> _)).toMap
+      assert(got == want, s"mismatch at w=$w factor=$f")
+    }
+  }
 }

@@ -209,6 +209,50 @@ class ClusterSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mini-batch kmeans differential: matches an in-memory reference over random int codes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1707L)
+    val dims = 8
+    val vecs: Seq[(Long, Array[Int])] =
+      (0L until 150L).map(i => (i, Array.fill(dims)(rnd.nextInt(255) - 127)))
+    val k = 4
+    def d2(v: Array[Int], c: Array[Double]): Double =
+      v.zip(c).map { case (x, cc) => (x - cc) * (x - cc) }.sum
+    for (batches <- Seq(1, 2, 3)) {
+      // reference: per-round batch assignment + CUMULATIVE integer stats;
+      // untouched centroids keep the integer seed (count 1 for dist2n)
+      val seed: Map[Long, Array[Int]] = vecs.filter(_._1 < k).toMap
+      var cents: Map[Long, Array[Double]] = seed.map { case (id, v) => id -> v.map(_.toDouble) }
+      val sums = scala.collection.mutable.Map[Long, Array[Long]]()
+      val counts = scala.collection.mutable.Map[Long, Long]()
+      for (r <- 0 until batches) {
+        for ((id, v) <- vecs if id % batches == r) {
+          val cid = cents.toSeq.map { case (c, ce) => (d2(v, ce), c) }.min._2
+          val s = sums.getOrElseUpdate(cid, Array.fill(dims)(0L))
+          for (p <- 0 until dims) s(p) += v(p)
+          counts(cid) = counts.getOrElse(cid, 0L) + 1
+        }
+        cents = seed.map { case (cid, sv) =>
+          cid -> (if (counts.contains(cid)) sums(cid).map(_.toDouble / counts(cid))
+                  else sv.map(_.toDouble))
+        }
+      }
+      val expected = vecs.map { case (id, v) =>
+        val cid = cents.toSeq.map { case (c, ce) => (d2(v, ce), c) }.min._2
+        val (sa, n) =
+          if (counts.contains(cid)) (sums(cid), counts(cid))
+          else (seed(cid).map(_.toLong), 1L)
+        val dn = v.zip(sa).map { case (x, s) => (x * n - s) * (x * n - s) }.sum
+        id -> ((cid, n, dn))
+      }.toMap
+      val got = KMeans.miniBatchAssignments(vecs.toDF("vec_id", "qv"), "vec_id", "qv", k, batches)
+        .select("vec_id", "cid", "nc", "dist2n").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      graft.util.PersistScope.releaseAll()
+      assert(got == expected, s"mismatch at batches=$batches")
+    }
+  }
+
   test("passage dedup differential: matches an in-memory reference over random corpora") {
     import spark.implicits._
     for (seed <- Seq(1L, 7L, 42L)) {
