@@ -60,5 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("nfc_normalize", "_FUNC_(s) - Unicode NFC normalization") {
       es => graft.ops.NfcNormalizeExpr(es.head)
     }
+    inject("rolling_fps", "_FUNC_(s, window, k) - k smallest rolling-hash window fingerprints") {
+      es => graft.ops.RollingFpExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())
+    }
   }
 }

@@ -119,5 +119,9 @@ object functions {
     reg.createOrReplaceTempFunction("topk_min", es =>
       graft.ops.TopKMinExpr(es.head,
         es(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_fps", es =>
+      graft.ops.RollingFpExpr(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -1508,6 +1508,40 @@ object OpsQueries {
         .select(col("doc_id"), col("source"), col("split"), col("n_in_cell"))
     },
 
+    // Rolling-hash document fingerprinting — the char-level member of the
+    // fingerprint family (x11 whole-doc md5, x36 token-shingle winnowing):
+    // the k=4 smallest DISTINCT Rabin-Karp hashes over all 16-byte windows,
+    // one O(n) pass per doc inside RollingFpExpr (each window hash derives
+    // from its predecessor in O(1); the k-min buffer lives in the
+    // expression, so output is 4 longs per doc regardless of length —
+    // that boundedness is what makes the fingerprint joinable at corpus
+    // scale). Exact int64 arithmetic (B=256, M=2³¹−1) replicated verbatim
+    // by the oracle, which hashes every window from scratch with a
+    // precomputed power table — O(n·w), fine for an oracle, the cost the
+    // engine's rolling recurrence avoids.
+    QueryDef("x59_rolling_fingerprint", {
+      val M = 2147483647L
+      val pw = Iterator.iterate(1L)(p => p * 256 % M).take(16).toSeq
+      val powersDesc = pw.reverse.mkString("[", ", ", "]") // [j] 1-based -> B^(16-j)
+      s"""WITH d AS (SELECT doc_id, text, greatest(length(text) - 15, 0) AS nw FROM documents),
+          win AS (SELECT doc_id,
+              (list_sum(list_transform(generate_series(1, 16), j ->
+                 CAST(ascii(substr(text, i + j - 1, 1)) AS BIGINT) * ($powersDesc)[j]))
+               % $M) AS h
+            FROM d, unnest(generate_series(1, nw)) AS t(i)),
+          f AS (SELECT doc_id, (list(DISTINCT h ORDER BY h))[1:4] AS fps
+                FROM win GROUP BY doc_id)
+          SELECT d.doc_id, CAST(d.nw AS BIGINT) AS n_windows,
+            coalesce(array_to_string(f.fps, ','), '') AS fps
+          FROM d LEFT JOIN f USING (doc_id)"""
+    }) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        greatest(length(col("text")) - 15, lit(0)).cast("long").as("n_windows"),
+        concat_ws(",",
+          transform(RollingFpExpr.rolling_fps(col("text"), 16, 4),
+            v => v.cast("string"))).as("fps"))
+    },
+
     // Bigram log-probability scoring — the perplexity-filter upgrade of
     // x24's unigram form: score = mean -ln p(w2|w1) under the corpus's own
     // add-one-smoothed bigram model (real LM-filter pipelines swap in a

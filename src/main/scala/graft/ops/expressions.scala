@@ -391,6 +391,78 @@ object NfcNormalizeExpr {
       NfcNormalizeExpr(org.apache.spark.sql.graftshim.shims.expression(c)))
 }
 
+/** `rolling_fps(text, window, k)` → array<long>: the `k` smallest DISTINCT
+  * Rabin-Karp polynomial rolling hashes over all byte windows of length
+  * `window`, ascending — a character-level content fingerprint (the
+  * rolling-hash member of the fingerprint family next to x11's whole-doc
+  * md5 and x36's token-shingle winnowing). ONE O(n) pass: the hash of each
+  * window derives from its predecessor in O(1) (subtract the leaving byte's
+  * B^{w-1} term, multiply by B, add the entering byte), vs O(n·w) for
+  * hashing every window from scratch — the md5-per-shingle cost winnowing
+  * pays. The k-min selection runs inside the expression in a k-length
+  * insertion buffer, so a row's output is bounded at k longs no matter how
+  * long the document is. B = 256 over bytes, M = 2³¹−1 (h·B + 255 < 2⁴⁰
+  * keeps every step exact in int64 — and exactly replicable in DuckDB
+  * BIGINT arithmetic, which is what makes the oracle possible). Texts
+  * shorter than `window` emit an empty array. Min-selection over ALL
+  * windows is shift-robust the way winnowing's per-window min is not
+  * guaranteed to be: the k global minima survive any reordering of the
+  * surrounding text. */
+case class RollingFpExpr(child: Expression, window: Int, k: Int) extends UnaryExpression {
+  require(window >= 1 && window <= 1024, s"window must be in [1, 1024], got $window")
+  require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(s: Any): Any =
+    RollingFpExpr.fps(s.asInstanceOf[UTF8String], window, k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.RollingFpExpr.fps($s, $window, $k)")
+  override protected def withNewChildInternal(c: Expression): RollingFpExpr = copy(child = c)
+  override def prettyName: String = "rolling_fps"
+}
+
+object RollingFpExpr {
+  private val M = 2147483647L // 2^31 - 1 (prime); h < M, h*256 + 255 < 2^40
+
+  def fps(s: UTF8String, window: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    if (b.length < window)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    // B^{window-1} mod M: the leaving byte's positional weight
+    var pw = 1L
+    var e = 0
+    while (e < window - 1) { pw = pw * 256 % M; e += 1 }
+    val best = new Array[Long](k) // ascending k-min buffer, distinct values
+    var size = 0
+    var h = 0L
+    var i = 0
+    while (i < b.length) {
+      if (i >= window) h = (h - (b(i - window) & 0xffL) * pw % M + M) % M
+      h = (h * 256 + (b(i) & 0xffL)) % M
+      if (i >= window - 1 && (size < k || h < best(size - 1))) {
+        var p = 0
+        while (p < size && best(p) < h) p += 1
+        if (p == size || best(p) != h) { // distinct only
+          val newSize = math.min(size + 1, k)
+          var q = newSize - 1
+          while (q > p) { best(q) = best(q - 1); q -= 1 }
+          best(p) = h
+          size = newSize
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(best, size))
+  }
+
+  def rolling_fps(c: Column, window: Int, k: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      RollingFpExpr(org.apache.spark.sql.graftshim.shims.expression(c), window, k))
+}
+
 /** `bloom_might_contain(bm, x)` → boolean: membership probe against a
   * [[Sketches.bloomBuild]] packed-long bitmap, all `hashes` bits set.
   * Semantically identical to the composable

@@ -86,4 +86,36 @@ class HashExprSpec extends SparkSpec {
       .select("doc_id", "fused", "hof").collect()
     for (r <- rows) assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)}")
   }
+
+  test("rolling_fps: matches a from-scratch polynomial reference over random strings") {
+    import spark.implicits._
+    val M = 2147483647L
+    def reference(s: String, w: Int, k: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      (0 to b.length - w).map { i =>
+        (i until i + w).foldLeft(0L)((h, j) => (h * 256 + (b(j) & 0xff)) % M)
+      }.distinct.sorted.take(k)
+    }
+    val rnd = new scala.util.Random(59L)
+    // lengths straddle the window; duplicated substrings force distinct-dedup
+    val strs = (0 until 60).map { i =>
+      val n = rnd.nextInt(80)
+      val base = Array.fill(n)((32 + rnd.nextInt(95)).toChar).mkString
+      if (i % 3 == 0) base + base else base // repeated halves -> duplicate windows
+    }
+    for ((w, k) <- Seq((16, 4), (4, 8), (1, 2))) {
+      val got = strs.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"), RollingFpExpr.rolling_fps(col("t"), w, k).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      for ((t, id) <- strs.zipWithIndex)
+        assert(got(id.toLong) == reference(t, w, k), s"w=$w k=$k id=$id")
+    }
+    // SQL-registered form agrees (session registry + extension injection path)
+    graft.functions.register(spark)
+    val viaSql = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
+      .selectExpr("rolling_fps(t, 16, 4) AS f")
+      .collect()(0).getSeq[Long](0).toSeq
+    assert(viaSql == reference("abcdefghijklmnopqrstuvwxyz", 16, 4))
+  }
 }
