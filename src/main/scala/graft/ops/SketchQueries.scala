@@ -19,6 +19,49 @@ object SketchQueries {
   private val BloomBits = 65536
   private val BloomHashes = 3
 
+  /** The x41 oracle: full CMS grid replicated in SQL, exact top-20 with
+    * lower/eN bound checks. Shared verbatim by s09 — the streamed grid must
+    * produce the exact same estimates as the batch-built one. */
+  private val CmsHeavyHittersSql =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        uni AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn FROM uni),
+        top AS (SELECT token, n FROM uni ORDER BY n DESC, token LIMIT 20),
+        cms AS (SELECT j, bucket, sum(n) AS bc FROM (
+            SELECT js.j, ${Sketches.bucketSql("u.token", "js.j", CmsWidth)} AS bucket, u.n
+            FROM uni u, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js)
+          GROUP BY 1, 2),
+        est AS (SELECT t.token, min(c.bc) AS est
+          FROM top t, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js
+          JOIN cms c ON c.j = js.j
+          WHERE c.bucket = ${Sketches.bucketSql("t.token", "js.j", CmsWidth)}
+          GROUP BY 1)
+        SELECT t.token, CAST(t.n AS BIGINT) AS n, CAST(e.est AS BIGINT) AS cms_est,
+          e.est >= t.n AS lower_bounded,
+          (e.est - t.n) <= ceil(tot.nn * 2.718281828459045 / $CmsWidth) AS within_bound
+        FROM top t JOIN est e ON e.token = t.token, tot"""
+
+  /** The x41/s09 verification tail: exact top-20 + estimates off `grid`,
+    * every frame built on `session` (for s09 that is the stream's child
+    * session, so plan resolution never crosses sessions). */
+  private def cmsVerifyOutput(session: org.apache.spark.sql.SparkSession,
+                              d: String, grid: org.apache.spark.sql.DataFrame) = {
+    val tok = t(session, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val uni = graft.util.PersistScope.track(
+      tok.groupBy("token").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = uni.agg(sum("n").as("nn"))
+    val top = uni.orderBy(col("n").desc, col("token")).limit(20)
+    val est = Sketches.cmsEstimate(grid, top, "token", CmsDepth, CmsWidth)
+    top.join(est, "token").crossJoin(broadcast(tot))
+      .select(col("token"), col("n").cast("long").as("n"),
+        col("cms_est").cast("long").as("cms_est"),
+        (col("cms_est") >= col("n")).as("lower_bounded"),
+        (col("cms_est") - col("n") <=
+          ceil(col("nn") * 2.718281828459045 / CmsWidth)).as("within_bound"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Heavy hitters with Count-Min estimates, self-verified: the exact
@@ -30,39 +73,29 @@ object SketchQueries {
     // addition. At 100 TB the candidate set comes from per-shard top-k
     // (every global heavy hitter is a shard heavy hitter for bounded shard
     // counts), not from the exact histogram computed here for verification.
-    QueryDef("x41_cms_heavy_hitters",
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-          uni AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
-          tot AS (SELECT sum(n) AS nn FROM uni),
-          top AS (SELECT token, n FROM uni ORDER BY n DESC, token LIMIT 20),
-          cms AS (SELECT j, bucket, sum(n) AS bc FROM (
-              SELECT js.j, ${Sketches.bucketSql("u.token", "js.j", CmsWidth)} AS bucket, u.n
-              FROM uni u, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js)
-            GROUP BY 1, 2),
-          est AS (SELECT t.token, min(c.bc) AS est
-            FROM top t, (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j) js
-            JOIN cms c ON c.j = js.j
-            WHERE c.bucket = ${Sketches.bucketSql("t.token", "js.j", CmsWidth)}
-            GROUP BY 1)
-          SELECT t.token, CAST(t.n AS BIGINT) AS n, CAST(e.est AS BIGINT) AS cms_est,
-            e.est >= t.n AS lower_bounded,
-            (e.est - t.n) <= ceil(tot.nn * 2.718281828459045 / $CmsWidth) AS within_bound
-          FROM top t JOIN est e ON e.token = t.token, tot""") { (s, d) =>
+    QueryDef("x41_cms_heavy_hitters", CmsHeavyHittersSql) { (s, d) =>
       val tok = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
-      val cms = Sketches.countMin(tok, "token", CmsDepth, CmsWidth)
-      val uni = graft.util.PersistScope.track(
-        tok.groupBy("token").agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val tot = uni.agg(sum("n").as("nn"))
-      val top = uni.orderBy(col("n").desc, col("token")).limit(20)
-      val est = Sketches.cmsEstimate(cms, top, "token", CmsDepth, CmsWidth)
-      top.join(est, "token").crossJoin(broadcast(tot))
-        .select(col("token"), col("n").cast("long").as("n"),
-          col("cms_est").cast("long").as("cms_est"),
-          (col("cms_est") >= col("n")).as("lower_bounded"),
-          (col("cms_est") - col("n") <=
-            ceil(col("nn") * 2.718281828459045 / CmsWidth)).as("within_bound"))
+      cmsVerifyOutput(s, d, Sketches.countMin(tok, "token", CmsDepth, CmsWidth))
+    },
+
+    // The x41 grid maintained as STREAMING STATE (s09): documents arrive
+    // through a file stream, each micro-batch folds its token cells into a
+    // keyed running-count aggregation, and the sink always holds the
+    // current mergeable grid — state bounded at depth×width cells by
+    // construction (the sketch property applied to the state store), so no
+    // watermark and nothing to evict. Update mode emits touched cells per
+    // batch; counts are monotone, so the current grid is max(bc) per cell
+    // regardless of how the input was batched. Gate: the streamed grid
+    // must yield EXACTLY x41's estimates — same oracle, verbatim.
+    QueryDef("s09_stream_cms", CmsHeavyHittersSql) { (s, d) =>
+      val name = "s09_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runCmsMaintain(s, d, name, CmsDepth, CmsWidth)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      val cs = q.sparkSession // build everything on the stream's session
+      val grid = cs.table(name).groupBy("j", "bucket").agg(max("bc").as("bc"))
+      cmsVerifyOutput(cs, d, grid)
     },
 
     // The x41 scale path operationalized: candidates from per-SHARD

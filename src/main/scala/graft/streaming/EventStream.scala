@@ -353,6 +353,40 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming Count-Min maintenance — the mergeable sketch as STREAMING
+    * STATE: each micro-batch's token cells fold into a keyed running-count
+    * aggregation (update mode), so at any instant the sink holds a CMS grid
+    * of everything ingested so far. The state is the depth×width cell set —
+    * bounded by CONSTRUCTION regardless of token volume or distinct
+    * cardinality (the sketch's whole point, applied to the state store), so
+    * no watermark is needed: nothing ever has to evict. Update mode emits
+    * only touched cells per batch; cell counts are monotone, so the current
+    * grid is max(bc) per cell over the sink's rows whatever the batching
+    * was. This is the production posture x41's scale note describes —
+    * maintain the grid continuously, ship it for cell-wise merges —
+    * run as a stream. */
+  def runCmsMaintain(spark: SparkSession, dir: String, queryName: String,
+                     depth: Int, width: Int,
+                     glob: String = "documents.parquet",
+                     statePartitions: Option[Int] = Some(4),
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    val schema = schemaCache.computeIfAbsent((dir, glob),
+      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
+    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val cells = reader.parquet(dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        j => graft.ops.Sketches.bucket(col("token"), j, width))).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("bc"))
+    cells.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
 
 /** Transactional parquet batch sink: the missing piece between Structured

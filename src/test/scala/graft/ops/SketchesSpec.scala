@@ -17,6 +17,38 @@ class SketchesSpec extends SparkSpec {
   private def corpus(n: Int): Seq[String] =
     (1 to n).flatMap(k => Seq.fill(math.max(n / k, 1))(s"tok$k"))
 
+  test("streaming CMS maintenance: multi-batch grid equals the batch-built grid") {
+    // two parquet files -> two micro-batches (maxFilesPerTrigger=1): proves
+    // CROSS-BATCH state accumulation and the update-mode max-per-cell
+    // recovery, not just a single-batch replay of the batch plan
+    val dir = java.nio.file.Files.createTempDirectory("s09spec").toFile
+    def writeOne(texts: Seq[String], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("s09w").toFile
+      texts.toDF("text").coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, new java.io.File(dir, name).toPath)
+    }
+    writeOne(Seq("a b c a", "d e"), "f1.parquet")
+    writeOne(Seq("a d d f", "g g g"), "f2.parquet")
+    val q = graft.streaming.EventStream.runCmsMaintain(spark, dir.getPath,
+      "s09spec_sink", depth = 4, width = 64, glob = "*.parquet",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+    val sink = q.sparkSession.table("s09spec_sink")
+    val got = sink.groupBy("j", "bucket").agg(max("bc").as("bc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Sketches.countMin(
+        spark.read.parquet(dir.getPath).select(explode(split(col("text"), " ")).as("token")),
+        "token", depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // cells for tokens in BOTH files ('a', 'd') were updated in both
+    // batches -> the update-mode sink holds more rows than the grid has
+    // cells, which is what proves two stateful batches actually ran
+    assert(sink.count() > got.size.toLong)
+  }
+
   test("CMS estimate >= exact count for every token") {
     val items = corpus(80).toDF("token")
     val cms = Sketches.countMin(items, "token", depth = 4, width = 256).cache()
