@@ -22,8 +22,10 @@ object PiiQueries {
 
   /** Oracle fragment: all candidates as (doc_id, det_rank, ordinal, value,
     * rule_label, rule_confidence, valid) before global candidate numbering.
-    * Detector rank follows the reference order (rules.py:106-166). */
-  private def candidatesSql: String = {
+    * Detector rank follows the reference order (rules.py:106-166). Public so
+    * other oracles (x60 density filter) can run the same 10-detector scan
+    * over their own `pii_inputs`-named corpus CTE. */
+  def candidatesSql: String = {
     def simple(rank: Int, re: String, label: String, conf: String): String =
       s"""SELECT doc_id, $rank AS det_rank, i AS ordinal,
             ms[i] AS value, '$label' AS rule_label, ($conf)::DOUBLE AS rule_confidence, false AS valid

@@ -246,6 +246,57 @@ object PipelineQueries {
           Multimodal.mediaFromDocuments(t(s, d, "documents")), w = 16, factor = 2)
         .toDF()
         .select(col("doc_id"), col("out_w"), col("out_h"), col("head"), col("checksum"))
+    },
+
+    // PII-density corpus filter — the detector family composed INTO the
+    // curation family: before a corpus reaches training, every document gets
+    // a privacy disposition. drop = a checksum-VERIFIED high-risk identifier
+    // (Luhn-valid card / Verhoeff-valid Aadhaar — validations[rule_label])
+    // appeared; redact = any PII candidate at all; keep = clean. The corpus
+    // is documents (clean word-salad → keep) ∪ the PII-bearing derived texts
+    // (id-offset by max(doc_id)+1, the x16 no-fixed-offset rule). Scale
+    // shape: the WHOLE query is a pure map — one one-pass 10-detector
+    // expression per row, counts/lengths/disposition all in-row array ops,
+    // zero shuffles, zero joins (the one-row offset broadcast aside); the
+    // oracle recomputes candidates per detector with RE2 + SQL checksums and
+    // aggregates them relationally, so the gate crosses two structurally
+    // different computations.
+    QueryDef("x60_pii_density", {
+      s"""WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+          pii_inputs AS (
+            SELECT p.doc_id + off.o AS doc_id, p.text
+            FROM (${PiiInputs.sql}) p, off
+            UNION ALL
+            SELECT doc_id, text FROM documents),
+          raw_cands AS (${PiiQueries.candidatesSql}),
+          agg AS (
+            SELECT doc_id, count(*) AS n, sum(length(value)) AS sl,
+              bool_or(valid) AS haz
+            FROM raw_cands GROUP BY doc_id)
+          SELECT p.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_candidates,
+            CAST(coalesce(a.sl, 0) AS BIGINT) AS n_pii_chars,
+            CAST(length(p.text) AS BIGINT) AS n_chars,
+            CASE WHEN coalesce(a.haz, false) THEN 'drop'
+                 WHEN coalesce(a.n, 0) > 0 THEN 'redact'
+                 ELSE 'keep' END AS disposition
+          FROM pii_inputs p LEFT JOIN agg a USING (doc_id)"""
+    }) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val off = docs.agg((max("doc_id") + lit(1)).as("o"))
+      val pii = PiiInputs.df(s, d).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("o")).as("doc_id"), col("text"))
+      docs.unionByName(pii)
+        .withColumn("cands", pii_candidates(col("text")))
+        .select(col("doc_id"),
+          size(col("cands")).cast("long").as("n_candidates"),
+          aggregate(col("cands"), lit(0),
+            (acc, c) => acc + length(c.getField("value"))).cast("long").as("n_pii_chars"),
+          length(col("text")).cast("long").as("n_chars"),
+          when(exists(col("cands"), c => coalesce(
+              element_at(c.getField("validations"), c.getField("rule_label")),
+              lit(false))), "drop")
+            .when(size(col("cands")) > 0, "redact")
+            .otherwise("keep").as("disposition"))
     })
 
   /** Regex literals reused by q16 (kept here to avoid a cyclic reference). */
