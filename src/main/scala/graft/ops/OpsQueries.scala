@@ -1651,5 +1651,76 @@ object OpsQueries {
         .groupBy("doc_id", "bench_id")
         .agg(count(lit(1)).cast("long").as("n_shared"),
           round(count(lit(1)).cast("double") / greatest(max("n_sh"), lit(1)), 6).as("frac"))
+    },
+
+    // BPE tokenizer induction — the vocabulary-LEARNING op of a training
+    // pipeline (Sennrich et al. 2016): 3 rounds of merge-the-most-frequent-
+    // adjacent-symbol-pair, exactly how production BPE trainers run — over
+    // the WORD-FREQUENCY table, never the corpus: after the one shared
+    // corpus wordcount, every round touches only vocab-sized frames (pair
+    // counts explode |word| symbols per DISTINCT word, map-side combined;
+    // the winning pair is ONE broadcast row; the merge applies as an in-row
+    // left-to-right greedy fold over the symbol array — 'a a a a' with pair
+    // (a,a) becomes 'aa aa', canonical BPE, which a naive string replace
+    // gets wrong because its match consumes the separator). Tie-break:
+    // (count desc, pair asc) in both engines. The oracle reruns the fold as
+    // a DuckDB list_reduce over a string accumulator — same greedy rule,
+    // structurally different evaluation.
+    QueryDef("x62_bpe_merges", {
+      def roundCte(r: Int) = {
+        val prev = s"s${r - 1}"
+        s"""p$r AS (SELECT s[i] AS a, s[i+1] AS b, sum(c) AS cnt
+                FROM (SELECT c, string_split(seg, ' ') AS s FROM $prev),
+                     unnest(generate_series(1, len(s) - 1)) AS t(i)
+                GROUP BY 1, 2),
+           m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           s$r AS (SELECT word, c,
+                list_reduce(string_split(seg, ' '), (acc, x) ->
+                  CASE WHEN x = m$r.b AND (acc = m$r.a OR ends_with(acc, ' ' || m$r.a))
+                       THEN CASE WHEN acc = m$r.a THEN m$r.a || m$r.b
+                            ELSE substr(acc, 1, length(acc) - length(m$r.a)) || m$r.a || m$r.b END
+                       ELSE acc || ' ' || x END) AS seg
+                FROM $prev, m$r)"""
+      }
+      s"""WITH wc AS (SELECT token AS word, count(*) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+          s0 AS (SELECT word, c, array_to_string(list_transform(
+              generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS seg FROM wc),
+          ${roundCte(1)}, ${roundCte(2)}, ${roundCte(3)}
+          SELECT s3.word, CAST(s3.c AS BIGINT) AS c, s3.seg,
+            m1.a || '|' || m1.b AS merge1, m2.a || '|' || m2.b AS merge2,
+            m3.a || '|' || m3.b AS merge3
+          FROM s3, m1, m2, m3"""
+    }) { (s, d) =>
+      val vocab = sharedWordCounts(s, d)
+        .groupBy("token").agg(sum("c").as("c"))
+        .select(col("token").as("word"), col("c"),
+          concat_ws(" ", transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1)))).as("seg"))
+      var seg = graft.util.PersistScope.track(
+        vocab.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      for (r <- 1 to 3) {
+        val syms = split(col("seg"), " ")
+        // guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty —
+        // a single-symbol word must contribute no pairs
+        val idx = when(size(syms) > 1, sequence(lit(1), size(syms) - 1))
+          .otherwise(array().cast("array<int>"))
+        val best = seg
+          .select(col("c"), posexplode_outer(transform(idx,
+            i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+            .as(Seq("pos", "p")))
+          .filter(col("p").isNotNull)
+          .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("c").as("cnt"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
+          .select(col("m.a").as(s"a$r"), col("m.b").as(s"b$r"))
+        seg = graft.util.PersistScope.track(
+          seg.crossJoin(broadcast(best))
+            .withColumn("seg", Bpe.applyMerge(col("seg"), col(s"a$r"), col(s"b$r")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+      seg.select(col("word"), col("c"), col("seg"),
+        concat(col("a1"), lit("|"), col("b1")).as("merge1"),
+        concat(col("a2"), lit("|"), col("b2")).as("merge2"),
+        concat(col("a3"), lit("|"), col("b3")).as("merge3"))
     })
 }
