@@ -380,5 +380,51 @@ object ExtraQueries {
         .select(col("doc_id"))
         .join(fd, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_of").isNotNull.as("dropped"), col("dup_of"))
+    },
+
+    // Streaming quality router — the x09 heuristics as an INGEST-TIME
+    // gate: every arriving doc is scored and routed (keep / low_stopword /
+    // short — thresholds measured to split ~72/22/5% on this corpus at both
+    // sf0.01 and sf0.1, so all three branches are live), and the running
+    // per-(source, disposition) admission counters are the stream's output —
+    // the dashboard table an ingest pipeline actually watches. Scoring is
+    // stateless per-row (integer compares only: ns·25 < nt, no float
+    // thresholds); the ONLY state is the counter aggregate, bounded at
+    // sources × 3 rows by construction — no watermark needed, any batching
+    // converges to the batch counts. Child session sizes the 4 state
+    // partitions and drops the trailing no-data batch (nothing to evict).
+    QueryDef("s10_stream_quality",
+      """WITH q AS (SELECT source, len(string_split(text, ' ')) AS nt,
+             len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS ns
+           FROM documents)
+         SELECT source,
+           CASE WHEN nt < 15 THEN 'short'
+                WHEN ns * 25 < nt THEN 'low_stopword'
+                ELSE 'keep' END AS disposition,
+           count(*) AS n_docs
+         FROM q GROUP BY 1, 2""") { (s, d) =>
+      val child = s.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", "4")
+      child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val schema = child.read.parquet(s"$d/documents.parquet").schema
+      val toks = split(col("text"), " ")
+      val scored = child.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("source"), size(toks).as("nt"),
+          size(filter(toks, t => t.isin("the", "a"))).as("ns"))
+        .withColumn("disposition",
+          when(col("nt") < 15, "short")
+            .when(col("ns") * 25 < col("nt"), "low_stopword")
+            .otherwise("keep"))
+      val name = "s10_sink_" + math.abs(d.hashCode).toString
+      val q = scored.groupBy("source", "disposition").agg(count(lit(1)).as("n_docs"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", graft.streaming.Ckpt.fresh("s10"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
     })
 }

@@ -252,4 +252,41 @@ class EventStreamSpec extends SparkSpec {
     val batch = detect(cust).collect().map(_.mkString("|")).sorted
     assert(streamed.sameElements(batch))
   }
+
+  test("quality-router counters accumulate across micro-batches to the batch counts") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("s10_multi").toString
+    val inDir = new java.io.File(s"$tmp/in"); inDir.mkdirs()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // three input files -> maxFilesPerTrigger=1 forces >= 3 micro-batches,
+    // so the complete-mode counter state must carry across batches
+    for (i <- 0 to 2) {
+      val part = s"$tmp/part$i"
+      docs.filter(col("doc_id") % 3 === i).coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(inDir, s"f$i.parquet").toPath)
+    }
+    def route(df: org.apache.spark.sql.DataFrame) = {
+      val toks = split(col("text"), " ")
+      df.select(col("source"), size(toks).as("nt"),
+          size(filter(toks, t => t.isin("the", "a"))).as("ns"))
+        .withColumn("disposition",
+          when(col("nt") < 15, "short")
+            .when(col("ns") * 25 < col("nt"), "low_stopword")
+            .otherwise("keep"))
+        .groupBy("source", "disposition").agg(count(lit(1)).as("n_docs"))
+    }
+    val q = route(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("s10_spec_sink")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val streamed = spark.table("s10_spec_sink").collect().map(_.mkString("|")).sorted
+    val batch = route(docs).collect().map(_.mkString("|")).sorted
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+  }
 }
