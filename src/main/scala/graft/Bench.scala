@@ -19,6 +19,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   def main(args: Array[String]): Unit = {
+    // Optional first arg: comma-separated query names — iterate on one
+    // query's timing without paying the whole suite (same idiom as Verify).
+    val only = args.headOption.map(_.split(",").map(_.trim).toSet)
+    val picked = only.fold(SparkEntry.all)(ns => SparkEntry.all.filter(q => ns(q.name)))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -47,7 +51,7 @@ object Bench {
     // makes each BENCH_rN.json self-explaining — a warm/cold gap is JIT +
     // codegen compilation, not a plan problem, and readers shouldn't have
     // to re-derive that from run-to-run variance.
-    val cold = SparkEntry.all.map { q =>
+    val cold = picked.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -69,7 +73,7 @@ object Bench {
     // frames): the timed pass must pay each shared computation exactly once
     // — timing reads of warmup-era cache blocks would understate the suite.
     util.SharedStages.releaseAll()
-    val results = SparkEntry.all.map { q =>
+    val results = picked.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

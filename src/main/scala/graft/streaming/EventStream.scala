@@ -376,7 +376,13 @@ object EventStream {
       _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
     val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    // The file source splits by FILE and documents.parquet is one
+    // single-row-group file — without a repartition the tokenize +
+    // depth-way cell explode runs in ONE task per micro-batch (the s06
+    // lesson). The shuffle moves only raw doc text; the per-task partial
+    // aggregation then caps each task's output at depth*width cells.
     val cells = reader.parquet(dir)
+      .repartition(16)
       .select(explode(split(col("text"), " ")).as("token"))
       .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
         j => graft.ops.Sketches.bucket(col("token"), j, width))).as(Seq("j", "bucket")))
