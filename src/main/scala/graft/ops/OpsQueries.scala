@@ -1653,6 +1653,142 @@ object OpsQueries {
           round(count(lit(1)).cast("double") / greatest(max("n_sh"), lit(1)), 6).as("frac"))
     },
 
+    // Temperature-scaled source mixture weights — the multilingual-LM
+    // sampling op (Conneau & Lample 2019, α = 0.5): upsample tail sources,
+    // downsample heads, by q_s ∝ p_s^α over per-source token mass. Every
+    // cross-row sum is exact int64 (per-source token counts; the sqrt terms
+    // go through the x39 fixed-point idiom — floor(√(n/N)·1e9 + 0.5) — so
+    // the normalizer is an order-free integer sum, never a float
+    // accumulation whose value depends on partial-agg order). Scale shape:
+    // reduces off the shared wordcount pass to a sources-sized frame; the
+    // two normalizers are one-row broadcasts; the corpus never re-shuffles.
+    QueryDef("x63_temperature_mixture",
+      """WITH st AS (SELECT source, count(*) AS n FROM
+           (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM st),
+         term AS (SELECT source, n,
+             CAST(floor(sqrt(n::DOUBLE / tot.nn) * 1000000000 + 0.5) AS BIGINT) AS w
+           FROM st, tot),
+         ts AS (SELECT sum(w) AS tw FROM term)
+         SELECT source, CAST(n AS BIGINT) AS n_tokens,
+           round(n::DOUBLE / tot.nn, 6) AS share,
+           round(w::DOUBLE / ts.tw, 6) AS temp_share,
+           round(w::DOUBLE / ts.tw, 6) > round(n::DOUBLE / tot.nn, 6) AS upsampled
+         FROM term, tot, ts""") { (s, d) =>
+      val st = sharedWordCounts(s, d).groupBy("source").agg(sum("c").as("n"))
+      val tot = st.agg(sum("n").as("nn"))
+      val term = st.crossJoin(broadcast(tot))
+        .withColumn("w",
+          floor(sqrt(col("n").cast("double") / col("nn")) * 1000000000L + 0.5).cast("long"))
+      val ts = term.agg(sum("w").as("tw"))
+      term.crossJoin(broadcast(ts))
+        .select(col("source"), col("n").cast("long").as("n_tokens"),
+          round(col("n").cast("double") / col("nn"), 6).as("share"),
+          round(col("w").cast("double") / col("tw"), 6).as("temp_share"),
+          (round(col("w").cast("double") / col("tw"), 6)
+            > round(col("n").cast("double") / col("nn"), 6)).as("upsampled"))
+    },
+
+    // MinHash estimator calibration — the instrument a dedup pipeline runs
+    // before trusting its LSH thresholds: for every LSH candidate pair, the
+    // signature-agreement estimate of Jaccard (matching components / 8,
+    // which is what MinHash mathematically estimates) against the EXACT
+    // shingle Jaccard, with the absolute error and the would-verify verdict
+    // in the row. est is exactly k/8 (no float accumulation); jaccard and
+    // the error are single correctly-rounded IEEE ops identical across
+    // engines. Scale shape: pairs come only from the band equi-join (the
+    // x02/x03 shared stage — never all-pairs); signatures and shingle sets
+    // join back doc-keyed; output is candidate-pair sized.
+    QueryDef("x64_minhash_calibration",
+      s"""WITH sig AS (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+          sf AS (SELECT doc_id, sig FROM sig WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          bands AS (SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
+            FROM sf, (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)),
+          cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          m AS (SELECT c.d1, c.d2,
+              len(list_filter(generate_series(1, $NumHashes), j -> g1.sig[j] = g2.sig[j])) AS nm,
+              len(list_filter(s1.s, x -> list_contains(s2.s, x))) AS i,
+              greatest(len(list_distinct(s1.s || s2.s)), 1) AS u
+            FROM cand c
+            JOIN sf g1 ON g1.doc_id = c.d1 JOIN sf g2 ON g2.doc_id = c.d2
+            JOIN (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents) s1 ON s1.doc_id = c.d1
+            JOIN (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents) s2 ON s2.doc_id = c.d2)
+          SELECT d1, d2, CAST(nm AS BIGINT) AS n_matching,
+            round(nm / ${NumHashes}.0, 6) AS est_jaccard,
+            round(i::DOUBLE / u, 6) AS jaccard,
+            round(abs(nm / ${NumHashes}.0 - i::DOUBLE / u), 6) AS abs_err,
+            (i::DOUBLE / u) >= 0.8 AS is_near_dup
+          FROM m""") { (s, d) =>
+      val bands = sharedBands(s, d)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val sigs = t(s, d, "documents")
+        .filter(length(col("text")) > 0 && size(tokens(col("text"))) >= 3)
+        .withColumn("sig", MinHashFromTokensExpr.minhash_from_tokens(tokens(col("text")), NumHashes))
+        .select(col("doc_id"), col("sig"))
+      val sh = sharedShingles(s, d)
+      val nmc = size(filter(zip_with(col("g1.sig"), col("g2.sig"), (x, y) => x === y), b => b))
+      val inter = size(array_intersect(col("s1.s"), col("s2.s"))).cast("double")
+      val uni = greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)).cast("double")
+      cand
+        .join(sigs.as("g1"), col("d1") === col("g1.doc_id"))
+        .join(sigs.as("g2"), col("d2") === col("g2.doc_id"))
+        .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          nmc.cast("long").as("n_matching"),
+          round(nmc.cast("double") / NumHashes, 6).as("est_jaccard"),
+          round(inter / uni, 6).as("jaccard"),
+          round(abs(nmc.cast("double") / NumHashes - inter / uni), 6).as("abs_err"),
+          (inter / uni >= 0.8).as("is_near_dup"))
+    },
+
+    // Leakage-safe train/val/test split — x58's deterministic split with
+    // the eval-integrity guarantee a real pretraining team needs: all
+    // members of a near-dup CLUSTER land in the SAME split (otherwise the
+    // val set contains near-copies of training docs and the eval is
+    // contaminated). The split hashes the cluster REPRESENTATIVE (min-label
+    // component id; singletons are their own representative, so
+    // non-clustered docs get exactly x58's assignment), and `rerouted`
+    // audits which docs a doc-id hash would have placed differently. Scale
+    // shape: rides the shared component stage (pair-graph sized); the
+    // corpus itself takes two broadcast joins + a pure-map bucket — it
+    // never shuffles. If the pair graph outgrows broadcast, both joins
+    // become doc-keyed equi-joins — still never all-pairs.
+    QueryDef("x65_leakage_safe_split",
+      s"""$ComponentsCteSql,
+          sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1),
+          a AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab l USING (doc_id)),
+          b AS (SELECT a.doc_id, a.cluster_id,
+                  ${Sketches.bucketSql("a.cluster_id::VARCHAR", "'split'", 65536)} AS cb,
+                  ${Sketches.bucketSql("a.doc_id::VARCHAR", "'split'", 65536)} AS db
+                FROM a)
+          SELECT b.doc_id, CAST(b.cluster_id AS BIGINT) AS cluster_id,
+            CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size,
+            CASE WHEN cb < 52429 THEN 'train' WHEN cb < 58982 THEN 'val' ELSE 'test' END AS split,
+            (CASE WHEN cb < 52429 THEN 'train' WHEN cb < 58982 THEN 'val' ELSE 'test' END) <>
+              (CASE WHEN db < 52429 THEN 'train' WHEN db < 58982 THEN 'val' ELSE 'test' END) AS rerouted
+          FROM b LEFT JOIN sz ON sz.cluster_id = b.cluster_id""") { (s, d) =>
+      def splitOf(b: Column) =
+        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+      val lab = sharedComponents(s, d).select(col("id").as("doc_id"), col("cluster_id"))
+      val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+      val cb = Sketches.bucket(col("cluster_id").cast("string"), lit("split"), 65536)
+      val db = Sketches.bucket(col("doc_id").cast("string"), lit("split"), 65536)
+      t(s, d, "documents").select(col("doc_id"))
+        .join(broadcast(lab), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"),
+          coalesce(col("csz"), lit(1L)).cast("long").as("cluster_size"),
+          splitOf(cb).as("split"),
+          (splitOf(cb) =!= splitOf(db)).as("rerouted"))
+    },
+
     // BPE tokenizer induction — the vocabulary-LEARNING op of a training
     // pipeline (Sennrich et al. 2016): 3 rounds of merge-the-most-frequent-
     // adjacent-symbol-pair, exactly how production BPE trainers run — over
@@ -1666,32 +1802,89 @@ object OpsQueries {
     // (count desc, pair asc) in both engines. The oracle reruns the fold as
     // a DuckDB list_reduce over a string accumulator — same greedy rule,
     // structurally different evaluation.
-    QueryDef("x62_bpe_merges", {
-      def roundCte(r: Int) = {
-        val prev = s"s${r - 1}"
-        s"""p$r AS (SELECT s[i] AS a, s[i+1] AS b, sum(c) AS cnt
-                FROM (SELECT c, string_split(seg, ' ') AS s FROM $prev),
-                     unnest(generate_series(1, len(s) - 1)) AS t(i)
-                GROUP BY 1, 2),
-           m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-           s$r AS (SELECT word, c,
-                list_reduce(string_split(seg, ' '), (acc, x) ->
-                  CASE WHEN x = m$r.b AND (acc = m$r.a OR ends_with(acc, ' ' || m$r.a))
-                       THEN CASE WHEN acc = m$r.a THEN m$r.a || m$r.b
-                            ELSE substr(acc, 1, length(acc) - length(m$r.a)) || m$r.a || m$r.b END
-                       ELSE acc || ' ' || x END) AS seg
-                FROM $prev, m$r)"""
-      }
-      s"""WITH wc AS (SELECT token AS word, count(*) AS c
-            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
-          s0 AS (SELECT word, c, array_to_string(list_transform(
-              generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS seg FROM wc),
-          ${roundCte(1)}, ${roundCte(2)}, ${roundCte(3)}
+    QueryDef("x62_bpe_merges",
+      s"""WITH $bpeChainSql
           SELECT s3.word, CAST(s3.c AS BIGINT) AS c, s3.seg,
             m1.a || '|' || m1.b AS merge1, m2.a || '|' || m2.b AS merge2,
             m3.a || '|' || m3.b AS merge3
-          FROM s3, m1, m2, m3"""
-    }) { (s, d) =>
+          FROM s3, m1, m2, m3""") { (s, d) =>
+      sharedBpeSegs(s, d).select(col("word"), col("c"), col("seg"),
+        concat(col("a1"), lit("|"), col("b1")).as("merge1"),
+        concat(col("a2"), lit("|"), col("b2")).as("merge2"),
+        concat(col("a3"), lit("|"), col("b3")).as("merge3"))
+    },
+
+    // Tokenizer fertility / compression audit — the stat a tokenizer team
+    // reads after induction (x62): per SOURCE, how many symbols per token
+    // does the learned segmentation spend, vs the character baseline?
+    // (Sources whose text the merges compress least are the ones the vocab
+    // under-serves — the signal that drives vocab-size and mixture
+    // decisions.) All sums are exact int64 over (count × per-word integer
+    // lengths); the one division happens at output. Scale shape: the
+    // per-source word counts reduce off the shared wordcount pass, the
+    // merge table is the SHARED vocab-sized BPE stage (one induction per
+    // pass, x62 and this query both ride it), and the join is vocab-sized
+    // on both sides — the corpus itself is never re-read.
+    QueryDef("x66_bpe_compression",
+      s"""WITH $bpeChainSql,
+          st AS (SELECT source, token AS word, count(*) AS c
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY 1, 2),
+          j AS (SELECT st.source, st.c, length(st.word) AS lw,
+                  len(string_split(s3.seg, ' ')) AS ls
+                FROM st JOIN s3 ON s3.word = st.word)
+          SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+            CAST(sum(c * lw) AS BIGINT) AS n_chars,
+            CAST(sum(c * ls) AS BIGINT) AS n_symbols,
+            round(sum(c * ls)::DOUBLE / sum(c * lw), 6) AS compression
+          FROM j GROUP BY 1""") { (s, d) =>
+      val st = sharedWordCounts(s, d)
+        .groupBy("source", "token").agg(sum("c").as("c"))
+      st.join(sharedBpeSegs(s, d).select(col("word"), col("seg")),
+          col("token") === col("word"))
+        .select(col("source"), col("c"), length(col("token")).as("lw"),
+          size(split(col("seg"), " ")).as("ls"))
+        .groupBy("source").agg(
+          sum("c").cast("long").as("n_tokens"),
+          sum(col("c") * col("lw")).cast("long").as("n_chars"),
+          sum(col("c") * col("ls")).cast("long").as("n_symbols"))
+        .withColumn("compression",
+          round(col("n_symbols").cast("double") / col("n_chars"), 6))
+    })
+
+  /** The x62 oracle's CTE chain (corpus wordcount → char segmentation →
+    * 3 merge rounds), factored so x66's oracle reruns the identical
+    * induction before its per-source join. */
+  private def bpeChainSql: String = {
+    def roundCte(r: Int) = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT s[i] AS a, s[i+1] AS b, sum(c) AS cnt
+              FROM (SELECT c, string_split(seg, ' ') AS s FROM $prev),
+                   unnest(generate_series(1, len(s) - 1)) AS t(i)
+              GROUP BY 1, 2),
+         m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         s$r AS (SELECT word, c,
+              list_reduce(string_split(seg, ' '), (acc, x) ->
+                CASE WHEN x = m$r.b AND (acc = m$r.a OR ends_with(acc, ' ' || m$r.a))
+                     THEN CASE WHEN acc = m$r.a THEN m$r.a || m$r.b
+                          ELSE substr(acc, 1, length(acc) - length(m$r.a)) || m$r.a || m$r.b END
+                     ELSE acc || ' ' || x END) AS seg
+              FROM $prev, m$r)"""
+    }
+    s"""wc AS (SELECT token AS word, count(*) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+        s0 AS (SELECT word, c, array_to_string(list_transform(
+            generate_series(1, length(word)), i -> substr(word, i, 1)), ' ') AS seg FROM wc),
+        ${roundCte(1)}, ${roundCte(2)}, ${roundCte(3)}"""
+  }
+
+  /** Corpus-wide 3-round BPE merge table (word, c, seg, a1..b3) — the
+    * induction is one computation per pass shared by x62 (merge output)
+    * and x66 (compression stats). Round intermediates are PersistScope-
+    * scoped (they only matter while the first consumer materializes this
+    * frame); the final frame is the shared stage. */
+  private def sharedBpeSegs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-bpe3|$d|${System.identityHashCode(s)}") {
       val vocab = sharedWordCounts(s, d)
         .groupBy("token").agg(sum("c").as("c"))
         .select(col("token").as("word"), col("c"),
@@ -1713,14 +1906,12 @@ object OpsQueries {
           .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("c").as("cnt"))
           .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("m"))
           .select(col("m.a").as(s"a$r"), col("m.b").as(s"b$r"))
-        seg = graft.util.PersistScope.track(
-          seg.crossJoin(broadcast(best))
-            .withColumn("seg", Bpe.applyMerge(col("seg"), col(s"a$r"), col(s"b$r")))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val next = seg.crossJoin(broadcast(best))
+          .withColumn("seg", Bpe.applyMerge(col("seg"), col(s"a$r"), col(s"b$r")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // final round's frame belongs to the shared stage, not the query scope
+        seg = if (r < 3) graft.util.PersistScope.track(next) else next
       }
-      seg.select(col("word"), col("c"), col("seg"),
-        concat(col("a1"), lit("|"), col("b1")).as("merge1"),
-        concat(col("a2"), lit("|"), col("b2")).as("merge2"),
-        concat(col("a3"), lit("|"), col("b3")).as("merge3"))
-    })
+      seg
+    }
 }

@@ -114,6 +114,48 @@ class CurationSpec extends SparkSpec {
     assert(again.sorted.sameElements(rows.sorted))
   }
 
+  test("x65 leakage-safe split: same cluster -> same split, singletons match x58") {
+    val rows = graft.SparkEntry.queries("x65_leakage_safe_split")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4)))
+    graft.util.PersistScope.releaseAll()
+    graft.util.SharedStages.releaseAll()
+    assert(rows.length == 500)
+    // THE guarantee: no near-dup cluster straddles splits
+    for ((cid, members) <- rows.groupBy(_._2))
+      assert(members.map(_._4).distinct.length == 1, s"cluster $cid straddles splits")
+    // singletons (cluster_id == doc_id, size 1) get exactly x58's assignment
+    val x58 = graft.SparkEntry.queries("x58_train_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val singles = rows.filter(r => r._3 == 1L)
+    assert(singles.nonEmpty)
+    for ((id, _, _, split, rerouted) <- singles) {
+      assert(x58(id) == split, s"singleton $id diverges from x58")
+      assert(!rerouted, s"singleton $id cannot be rerouted")
+    }
+    // and every rerouted doc really is in a multi-doc cluster
+    for ((id, _, csz, _, rerouted) <- rows if rerouted)
+      assert(csz > 1, s"rerouted doc $id has no cluster")
+  }
+
+  test("x64 minhash calibration: est is k/8, identical docs estimate 1, error bounded") {
+    val rows = graft.SparkEntry.queries("x64_minhash_calibration")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    graft.util.PersistScope.releaseAll()
+    graft.util.SharedStages.releaseAll()
+    assert(rows.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((d1, d2, nm, est, jac, err, nd) <- rows) {
+      assert(nm >= 1 && nm <= 8, "band candidates share at least one component")
+      assert(math.abs(est - nm / 8.0) < 1e-9, "estimate is exactly k/8")
+      assert(err <= 1.0 + 1e-9 && err >= 0.0)
+      assert(nd == (jac >= 0.8 - 1e-9) || math.abs(jac - 0.8) < 1e-6)
+      // byte-identical docs must agree on every signature component
+      if (texts(d1) == texts(d2)) assert(nm == 8 && math.abs(jac - 1.0) < 1e-9)
+    }
+  }
+
   test("x29 hard negatives carry a different label than their query") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "label").collect()
