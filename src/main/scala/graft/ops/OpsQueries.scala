@@ -1789,6 +1789,117 @@ object OpsQueries {
           (splitOf(cb) =!= splitOf(db)).as("rerouted"))
     },
 
+    // Cross-split leakage audit — the check that makes x65 WORTH running:
+    // for every verified near-dup pair, would the naive doc-id split (x58)
+    // have separated the two docs (naive_leak — real eval contamination),
+    // and does the cluster-keyed split (x65) keep them together (safe_leak,
+    // false for every pair BY CONSTRUCTION — both endpoints of a verified
+    // edge share a component, so they hash identically; the column is the
+    // machine-checked statement of the guarantee, and the DuckDB oracle
+    // re-derives it from its own recursive components rather than trusting
+    // the engine's). Scale shape: rides the shared edge + component stages;
+    // marginal cost is two label joins over the pair-graph-sized edge set.
+    QueryDef("x67_split_leakage_audit", {
+      def splitCase(b: String) =
+        s"CASE WHEN $b < 52429 THEN 'train' WHEN $b < 58982 THEN 'val' ELSE 'test' END"
+      val bd1 = Sketches.bucketSql("e.d1::VARCHAR", "'split'", 65536)
+      val bd2 = Sketches.bucketSql("e.d2::VARCHAR", "'split'", 65536)
+      val bc1 = Sketches.bucketSql("l1.cluster_id::VARCHAR", "'split'", 65536)
+      val bc2 = Sketches.bucketSql("l2.cluster_id::VARCHAR", "'split'", 65536)
+      s"""$ComponentsCteSql
+          SELECT e.d1, e.d2,
+            ${splitCase(bd1)} AS split1_naive, ${splitCase(bd2)} AS split2_naive,
+            ${splitCase(bd1)} <> ${splitCase(bd2)} AS naive_leak,
+            ${splitCase(bc1)} <> ${splitCase(bc2)} AS safe_leak
+          FROM edges e
+          JOIN lab l1 ON l1.doc_id = e.d1 JOIN lab l2 ON l2.doc_id = e.d2"""
+    }) { (s, d) =>
+      def splitOf(b: Column) =
+        when(b < 52429, "train").when(b < 58982, "val").otherwise("test")
+      def bk(c: Column) = Sketches.bucket(c.cast("string"), lit("split"), 65536)
+      val lab = sharedComponents(s, d)
+      sharedEdges(s, d)
+        .join(lab.select(col("id").as("d1"), col("cluster_id").as("c1")), "d1")
+        .join(lab.select(col("id").as("d2"), col("cluster_id").as("c2")), "d2")
+        .select(col("d1"), col("d2"),
+          splitOf(bk(col("d1"))).as("split1_naive"),
+          splitOf(bk(col("d2"))).as("split2_naive"),
+          (splitOf(bk(col("d1"))) =!= splitOf(bk(col("d2")))).as("naive_leak"),
+          (splitOf(bk(col("c1"))) =!= splitOf(bk(col("c2")))).as("safe_leak"))
+    },
+
+    // Vocabulary coverage curve — the stat that sizes a tokenizer's vocab:
+    // what fraction of all token INSTANCES do the top-k types cover (1 −
+    // OOV rate at vocab size k)? Exact integer sums; one division per
+    // output row. k beyond the true vocab saturates honestly (n_top stops
+    // at the vocab size, coverage hits 1). Scale shape: the vocab-sized
+    // count frame reduces off the shared wordcount pass; the ranking is a
+    // BOUNDED topk_min heap (map-side combinable, one k-length array row
+    // out of any vocab cardinality) — never a window sort over the vocab;
+    // everything after it is rows-of-k arithmetic on the driver-side-small
+    // frame.
+    QueryDef("x68_vocab_coverage",
+      """WITH uni AS (SELECT token, count(*) AS n FROM
+           (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn, count(*) AS v FROM uni),
+         r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM uni),
+         ks AS (SELECT unnest([4, 8, 16, 32]) AS k)
+         SELECT ks.k, CAST(least(ks.k, tot.v) AS BIGINT) AS n_top,
+           round(sum(r.n)::DOUBLE / tot.nn, 6) AS coverage
+         FROM ks JOIN r ON r.rn <= ks.k, tot
+         GROUP BY ks.k, tot.v, tot.nn""") { (s, d) =>
+      val uni = sharedWordCounts(s, d).groupBy("token").agg(sum("c").as("n"))
+      val tot = uni.agg(sum("n").as("nn"), count(lit(1)).as("v"))
+      val ranked = uni
+        .agg(TopK.topk_min(struct((-col("n")).as("nc"), col("token")), 32).as("arr"))
+        .select(posexplode(col("arr")).as(Seq("pos", "s")))
+        .select((col("pos") + 1).as("rn"), (-col("s.nc")).as("n"))
+      val ks = s.range(2, 6).select(pow(lit(2), col("id")).cast("int").as("k"))
+      ks.join(ranked, col("rn") <= col("k"))
+        .groupBy("k").agg(sum("n").as("cn"))
+        .crossJoin(broadcast(tot))
+        .select(col("k").cast("int").as("k"),
+          least(col("k"), col("v")).cast("long").as("n_top"),
+          round(col("cn").cast("double") / col("nn"), 6).as("coverage"))
+    },
+
+    // Per-source unigram entropy — the diversity signal mixture designers
+    // read next to x39's KL-from-blend: low-entropy sources are templated/
+    // repetitive, high-entropy sources are diverse (and norm_entropy =
+    // H/ln(V) makes sources with different vocab sizes comparable). The
+    // cross-row sum is exact int64 (the x24/x52 fixed-point ln idiom:
+    // per-type term c·⌊ln(N/c)·1e9+0.5⌋, so no float accumulation);
+    // divisions happen once per source row. Scale shape: reduces off the
+    // shared wordcount pass to (source, type) counts with map-side combine;
+    // per-source normalizers broadcast back.
+    QueryDef("x69_source_entropy",
+      """WITH st AS (SELECT source, token, count(*) AS c FROM
+           (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1, 2),
+         ns AS (SELECT source, sum(c) AS n, count(*) AS v FROM st GROUP BY 1),
+         tm AS (SELECT st.source,
+             sum(st.c * CAST(floor(ln(ns.n::DOUBLE / st.c) * 1000000000 + 0.5) AS BIGINT)) AS t
+           FROM st JOIN ns USING (source) GROUP BY 1)
+         SELECT tm.source, CAST(ns.n AS BIGINT) AS n_tokens, CAST(ns.v AS BIGINT) AS vocab,
+           round(tm.t / (ns.n * 1000000000.0), 6) AS entropy,
+           CASE WHEN ns.v > 1 THEN round(tm.t / (ns.n * 1000000000.0) / ln(ns.v), 6)
+                ELSE 0.0 END AS norm_entropy
+         FROM tm JOIN ns USING (source)""") { (s, d) =>
+      val st = sharedWordCounts(s, d).groupBy("source", "token").agg(sum("c").as("c"))
+      val ns = st.groupBy("source").agg(sum("c").as("n"), count(lit(1)).as("v"))
+      val tm = st.join(broadcast(ns), "source")
+        .select(col("source"),
+          (col("c") * floor(log(col("n").cast("double") / col("c")) * 1000000000L + 0.5)
+            .cast("long")).as("t"))
+        .groupBy("source").agg(sum("t").as("t"))
+      tm.join(broadcast(ns), "source")
+        .select(col("source"), col("n").cast("long").as("n_tokens"),
+          col("v").cast("long").as("vocab"),
+          round(col("t") / (col("n") * 1000000000.0), 6).as("entropy"),
+          when(col("v") > 1,
+            round(col("t") / (col("n") * 1000000000.0) / log(col("v").cast("double")), 6))
+            .otherwise(0.0).as("norm_entropy"))
+    },
+
     // BPE tokenizer induction — the vocabulary-LEARNING op of a training
     // pipeline (Sennrich et al. 2016): 3 rounds of merge-the-most-frequent-
     // adjacent-symbol-pair, exactly how production BPE trainers run — over
