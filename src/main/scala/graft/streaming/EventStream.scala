@@ -70,6 +70,12 @@ object EventStream {
       statePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n.toString))
       if (!keepNoDataBatches)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // The stream disables AQE itself (stateful workloads don't support
+      // it); turning it off for the whole child session also spares the
+      // sink READ-BACK aggregations — state-cardinality-sized frames where
+      // AQE's per-shuffle materialize/re-plan rounds cost more than the
+      // shuffles themselves (~0.25 s/query measured on the s02 totals).
+      s.conf.set("spark.sql.adaptive.enabled", "false")
       s
     }
   }
