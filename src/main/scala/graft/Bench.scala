@@ -89,8 +89,20 @@ object Bench {
     val total = results.map(_._2).sum
     // "queries"/"value" stay the WARM pass (measures plans); "cold" is the
     // same queries' first execution at this SF (includes Janino + JIT).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
-      s""""cold":${jmap(cold)},"cold_total":${cold.map(_._2).sum},"sf":"$sfDir"}""")
+    // Field ORDER is deliberate: the scalar headline numbers (warm total,
+    // cold total, query count) come FIRST so that if the captured line is
+    // tail-truncated in transit, what survives is still the verdict-grade
+    // summary — only the per-query maps are at risk. The full line is also
+    // written to a file (BENCH_LOCAL.json, or $SPARK_GRAFT_BENCH_OUT) as the
+    // truncation-proof artifact of record.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":${cold.map(_._2).sum},""" +
+      s""""n_queries":${results.size},"sf":"$sfDir","queries":${jmap(results)},"cold":${jmap(cold)}}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] file write skipped: ${e.getMessage}") }
     spark.stop()
   }
 }

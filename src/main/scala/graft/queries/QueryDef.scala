@@ -55,13 +55,36 @@ object QueryDef {
     else df
   }
 
-  /** The events table with its TIMESTAMP(NANOS) column normalized to a Spark
-    * timestamp (micros). Requires spark.sql.legacy.parquet.nanosAsLong=true
-    * (set by Verify/Bench/GraftSession): Spark has no nanos timestamp type,
-    * so the column arrives as a long and is floor-divided to micros — exact
-    * integer arithmetic, matching DuckDB's native TIMESTAMP_NS reads at
-    * micro/second granularity. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** Normalize an events `ts` column to a Spark TIMESTAMP, adapting to how
+    * the parquet writer encoded it — the physical type of the driver-supplied
+    * testdata has changed across rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)),
+    * and hard-coding one encoding silently breaks when the data regenerates:
+    *
+    *  - LONG: a TIMESTAMP(NANOS) column surfaced as nanos-as-long via
+    *    spark.sql.legacy.parquet.nanosAsLong=true (Spark has no nanos type).
+    *    Floor-divide to micros — exact integer arithmetic, matching DuckDB's
+    *    native TIMESTAMP_NS reads at micro/second granularity.
+    *  - TIMESTAMP_NTZ: a TIMESTAMP(MICROS, isAdjustedToUTC=false) column.
+    *    Cast to TIMESTAMP: with the session TZ pinned UTC (Verify/Bench/specs
+    *    all set it) the wall-clock value is preserved and epoch()/date_trunc
+    *    match DuckDB's naive-timestamp reads of the same file.
+    *  - TIMESTAMP: already normalized; pass through. */
+  def normalizedTs(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType => col("ts")
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected LONG (nanos-as-long), TIMESTAMP_NTZ or TIMESTAMP, got $other")
+    }
+  }
+
+  /** The events table with its `ts` column normalized to a Spark timestamp
+    * regardless of the parquet encoding (see [[normalizedTs]]). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = t(spark, sfDir, "events")
+    df.withColumn("ts", normalizedTs(df.schema("ts").dataType))
+  }
 }

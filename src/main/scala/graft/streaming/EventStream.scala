@@ -26,8 +26,10 @@ object EventStream {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
-  /** Streaming schema mirrors the batch events table, with the driver's
-    * TIMESTAMP(NANOS) parquet read as long (nanosAsLong) and normalized.
+  /** Streaming schema mirrors the batch events table, with `ts` normalized
+    * to a Spark TIMESTAMP adaptively (nanos-as-long, TIMESTAMP_NTZ, or
+    * TIMESTAMP — see [[graft.queries.QueryDef.normalizedTs]]); the cached
+    * schema drives the branch, so one probe decides it per path.
     *
     * `maxFilesPerTrigger` splits a multi-file directory into multiple
     * micro-batches (used by the multi-batch specs to prove cross-batch
@@ -41,7 +43,7 @@ object EventStream {
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     reader.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.queries.QueryDef.normalizedTs(schema("ts").dataType))
   }
 
   /** Child session for a finite AvailableNow replay.
