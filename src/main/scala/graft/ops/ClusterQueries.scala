@@ -351,5 +351,52 @@ object ClusterQueries {
         .select(col("vec_id"), col("label"), col("n").cast("long").as("n_label"),
           col("d2n").as("dist2n"),
           (lit(4L) * col("d2n") * col("n") > lit(5L) * col("td")).as("is_outlier"))
+    },
+
+    // Bucketed (NON-broadcast) k-means assignment — the k ≥ 10⁴ path that
+    // x32/x57's one-row broadcast centroid array cannot reach (SCALE.md's
+    // cost model, realized). Centroid set here: FOUR shifted int-code
+    // variants per corpus vector (k = 4·|corpus| = 2000 at sf0.01, 8000 at
+    // sf0.1 — well past the 1024 bar and growing with SF), assigned via the
+    // IVF two-level shape: ~k/44 coarse cells broadcast, centroids
+    // cell-assigned as a DISTRIBUTED k-row frame, vectors probe their 5
+    // nearest cells in-row, and ONE cell-keyed equi-join + per-vector
+    // min-struct picks the winner. Nothing k-sized is ever broadcast,
+    // collected, or folded per-row. Approximate by construction (nprobe < m);
+    // both engines walk the identical deterministic probe set, so the result
+    // is still bitwise-checked. All distances exact int64.
+    QueryDef("x70_bucketed_assign", {
+      def di(a: String, b: String) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 64),
+             i -> (($a)[i]::BIGINT - ($b)[i]::BIGINT) * (($a)[i]::BIGINT - ($b)[i]::BIGINT))) AS BIGINT)"""
+      s"""WITH $QuantCte,
+          cent AS (SELECT vec_id * 4 + j AS cid, list_transform(qv, v -> v + j) AS ce
+                   FROM qb, unnest([0, 1, 2, 3]) AS t(j)),
+          coarse AS (SELECT cid AS cell, ce AS ge FROM cent WHERE cid % 44 = 0),
+          cc AS (SELECT cell, cid, ce FROM (
+             SELECT g.cell, c.cid, c.ce,
+               row_number() OVER (PARTITION BY c.cid
+                 ORDER BY ${di("c.ce", "g.ge")}, g.cell) AS rn
+             FROM cent c CROSS JOIN coarse g) WHERE rn = 1),
+          vp AS (SELECT vec_id, qv, cell FROM (
+             SELECT b.vec_id, b.qv, g.cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY ${di("b.qv", "g.ge")}, g.cell) AS rn
+             FROM qb b CROSS JOIN coarse g) WHERE rn <= 5)
+          SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2, CAST(cell AS BIGINT) AS cell FROM (
+             SELECT v.vec_id, c.cid, ${di("v.qv", "c.ce")} AS dist2, v.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${di("v.qv", "c.ce")}, c.cid) AS rn
+             FROM vp v JOIN cc c USING (cell)) WHERE rn = 1"""
+    }) { (s, d) =>
+      val qb = sharedInt8(s, d)
+      val cents = qb
+        .select(col("vec_id"), col("qv"),
+          explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+        .select((col("vec_id") * 4 + col("j")).as("cid"),
+          transform(col("qv"), v => v + col("j")).as("ce"))
+      KMeans.bucketedAssignments(cents, qb, "vec_id", "qv", cellStep = 44, nprobe = 5)
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("dist2"), col("cell").cast("long").as("cell"))
     })
 }

@@ -207,6 +207,59 @@ object KMeans {
         col("__nc").as("nc"), col("dist2n"))
   }
 
+  /** Bucketed (non-broadcast) assignment — the large-k escape hatch for
+    * [[assignments]]' one-row broadcast centroid array, which stops working
+    * somewhere around k ≈ 10⁴–10⁵ (the broadcast and the per-row O(k·dims)
+    * fold both blow up). Classic IVF two-level structure:
+    *
+    *  1. COARSE cells: the centroids whose `cid % cellStep == 0` (m = k/cellStep
+    *     of them — this small set IS broadcast-bounded; two levels buy
+    *     k up to m × broadcast-bound).
+    *  2. Each centroid joins its nearest coarse cell — in-row argmin over the
+    *     broadcast coarse array; the resulting (cell, cid, ce) frame stays
+    *     DISTRIBUTED (k rows, never collected, never broadcast).
+    *  3. Each vector probes its `nprobe` nearest cells (same broadcast
+    *     coarse array, in-row sort + slice — no shuffle).
+    *  4. One CELL-KEYED equi-join meets vectors only with the centroids in
+    *     their probed cells, then a per-vector min(struct(d2, cid)) partial
+    *     aggregation picks the winner (map-side combine; the shuffle carries
+    *     one row per vector, not per candidate pair).
+    *
+    * Approximate by construction (exact iff nprobe = m) — the determinism
+    * contract is that BOTH engines walk the identical probe set, so the
+    * result is still bitwise oracle-checkable. All distances are exact int64
+    * over int-code arrays; ties break on min cid, min cell. Popular cells
+    * skew the equi-join — AQE skew-join splitting (on in every session here)
+    * or `Skew.saltedJoin` handles that without changing semantics. */
+  def bucketedAssignments(cents: DataFrame, qb: DataFrame, idCol: String,
+                          qvCol: String, cellStep: Int, nprobe: Int): DataFrame = {
+    require(cellStep >= 1, s"cellStep must be >= 1, got $cellStep")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val coarseArr = cents.filter(col("cid") % cellStep === 0)
+      .agg(array_sort(collect_list(struct(col("cid").as("cell"), col("ce").as("ge"))))
+        .as("__gs"))
+    // centroid -> its one cell (every coarse center lands in its own cell at
+    // distance 0, so no cell is empty and every probe finds candidates)
+    val centCell = cents.crossJoin(broadcast(coarseArr))
+      .withColumn("__best", array_min(transform(col("__gs"),
+        g => struct(int8Dist2(col("ce"), g.getField("ge")).as("d2"),
+          g.getField("cell").as("cell")))))
+      .select(col("__best.cell").as("cell"), col("cid"), col("ce"))
+    val probes = qb.crossJoin(broadcast(coarseArr))
+      .withColumn("__near", slice(array_sort(transform(col("__gs"),
+        g => struct(int8Dist2(col(qvCol), g.getField("ge")).as("d2"),
+          g.getField("cell").as("cell")))), 1, nprobe))
+      .select(col(idCol), col(qvCol),
+        explode(transform(col("__near"), x => x.getField("cell"))).as("cell"))
+    probes.join(centCell, "cell")
+      .withColumn("__d2", int8Dist2(col(qvCol), col("ce")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d2").as("d2"), col("cid").as("cid"),
+        col("cell").as("cell"))).as("__b"))
+      .select(col(idCol), col("__b.cid").as("cid"), col("__b.d2").as("dist2"),
+        col("__b.cell").as("cell"))
+  }
+
   /** Deterministic k-center greedy (farthest-point / Gonzalez) seeding over
     * int-code vectors: seed 1 = the min-id vector; each later seed = the
     * vector FARTHEST (exact int64 dist²) from its nearest already-chosen

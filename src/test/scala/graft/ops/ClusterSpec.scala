@@ -347,4 +347,47 @@ class ClusterSpec extends SparkSpec {
     // and nothing was invented: every doc keeps at most its own passage count
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
   }
+
+  test("bucketed assignment with nprobe = all cells equals exact brute-force argmin") {
+    val qb = codes().persist()
+    try {
+      // k = 4·|corpus| shifted-variant centroids (the x70 construction)
+      val cents = qb
+        .select(col("vec_id"), col("qv"),
+          explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+        .select((col("vec_id") * 4 + col("j")).as("cid"),
+          transform(col("qv"), v => v + col("j")).as("ce"))
+        .persist()
+      val m = cents.filter(col("cid") % 44 === 0).count().toInt
+      // probing EVERY cell removes the approximation: result must equal the
+      // exact argmin over all k centroids, (d2, cid) tie-break.
+      val bucketed = KMeans.bucketedAssignments(cents, qb, "vec_id", "qv",
+        cellStep = 44, nprobe = m)
+        .select("vec_id", "cid", "dist2").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val exact = qb.crossJoin(cents)
+        .withColumn("d2", KMeans.int8Dist2(col("qv"), col("ce")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid"), col("b.d2")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(bucketed == exact)
+      assert(bucketed.nonEmpty)
+    } finally qb.unpersist()
+  }
+
+  test("bucketed assignment: every vector assigned, winner lives in a probed cell") {
+    val qb = codes()
+    val cents = qb
+      .select(col("vec_id"), col("qv"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+      .select((col("vec_id") * 4 + col("j")).as("cid"),
+        transform(col("qv"), v => v + col("j")).as("ce"))
+    val out = KMeans.bucketedAssignments(cents, qb, "vec_id", "qv",
+      cellStep = 44, nprobe = 5).collect()
+    assert(out.length == qb.count())
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    // every winning cell is a coarse centroid id
+    assert(out.forall(r => r.getLong(3) % 44 == 0))
+  }
 }
