@@ -1961,6 +1961,125 @@ object OpsQueries {
           sum(col("c") * col("ls")).cast("long").as("n_symbols"))
         .withColumn("compression",
           round(col("n_symbols").cast("double") / col("n_chars"), 6))
+    },
+
+    // Matryoshka-style dimension-ablation audit: top-3 neighbor recall when
+    // embeddings are truncated to their first 16/32/64 components, against
+    // the full-dim (64) ranking as ground truth. The decision aid for
+    // "how many dims can retrieval drop" (MRL-style truncation) — at 100 TB
+    // you run this audit on a query sample exactly like this (16 queries
+    // broadcast), while the corpus side stays one scan: all three dims'
+    // cosines come from the SAME pair row (slice + fold in-row), so ablating
+    // more dims adds zero scans and zero shuffles. Brute force is the
+    // calibration baseline by design, same as x06/x29/x30.
+    QueryDef("x71_dim_ablation", {
+      def cosD(a: String, b: String) =
+        s"""(list_sum(list_transform(generate_series(1, d.dim), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(generate_series(1, d.dim), i -> ($a)[i]::DOUBLE * ($a)[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(generate_series(1, d.dim), i -> ($b)[i]::DOUBLE * ($b)[i]::DOUBLE)))))"""
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
+          rk AS (SELECT qid, dim, vec_id, rn FROM (
+              SELECT q.qid, d.dim, z.vec_id,
+                row_number() OVER (PARTITION BY q.qid, d.dim
+                  ORDER BY ${cosD("q.qe", "z.embedding")} DESC, z.vec_id) AS rn
+              FROM q CROSS JOIN (SELECT unnest([16, 32, 64]) AS dim) d
+                   CROSS JOIN embeddings z WHERE z.vec_id <> q.qid)
+            WHERE rn <= 3),
+          full3 AS (SELECT qid, vec_id FROM rk WHERE dim = 64),
+          hits AS (SELECT t.qid, t.dim, count(*) AS h FROM rk t
+              JOIN full3 f ON f.qid = t.qid AND f.vec_id = t.vec_id GROUP BY 1, 2),
+          top AS (SELECT qid, dim, max(CASE WHEN rn = 1 THEN vec_id END) AS top1
+              FROM rk GROUP BY 1, 2)
+          SELECT top.qid, CAST(top.dim AS INT) AS dim, CAST(top.top1 AS BIGINT) AS top1,
+            round(coalesce(h.h, 0) / 3.0, 6) AS recall
+          FROM top LEFT JOIN hits h ON h.qid = top.qid AND h.dim = top.dim"""
+    }) { (s, d2) =>
+      val emb = t(s, d2, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy("qid", "dim").orderBy(col("cos").desc, col("vec_id"))
+      // rk feeds ground truth, hits and top1 — persist the 16·corpus·3 frame
+      val rk = graft.util.PersistScope.track(
+        emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+          .withColumn("dim", explode(array(lit(16), lit(32), lit(64))))
+          .withColumn("cos", cosine(slice(col("qe"), lit(1), col("dim")),
+            slice(col("embedding"), lit(1), col("dim"))))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select("qid", "dim", "vec_id", "rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val full3 = rk.filter(col("dim") === 64)
+        .select(col("qid").as("fqid"), col("vec_id").as("fvid"))
+      val hits = rk.join(full3, col("qid") === col("fqid") && col("vec_id") === col("fvid"))
+        .groupBy("qid", "dim").agg(count(lit(1)).as("h"))
+      rk.groupBy("qid", "dim").agg(max(when(col("rn") === 1, col("vec_id"))).as("top1"))
+        .join(hits, Seq("qid", "dim"), "left")
+        .select(col("qid"), col("dim").cast("int").as("dim"),
+          col("top1").cast("long").as("top1"),
+          round(coalesce(col("h"), lit(0)) / 3.0, 6).as("recall"))
+    },
+
+    // Context-length audit: for each candidate training context length L,
+    // what does the corpus cost in truncation (docs clipped, tokens lost)
+    // and packing slack (chop-packed bins, fill ratio)? The table a
+    // pretraining team reads before fixing seq_len. Pure map + one
+    // (lang, L)-keyed aggregate — the corpus is scanned once, the explode
+    // carries only (lang, nt) pairs ×4, everything else is exact int64
+    // arithmetic inside the aggregate (map-side combined). The L ladder
+    // straddles this corpus's 10–100-token length distribution so both the
+    // truncation and the slack branches are live (the s10 discipline:
+    // never ship a threshold whose branch the data can't reach).
+    QueryDef("x72_ctx_len_audit",
+      """WITH nt AS (SELECT lang, len(string_split(text, ' ')) AS nt FROM documents),
+         x AS (SELECT lang, L, nt FROM nt CROSS JOIN (SELECT unnest([32, 64, 128, 256]) AS L))
+         SELECT lang, CAST(L AS INT) AS ctx_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE nt > L) AS BIGINT) AS n_truncated,
+           CAST(sum(CASE WHEN nt > L THEN nt - L ELSE 0 END) AS BIGINT) AS tokens_lost,
+           CAST(floor((sum(least(nt, L)) + L - 1) / L) AS BIGINT) AS n_bins,
+           round(sum(least(nt, L)) / (floor((sum(least(nt, L)) + L - 1) / L) * L)::DOUBLE, 6) AS fill_ratio
+         FROM x GROUP BY lang, L""") { (s, d2) =>
+      t(s, d2, "documents")
+        .select(col("lang"), size(tokens(col("text"))).as("nt"))
+        .withColumn("L", explode(array(lit(32), lit(64), lit(128), lit(256))))
+        .groupBy("lang", "L").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("nt") > col("L"), 1L).otherwise(0L)).as("n_truncated"),
+          sum(when(col("nt") > col("L"), col("nt") - col("L")).otherwise(0L)).as("tokens_lost"),
+          sum(least(col("nt"), col("L"))).as("kept"))
+        .select(col("lang"), col("L").cast("int").as("ctx_len"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_truncated").cast("long").as("n_truncated"),
+          col("tokens_lost").cast("long").as("tokens_lost"),
+          floor((col("kept") + col("L") - 1) / col("L")).cast("long").as("n_bins"),
+          round(col("kept") /
+            (floor((col("kept") + col("L") - 1) / col("L")) * col("L")).cast("double"), 6)
+            .as("fill_ratio"))
+    },
+
+    // Exact-size deterministic sample per source — the reservoir-sampling
+    // shape (exactly min(k, n) rows per stratum, not a Bernoulli fraction
+    // like x19): rank every doc by a portable hash and keep the k smallest
+    // per source. The engine runs it as a bounded k-heap aggregation
+    // (`topk_min` over (hash, doc_id) structs) — k rows per (partition,
+    // source) cross the wire and memory is O(k) per group, where the window
+    // form would shuffle AND sort the whole corpus. Hash ranking makes the
+    // sample stable under any partitioning/cluster size and reproducible by
+    // the oracle's window replication.
+    QueryDef("x73_reservoir_sample",
+      s"""WITH r AS (SELECT source, doc_id,
+            ${Sketches.bucketSql("doc_id::VARCHAR", "'smp'", 65536)} AS h FROM documents)
+          SELECT source, doc_id, CAST(rn AS INT) AS smpl_rank FROM (
+            SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM r)
+          WHERE rn <= 25""") { (s, d2) =>
+      t(s, d2, "documents")
+        .select(col("source"), col("doc_id"),
+          Sketches.bucket(col("doc_id").cast("string"), lit("smp"), 65536).as("h"))
+        .groupBy("source")
+        .agg(TopK.topk_min(struct(col("h"), col("doc_id")), 25).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("source"), col("p.doc_id").as("doc_id"),
+          (col("i") + 1).cast("int").as("smpl_rank"))
     })
 
   /** The x62 oracle's CTE chain (corpus wordcount → char segmentation →
