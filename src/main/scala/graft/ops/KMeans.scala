@@ -42,20 +42,19 @@ object KMeans {
       .drop("__km_e", "__km_emax")
 
   /** Exact integer squared norm of an int-code array (for quantized cosine:
-    * cos = dot / (sqrt(n1)·sqrt(n2)) with every input an exact int64). */
+    * cos = dot / (sqrt(n1)·sqrt(n2)) with every input an exact int64).
+    * Evaluated once per ROW (not per pair) — the HOF fold is fine here. */
   def int8SqNorm(qv: Column): Column =
     aggregate(qv, lit(0L), (acc, v) => acc + v.cast("long") * v.cast("long"))
 
-  /** Exact integer dot product of two int-code arrays. */
-  def int8Dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two int-code arrays. Custom one-loop
+    * expression — see [[Int8DotExpr]] for why not a HOF fold. */
+  def int8Dot(a: Column, b: Column): Column = Int8DotExpr.int8_dot(a, b)
 
-  /** Exact integer squared distance between two int-code arrays. */
-  def int8Dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
-      lit(0L), (acc, v) => acc + v)
+  /** Exact integer squared distance between two int-code arrays. Custom
+    * one-loop expression — see [[Int8Dist2Expr]]: this is the per-PAIR hot
+    * kernel of every quantized-vector operator. */
+  def int8Dist2(a: Column, b: Column): Column = Int8Dist2Expr.int8_dist2(a, b)
 
   private def dist2(qv: Column, ce: Column): Column =
     aggregate(zip_with(qv, ce, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),

@@ -506,3 +506,101 @@ object BloomContainsExpr {
       BloomContainsExpr(org.apache.spark.sql.graftshim.shims.expression(bm),
         org.apache.spark.sql.graftshim.shims.expression(x), bits, hashes))
 }
+
+/** `int8_dist2(a, b)` → exact int64 squared distance between two int-code
+  * arrays — the hot kernel of every quantized-vector operator (x70 bucketed
+  * assignment alone evaluates it ~10⁸ times per pass at sf0.1: centroids ×
+  * coarse cells, probes × cells, pairs × survivors). The composed HOF form
+  * (`aggregate(zip_with(...))`) pays two interpreted lambda evals plus
+  * boxing PER ELEMENT; this is one virtual call per PAIR with a primitive
+  * while-loop inside — the same replacement that took the x07/x16 bucket
+  * stage off the profile (LshBucketExpr above).
+  *
+  * Bitwise-identical contract to `aggregate(zip_with(a, b, (x,y) =>
+  * (x-y)²), 0L, +)`: unequal lengths → null (zip_with's null padding
+  * poisons the fold's sum), any null element → null, empty arrays → 0.
+  * Integer arithmetic only — no order sensitivity, so the oracle's
+  * list_sum replication is exact. */
+case class Int8Dist2Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_dist2 needs two array<int>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = (x.getInt(i) - y.getInt(i)).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Dist2Expr =
+    copy(l, r)
+  override def prettyName: String = "int8_dist2"
+}
+
+object Int8Dist2Expr {
+  def int8_dist2(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      Int8Dist2Expr(org.apache.spark.sql.graftshim.shims.expression(a),
+        org.apache.spark.sql.graftshim.shims.expression(b)))
+}
+
+/** `int8_dot(a, b)` → exact int64 dot product of two int-code arrays — the
+  * quantized-cosine numerator (x33 SemDeDup pair scoring, x27/x30 approx
+  * ranking). Same contract and same reason-to-exist as [[Int8Dist2Expr]]. */
+case class Int8DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_dot needs two array<int>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8DotExpr =
+    copy(l, r)
+  override def prettyName: String = "int8_dot"
+}
+
+object Int8DotExpr {
+  def int8_dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      Int8DotExpr(org.apache.spark.sql.graftshim.shims.expression(a),
+        org.apache.spark.sql.graftshim.shims.expression(b)))
+}
