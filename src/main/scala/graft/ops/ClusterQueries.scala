@@ -398,5 +398,37 @@ object ClusterQueries {
       KMeans.bucketedAssignments(cents, qb, "vec_id", "qv", cellStep = 44, nprobe = 5)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("dist2"), col("cell").cast("long").as("cell"))
+    },
+
+    // Cluster-balanced selection (diversity sampling / D4-style): per
+    // k-means cluster keep only ceil(sqrt(n_c)) members, chosen by portable
+    // hash rank — big clusters (redundant content) get aggressively
+    // down-sampled, small clusters (rare content) survive whole. The
+    // anti-mode-collapse counterpart of x33's similarity-threshold dedup.
+    // Rides the SHARED x32 assignment; the quota is a k-row aggregate
+    // broadcast back, and the rank window partitions by cluster — fine at
+    // scale because each partition is one cluster, never the corpus.
+    QueryDef("x75_cluster_balanced", {
+      s"""WITH ${kmeansCte(withD2 = false)},
+          n AS (SELECT cid, count(*) AS n_c FROM a2 GROUP BY 1),
+          r AS (SELECT a.vec_id, a.cid, n.n_c,
+              row_number() OVER (PARTITION BY a.cid
+                ORDER BY ${Sketches.bucketSql("a.vec_id::VARCHAR", "'bal'", 65536)}, a.vec_id) AS rk
+            FROM a2 a JOIN n USING (cid))
+          SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(n_c AS BIGINT) AS cluster_size,
+            CAST(CEIL(sqrt(n_c)) AS BIGINT) AS quota, CAST(rk AS INT) AS pick_rank
+          FROM r WHERE rk <= CEIL(sqrt(n_c))"""
+    }) { (s, d) =>
+      val a = sharedKmeans(s, d).select(col("vec_id"), col("cid"))
+      val n = a.groupBy("cid").agg(count(lit(1)).as("n_c"))
+      val w = Window.partitionBy("cid")
+        .orderBy(Sketches.bucket(col("vec_id").cast("string"), lit("bal"), 65536), col("vec_id"))
+      a.join(broadcast(n), "cid")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= ceil(sqrt(col("n_c"))))
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          col("n_c").cast("long").as("cluster_size"),
+          ceil(sqrt(col("n_c"))).cast("long").as("quota"),
+          col("rk").cast("int").as("pick_rank"))
     })
 }

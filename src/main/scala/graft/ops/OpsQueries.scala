@@ -2056,6 +2056,51 @@ object OpsQueries {
             .as("fill_ratio"))
     },
 
+    // N-gram novelty — the temporal-dedup audit: what fraction of a doc's
+    // DISTINCT 5-grams first appear in THIS doc (global first occurrence =
+    // min doc_id over the docs containing the gram)? Low-novelty docs are
+    // recombinations of earlier content — the doc-level signal behind
+    // "train on first occurrences" curation. Scale shape: the gram stream
+    // shuffles as portable 128-bit md5 keys (8+8 bytes, never the gram
+    // text), first-occurrence is ONE map-side-combinable min per key, and
+    // the join back is key-to-key — no pair blowup anywhere, same posture
+    // as x28's dup-gram stats.
+    QueryDef("x74_ngram_novelty",
+      """WITH g AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+                     string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+                     string_split(text, ' ')[i+4])) AS gram FROM documents)),
+          f AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY 1)
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_grams,
+            CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+            round(count(*) FILTER (WHERE f.first_doc = g.doc_id)::DOUBLE / count(*), 6) AS novelty
+          FROM g JOIN f USING (h) GROUP BY g.doc_id""") { (s, d2) =>
+      val grams5 = (toks: Column) =>
+        when(size(toks) >= 5,
+          transform(sequence(lit(1), size(toks) - 4),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+              element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))
+          .otherwise(array().cast("array<string>"))
+      // g feeds both the min-reduce and the join back — persist the reduced
+      // (doc, hash) frame, never the gram text
+      val g = graft.util.PersistScope.track(
+        t(s, d2, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), explode(array_distinct(grams5(col("toks")))).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val first = g.groupBy("h").agg(min("doc_id").as("first_doc"))
+      g.join(first, "h")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_distinct_grams").cast("long").as("n_distinct_grams"),
+          col("n_novel").cast("long").as("n_novel"),
+          round(col("n_novel").cast("double") / col("n_distinct_grams"), 6).as("novelty"))
+    },
+
     // Exact-size deterministic sample per source — the reservoir-sampling
     // shape (exactly min(k, n) rows per stratum, not a Bernoulli fraction
     // like x19): rank every doc by a portable hash and keep the k smallest

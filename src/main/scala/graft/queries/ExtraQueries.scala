@@ -290,6 +290,40 @@ object ExtraQueries {
       q.sparkSession.table(name)
     },
 
+    // Stream-stream LEFT OUTER interval join — the null-emitting semantics
+    // s07's inner join can't express: unconverted clicks surface with null
+    // purchase columns once the watermark PROVES no match can arrive. The
+    // null rows are produced by state EVICTION in the trailing no-data
+    // micro-batch (the replay keeps it for exactly this query), and clicks
+    // still inside the watermark horizon at end-of-replay stay unemitted —
+    // the oracle replicates that by applying the engine's own final-
+    // watermark rule: wm = least(max click ts, max purchase ts) − delay
+    // (Spark's default min-of-watermarks policy across the two inputs),
+    // unmatched click emitted iff wm > click + window.
+    QueryDef("s11_stream_outer_join",
+      """WITH c AS (SELECT user_id, event_id, date_trunc('second', ts) AS c_ts
+             FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, date_trunc('second', ts) AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+                  - INTERVAL 2 HOUR AS wm)
+         SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch(p.p_ts) - epoch(c.c_ts) AS BIGINT) AS lag_seconds
+         FROM c JOIN p ON p.user_id = c.user_id
+           AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+         UNION ALL
+         SELECT c.user_id, c.event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         FROM c, wm
+         WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+             AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)
+           AND c.c_ts + INTERVAL 1 HOUR < wm.wm""") { (s, d) =>
+      val name = "s11_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runAttributionOuter(s, d, name, statePartitions = Some(4))
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+    },
+
     // INCREMENTAL PII scan — the reference's core batch use case run as a
     // stream: the customer sample arrives through a streaming source, the
     // same one-pass detection expression runs per micro-batch (stateless →

@@ -272,6 +272,54 @@ object EventStream {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_seconds"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — the semantics [[attributionJoin]]
+    * (inner) cannot express: clicks that never convert STILL emit, with null
+    * purchase columns, once the watermark proves no match can arrive
+    * (wm > click + window). The null row is produced by STATE EVICTION, not
+    * by any data batch — which is why the bounded-replay runner for this
+    * query must keep the trailing no-data micro-batch (it is where the
+    * watermark advances and the unmatched rows flush). Clicks still inside
+    * the horizon at end-of-replay remain in state and do NOT emit — the
+    * batch oracle replicates exactly that by applying the same final-
+    * watermark predicate (min of both sides' max event time, minus the
+    * delay). */
+  def attributionJoinOuter(events: DataFrame, windowSeconds: Long = 3600,
+                           watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), date_trunc("second", col("ts")).as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), date_trunc("second", col("ts")).as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    clicks.join(purchases,
+        col("p_uid") === col("c_uid") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+        "leftOuter")
+      .select(col("c_uid").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_seconds"))
+  }
+
+  /** Run the LEFT-OUTER attribution join over the finite events dir.
+    * keepNoDataBatches = true is NOT optional here: the unmatched-click
+    * rows only exist because the trailing no-data batch advances the
+    * watermark and evicts left state (see [[attributionJoinOuter]]). */
+  def runAttributionOuter(spark: SparkSession, dir: String,
+                          queryName: String = "events_attribution_outer",
+                          statePartitions: Option[Int] = None,
+                          glob: String = "events.parquet",
+                          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions, keepNoDataBatches = true)
+    attributionJoinOuter(readEvents(session, dir, glob, maxFilesPerTrigger))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run the attribution join to completion over the (finite) events dir:
     * append-mode memory sink, AvailableNow. See [[runOnce]] for the
     * statePartitions rationale (state here is per-user click/purchase

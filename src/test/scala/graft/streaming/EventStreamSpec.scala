@@ -111,6 +111,40 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream-stream join emits unmatched clicks on eviction, horizon-bounded") {
+    val q = EventStream.runAttributionOuter(spark, sf, "attr_outer_test",
+      statePartitions = Some(4))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val rows = q.sparkSession.table("attr_outer_test").collect()
+    val matched = rows.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val unmatchedIds = rows.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+    // matched rows == the inner join (outer adds, never changes, matches)
+    val inner = EventStream.attributionJoin(QueryDef.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(matched == inner)
+    // every unmatched click: no purchase in-window AND outside the final
+    // watermark horizon (wm = min of both sides' max ts − 2h)
+    import org.apache.spark.sql.functions._
+    val ev = QueryDef.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val wm = math.min(
+      clicks.agg(max(unix_timestamp(col("ts")))).first().getLong(0),
+      purchases.agg(max(unix_timestamp(col("ts")))).first().getLong(0)) - 7200
+    val expectedUnmatched = clicks.as("c")
+      .join(purchases.as("p"),
+        col("p.user_id") === col("c.user_id") &&
+          col("p.ts") >= col("c.ts") &&
+          col("p.ts") <= col("c.ts") + expr("INTERVAL 1 HOUR"), "left_anti")
+      .filter(unix_timestamp(col("ts")) + 3600 < wm)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(unmatchedIds == expectedUnmatched)
+    assert(unmatchedIds.nonEmpty, "horizon predicate left no live unmatched rows")
+  }
+
   test("evictAfterGap drops a user's state once the watermark passes end+gap") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, lit}
