@@ -195,5 +195,75 @@ object SketchQueries {
           round(coalesce(col("m"), lit(0L)).cast("double")
             / greatest(col("n_sh"), lit(1)), 6).as("contamination"),
           (coalesce(col("m"), lit(0L)) > 0).as("contaminated"))
+    },
+
+    // Histogram-quantile sketch with an IN-QUERY error audit — the
+    // mergeable-quantile shape (KLL/t-digest's fixed-width cousin): per
+    // source the token-length distribution reduces to a ≤64-cell bucket
+    // histogram (width 8, top-clamped) — bounded state, mergeable by cell
+    // addition, the same sketch property as x14's HLL and x41's CMS grid.
+    // p50/p90 estimates read the histogram (upper bucket edge); the EXACT
+    // quantiles ride along from the (source, nt)-count frame (itself
+    // bounded: sources × max doc length) and the emitted in_bound columns
+    // assert the sketch's guarantee — est−exact ∈ [1, W] whenever the
+    // estimate's bucket wasn't clamped. Everything is exact integer
+    // arithmetic: counts, cumulative sums (an O(cells²) in-row prefix scan
+    // over ≤64-entry arrays — constant work per source), rank thresholds
+    // ceil(q·n/100) via integer div. Self-verifying numerics, x30-style:
+    // the quality gate is IN the result, not in a spec.
+    QueryDef("x76_histogram_quantiles", {
+      // first sorted (key, c) entry whose cumulative count reaches rank k
+      def qSql(vc: String, k: String) =
+        s"""(list_filter(list_transform(generate_series(1, len($vc)),
+              i -> struct_pack(cum := list_sum(list_transform(($vc)[1:i], e -> e.c)),
+                               key := ($vc)[i].key)),
+              s -> s.cum >= $k))[1].key"""
+      s"""WITH nt AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents),
+          n AS (SELECT source, count(*) AS n FROM nt GROUP BY 1),
+          hb AS (SELECT source, list(struct_pack(key := b, c := c) ORDER BY b) AS hb FROM (
+              SELECT source, least(nt // 8, 63) AS b, count(*) AS c FROM nt GROUP BY 1, 2) GROUP BY 1),
+          vc AS (SELECT source, list(struct_pack(key := nt, c := c) ORDER BY nt) AS vc FROM (
+              SELECT source, nt, count(*) AS c FROM nt GROUP BY 1, 2) GROUP BY 1),
+          j AS (SELECT n.source, n.n,
+                  (n.n * 50 + 99) // 100 AS k50, (n.n * 90 + 99) // 100 AS k90,
+                  hb.hb, vc.vc FROM n JOIN hb USING (source) JOIN vc USING (source))
+          SELECT source, CAST(n AS BIGINT) AS n,
+            CAST(${qSql("vc", "k50")} AS BIGINT) AS p50_exact,
+            CAST((${qSql("hb", "k50")} + 1) * 8 AS BIGINT) AS p50_est,
+            (${qSql("hb", "k50")} + 1) * 8 - ${qSql("vc", "k50")} BETWEEN 1 AND 8 AS p50_in_bound,
+            CAST(${qSql("vc", "k90")} AS BIGINT) AS p90_exact,
+            CAST((${qSql("hb", "k90")} + 1) * 8 AS BIGINT) AS p90_est,
+            (${qSql("hb", "k90")} + 1) * 8 - ${qSql("vc", "k90")} BETWEEN 1 AND 8 AS p90_in_bound
+          FROM j"""
+    }) { (s, d) =>
+      import org.apache.spark.sql.Column
+      val nt = t(s, d, "documents")
+        .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      val n = nt.groupBy("source").agg(count(lit(1)).as("n"))
+      val hb = nt.select(col("source"), least(col("nt") / 8, lit(63)).cast("long").as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(array_sort(collect_list(
+          struct(col("b").as("key"), col("c")))).as("hb"))
+      val vc = nt.groupBy("source", "nt").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(array_sort(collect_list(
+          struct(col("nt").cast("long").as("key"), col("c")))).as("vc"))
+      def q(arr: Column, k: Column): Column =
+        element_at(filter(
+          transform(sequence(lit(1), size(arr)), i => struct(
+            aggregate(slice(arr, lit(1), i), lit(0L), (a, e) => a + e.getField("c")).as("cum"),
+            element_at(arr, i).getField("key").as("key"))),
+          x => x.getField("cum") >= k), 1).getField("key")
+      n.join(hb, "source").join(vc, "source")
+        .withColumn("k50", expr("(n * 50 + 99) div 100"))
+        .withColumn("k90", expr("(n * 90 + 99) div 100"))
+        .select(col("source"), col("n").cast("long").as("n"),
+          q(col("vc"), col("k50")).cast("long").as("p50_exact"),
+          ((q(col("hb"), col("k50")) + 1) * 8).cast("long").as("p50_est"),
+          ((q(col("hb"), col("k50")) + 1) * 8 - q(col("vc"), col("k50")))
+            .between(1, 8).as("p50_in_bound"),
+          q(col("vc"), col("k90")).cast("long").as("p90_exact"),
+          ((q(col("hb"), col("k90")) + 1) * 8).cast("long").as("p90_est"),
+          ((q(col("hb"), col("k90")) + 1) * 8 - q(col("vc"), col("k90")))
+            .between(1, 8).as("p90_in_bound"))
     })
 }
