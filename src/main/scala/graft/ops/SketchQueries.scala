@@ -62,6 +62,35 @@ object SketchQueries {
           ceil(col("nn") * 2.718281828459045 / CmsWidth)).as("within_bound"))
   }
 
+  /** The x76 / s12 shared oracle: token-length p50/p90 per source from the
+    * width-8 histogram plus exact quantiles and the est−exact ∈ [1, 8]
+    * audit columns (see x76's QueryDef commentary). */
+  private val HistQuantilesSql: String = {
+    // first sorted (key, c) entry whose cumulative count reaches rank k
+    def qSql(vc: String, k: String) =
+      s"""(list_filter(list_transform(generate_series(1, len($vc)),
+            i -> struct_pack(cum := list_sum(list_transform(($vc)[1:i], e -> e.c)),
+                             key := ($vc)[i].key)),
+            s -> s.cum >= $k))[1].key"""
+    s"""WITH nt AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents),
+        n AS (SELECT source, count(*) AS n FROM nt GROUP BY 1),
+        hb AS (SELECT source, list(struct_pack(key := b, c := c) ORDER BY b) AS hb FROM (
+            SELECT source, least(nt // 8, 63) AS b, count(*) AS c FROM nt GROUP BY 1, 2) GROUP BY 1),
+        vc AS (SELECT source, list(struct_pack(key := nt, c := c) ORDER BY nt) AS vc FROM (
+            SELECT source, nt, count(*) AS c FROM nt GROUP BY 1, 2) GROUP BY 1),
+        j AS (SELECT n.source, n.n,
+                (n.n * 50 + 99) // 100 AS k50, (n.n * 90 + 99) // 100 AS k90,
+                hb.hb, vc.vc FROM n JOIN hb USING (source) JOIN vc USING (source))
+        SELECT source, CAST(n AS BIGINT) AS n,
+          CAST(${qSql("vc", "k50")} AS BIGINT) AS p50_exact,
+          CAST((${qSql("hb", "k50")} + 1) * 8 AS BIGINT) AS p50_est,
+          (${qSql("hb", "k50")} + 1) * 8 - ${qSql("vc", "k50")} BETWEEN 1 AND 8 AS p50_in_bound,
+          CAST(${qSql("vc", "k90")} AS BIGINT) AS p90_exact,
+          CAST((${qSql("hb", "k90")} + 1) * 8 AS BIGINT) AS p90_est,
+          (${qSql("hb", "k90")} + 1) * 8 - ${qSql("vc", "k90")} BETWEEN 1 AND 8 AS p90_in_bound
+        FROM j"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Heavy hitters with Count-Min estimates, self-verified: the exact
@@ -211,32 +240,7 @@ object SketchQueries {
     // over ≤64-entry arrays — constant work per source), rank thresholds
     // ceil(q·n/100) via integer div. Self-verifying numerics, x30-style:
     // the quality gate is IN the result, not in a spec.
-    QueryDef("x76_histogram_quantiles", {
-      // first sorted (key, c) entry whose cumulative count reaches rank k
-      def qSql(vc: String, k: String) =
-        s"""(list_filter(list_transform(generate_series(1, len($vc)),
-              i -> struct_pack(cum := list_sum(list_transform(($vc)[1:i], e -> e.c)),
-                               key := ($vc)[i].key)),
-              s -> s.cum >= $k))[1].key"""
-      s"""WITH nt AS (SELECT source, len(string_split(text, ' ')) AS nt FROM documents),
-          n AS (SELECT source, count(*) AS n FROM nt GROUP BY 1),
-          hb AS (SELECT source, list(struct_pack(key := b, c := c) ORDER BY b) AS hb FROM (
-              SELECT source, least(nt // 8, 63) AS b, count(*) AS c FROM nt GROUP BY 1, 2) GROUP BY 1),
-          vc AS (SELECT source, list(struct_pack(key := nt, c := c) ORDER BY nt) AS vc FROM (
-              SELECT source, nt, count(*) AS c FROM nt GROUP BY 1, 2) GROUP BY 1),
-          j AS (SELECT n.source, n.n,
-                  (n.n * 50 + 99) // 100 AS k50, (n.n * 90 + 99) // 100 AS k90,
-                  hb.hb, vc.vc FROM n JOIN hb USING (source) JOIN vc USING (source))
-          SELECT source, CAST(n AS BIGINT) AS n,
-            CAST(${qSql("vc", "k50")} AS BIGINT) AS p50_exact,
-            CAST((${qSql("hb", "k50")} + 1) * 8 AS BIGINT) AS p50_est,
-            (${qSql("hb", "k50")} + 1) * 8 - ${qSql("vc", "k50")} BETWEEN 1 AND 8 AS p50_in_bound,
-            CAST(${qSql("vc", "k90")} AS BIGINT) AS p90_exact,
-            CAST((${qSql("hb", "k90")} + 1) * 8 AS BIGINT) AS p90_est,
-            (${qSql("hb", "k90")} + 1) * 8 - ${qSql("vc", "k90")} BETWEEN 1 AND 8 AS p90_in_bound
-          FROM j"""
-    }) { (s, d) =>
-      import org.apache.spark.sql.Column
+    QueryDef("x76_histogram_quantiles", HistQuantilesSql) { (s, d) =>
       val nt = t(s, d, "documents")
         .select(col("source"), size(split(col("text"), " ")).as("nt"))
       val n = nt.groupBy("source").agg(count(lit(1)).as("n"))
@@ -247,23 +251,62 @@ object SketchQueries {
       val vc = nt.groupBy("source", "nt").agg(count(lit(1)).as("c"))
         .groupBy("source").agg(array_sort(collect_list(
           struct(col("nt").cast("long").as("key"), col("c")))).as("vc"))
-      def q(arr: Column, k: Column): Column =
-        element_at(filter(
-          transform(sequence(lit(1), size(arr)), i => struct(
-            aggregate(slice(arr, lit(1), i), lit(0L), (a, e) => a + e.getField("c")).as("cum"),
-            element_at(arr, i).getField("key").as("key"))),
-          x => x.getField("cum") >= k), 1).getField("key")
-      n.join(hb, "source").join(vc, "source")
-        .withColumn("k50", expr("(n * 50 + 99) div 100"))
-        .withColumn("k90", expr("(n * 90 + 99) div 100"))
-        .select(col("source"), col("n").cast("long").as("n"),
-          q(col("vc"), col("k50")).cast("long").as("p50_exact"),
-          ((q(col("hb"), col("k50")) + 1) * 8).cast("long").as("p50_est"),
-          ((q(col("hb"), col("k50")) + 1) * 8 - q(col("vc"), col("k50")))
-            .between(1, 8).as("p50_in_bound"),
-          q(col("vc"), col("k90")).cast("long").as("p90_exact"),
-          ((q(col("hb"), col("k90")) + 1) * 8).cast("long").as("p90_est"),
-          ((q(col("hb"), col("k90")) + 1) * 8 - q(col("vc"), col("k90")))
-            .between(1, 8).as("p90_in_bound"))
+      histQuantileOutput(n.join(hb, "source").join(vc, "source"))
+    },
+
+    // The x76 sketch MAINTAINED AS STREAMING STATE (the s09/x41 pairing,
+    // applied to quantiles): docs arrive through the stream, each updates
+    // one histogram cell and one value cell of a keyed running count —
+    // state bounded at sources × (64 + max doc length) cells by
+    // construction. Counts are monotone, so the read-back's max-per-key is
+    // exact under any batching; the reassembled arrays walk the identical
+    // quantile scan and the gate is x76's batch oracle VERBATIM — nobody
+    // can tell the streamed sketch from the batch one.
+    QueryDef("s12_stream_histogram", HistQuantilesSql) { (s, d) =>
+      val name = "s12_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runHistMaintain(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      val cs = q.sparkSession
+      // ONE aggregation reshapes the cell state into (n, hb, vc) — three
+      // filtered branches would self-join the memory-sink view, which the
+      // analyzer cannot deduplicate (MemoryPlan attrs are fixed).
+      // collect_list drops the nulls the `when` produces, so each array
+      // gathers exactly its kind's cells.
+      val joined = cs.table(name).groupBy("source", "kind", "key").agg(max("cnt").as("c"))
+        .groupBy("source").agg(
+          sum(when(col("kind") === "v", col("c"))).as("n"),
+          array_sort(collect_list(when(col("kind") === "h",
+            struct(col("key"), col("c"))))).as("hb"),
+          array_sort(collect_list(when(col("kind") === "v",
+            struct(col("key"), col("c"))))).as("vc"))
+      histQuantileOutput(joined)
     })
+
+  /** The x76 quantile read-out over a (source, n, hb, vc) frame (sorted
+    * (key, c) histogram and value-count arrays) — shared verbatim by the
+    * batch query and the streamed-state twin (s12), so the two can only
+    * differ if the STATE differs. In-row prefix scans over ≤64-entry (hb) /
+    * ≤max-length (vc) arrays; all integer arithmetic. */
+  private def histQuantileOutput(joined: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    def q(arr: Column, k: Column): Column =
+      element_at(filter(
+        transform(sequence(lit(1), size(arr)), i => struct(
+          aggregate(slice(arr, lit(1), i), lit(0L), (a, e) => a + e.getField("c")).as("cum"),
+          element_at(arr, i).getField("key").as("key"))),
+        x => x.getField("cum") >= k), 1).getField("key")
+    joined
+      .withColumn("k50", expr("(n * 50 + 99) div 100"))
+      .withColumn("k90", expr("(n * 90 + 99) div 100"))
+      .select(col("source"), col("n").cast("long").as("n"),
+        q(col("vc"), col("k50")).cast("long").as("p50_exact"),
+        ((q(col("hb"), col("k50")) + 1) * 8).cast("long").as("p50_est"),
+        ((q(col("hb"), col("k50")) + 1) * 8 - q(col("vc"), col("k50")))
+          .between(1, 8).as("p50_in_bound"),
+        q(col("vc"), col("k90")).cast("long").as("p90_exact"),
+        ((q(col("hb"), col("k90")) + 1) * 8).cast("long").as("p90_est"),
+        ((q(col("hb"), col("k90")) + 1) * 8 - q(col("vc"), col("k90")))
+          .between(1, 8).as("p90_in_bound"))
+  }
 }

@@ -449,6 +449,38 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming maintenance of the x76 histogram-quantile sketch: each doc
+    * contributes one histogram cell (source, bucket) AND one value cell
+    * (source, token-length) to a single keyed running count — state is
+    * bounded at sources × (64 + max doc length) cells BY CONSTRUCTION, the
+    * same sketch-property-as-state-bound argument as [[runCmsMaintain]].
+    * Counts are monotone, so the read-back's max-per-key is correct under
+    * any batching; the quantile scan then runs on the reassembled arrays
+    * exactly as the batch query does (oracle: x76's SQL verbatim). */
+  def runHistMaintain(spark: SparkSession, dir: String, queryName: String,
+                      glob: String = "documents.parquet",
+                      statePartitions: Option[Int] = Some(4),
+                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    val schema = schemaCache.computeIfAbsent((dir, glob),
+      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
+    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val cells = reader.parquet(dir)
+      .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .select(col("source"), explode(array(
+        struct(lit("h").as("kind"), least(col("nt") / 8, lit(63)).cast("long").as("key")),
+        struct(lit("v").as("kind"), col("nt").cast("long").as("key")))).as("c"))
+      .groupBy(col("source"), col("c.kind").as("kind"), col("c.key").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    cells.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
 
 /** Transactional parquet batch sink: the missing piece between Structured

@@ -49,6 +49,38 @@ class SketchesSpec extends SparkSpec {
     assert(sink.count() > got.size.toLong)
   }
 
+  test("streaming histogram maintenance: multi-batch state equals batch cells") {
+    // two files -> two micro-batches: the (source, kind, key) counts must
+    // accumulate ACROSS batches, recovered by max-per-key from update mode
+    val dir = java.nio.file.Files.createTempDirectory("s12spec").toFile
+    def writeOne(rows: Seq[(String, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("s12w").toFile
+      rows.toDF("source", "text").coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, new java.io.File(dir, name).toPath)
+    }
+    writeOne(Seq(("s1", "a b c"), ("s2", "a b c d e f g h i j")), "f1.parquet")
+    writeOne(Seq(("s1", "x y"), ("s1", "a b c")), "f2.parquet")
+    val q = graft.streaming.EventStream.runHistMaintain(spark, dir.getPath,
+      "s12spec_sink", glob = "*.parquet", maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+    val got = q.sparkSession.table("s12spec_sink")
+      .groupBy("source", "kind", "key").agg(max("cnt").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // batch truth: same cells from a plain read
+    val nt = spark.read.parquet(dir.getPath)
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+    val want = nt.select(col("source"), lit("h").as("kind"),
+        least(col("nt") / 8, lit(63)).cast("long").as("key"))
+      .unionByName(nt.select(col("source"), lit("v").as("kind"), col("nt").cast("long").as("key")))
+      .groupBy("source", "kind", "key").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got == want)
+    // s1's 3-token doc appears in both batches -> its cells updated twice
+    assert(got(("s1", "v", 3L)) == 2L)
+  }
+
   test("CMS estimate >= exact count for every token") {
     val items = corpus(80).toDF("token")
     val cms = Sketches.countMin(items, "token", depth = 4, width = 256).cache()
