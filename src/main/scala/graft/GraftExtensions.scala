@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim", "_FUNC_(a, b) - one-pass cosine similarity") {
       es => graft.ops.CosineSimExpr(es.head, es(1))
     }
+    inject("int8_dist2", "_FUNC_(a, b) - exact int64 squared distance of int-code arrays") {
+      es => graft.ops.Int8Dist2Expr(es.head, es(1))
+    }
+    inject("int8_dot", "_FUNC_(a, b) - exact int64 dot product of int-code arrays") {
+      es => graft.ops.Int8DotExpr(es.head, es(1))
+    }
     inject("nfc_normalize", "_FUNC_(s) - Unicode NFC normalization") {
       es => graft.ops.NfcNormalizeExpr(es.head)
     }

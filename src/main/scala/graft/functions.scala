@@ -86,6 +86,14 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     graft.ops.CosineSimExpr.cosine_sim(a, b)
 
+  /** Exact int64 squared distance of two int-code arrays (one-loop kernel). */
+  def int8_dist2(a: Column, b: Column): Column =
+    graft.ops.Int8Dist2Expr.int8_dist2(a, b)
+
+  /** Exact int64 dot product of two int-code arrays (one-loop kernel). */
+  def int8_dot(a: Column, b: Column): Column =
+    graft.ops.Int8DotExpr.int8_dot(a, b)
+
   /** Register all custom functions for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -110,6 +118,10 @@ object functions {
         if (es.size > 2) es(2).eval().asInstanceOf[Number].intValue() else 64), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim", es =>
       graft.ops.CosineSimExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_dist2", es =>
+      graft.ops.Int8Dist2Expr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("int8_dot", es =>
+      graft.ops.Int8DotExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", es =>
       graft.ops.NfcNormalizeExpr(es.head), "scala_udf")
     // generator: SELECT pii_candidates_rows(text) or LATERAL VIEW

@@ -19,10 +19,14 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT luhn('4111 1111 1111 1111') AS l,
                 size(pii_candidates('a@b.co')) AS n,
                 mask_token('Zz9') AS m,
-                simhash32(split('a b', ' ')) AS sh""").collect().head
+                simhash32(split('a b', ' ')) AS sh,
+                int8_dist2(array(1, 2), array(3, 1)) AS d2,
+                int8_dot(array(2, 3), array(4, 5)) AS dp""").collect().head
     assert(r.getBoolean(0))
     assert(r.getInt(1) == 1)
     assert(r.getString(2) == "Xx0")
     assert(r.getString(3).length == 32)
+    assert(r.getLong(4) == 5L)  // (1-3)^2 + (2-1)^2
+    assert(r.getLong(5) == 23L) // 2*4 + 3*5
   }
 }
