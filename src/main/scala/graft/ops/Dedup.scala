@@ -550,4 +550,35 @@ object Dedup {
       .select(idCol)
     docs.join(reps, Seq(idCol), "left_semi")
   }
+
+  /** The quarantine-aware, cluster-atomic split manifest (x77's core,
+    * factored so the cluster-quarantine branch is unit-testable on planted
+    * fixtures the organic corpus lacks — its only benchmark-adjacent docs
+    * are verbatim copies, so `quarantined_by_cluster` never fires there).
+    *
+    *  - `assign`: (doc_id, cluster_id) for EVERY doc incl. benchmark ids.
+    *  - `ct`: (doc_id, contaminated) for corpus docs (id ≥ benchBelow).
+    *  - A cluster is quarantined whole if any member is a benchmark doc
+    *    (id < benchBelow) or is contaminated; clean members of such a
+    *    cluster carry quarantined_by_cluster = true.
+    *
+    * Scale shape: one cluster-keyed bool-or roll-up (clusters-sized,
+    * broadcast back), id-keyed joins everywhere else. */
+  def splitManifest(assign: DataFrame, ct: DataFrame, benchBelow: Long): DataFrame = {
+    val cq = assign.join(ct, Seq("doc_id"), "left")
+      .groupBy("cluster_id")
+      .agg(max(when(col("doc_id") < benchBelow ||
+        coalesce(col("contaminated"), lit(false)), 1).otherwise(0)).as("qi"))
+      .select(col("cluster_id"), (col("qi") === 1).as("q"))
+    val cb = Sketches.bucket(col("cluster_id").cast("string"), lit("split"), 65536)
+    assign.filter(col("doc_id") >= benchBelow)
+      .join(broadcast(cq), "cluster_id")
+      .join(ct, Seq("doc_id"), "left")
+      .withColumn("self_cont", coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"),
+        when(col("q"), "quarantine")
+          .when(cb < 52429, "train").when(cb < 58982, "val")
+          .otherwise("test").as("disposition"),
+        (col("q") && !col("self_cont")).as("quarantined_by_cluster"))
+  }
 }

@@ -2101,6 +2101,58 @@ object OpsQueries {
           round(col("n_novel").cast("double") / col("n_distinct_grams"), 6).as("novelty"))
     },
 
+    // The SPLIT MANIFEST — the composition that turns x65 + x23 into the
+    // artifact a training run actually consumes: every corpus doc gets ONE
+    // disposition (train/val/test/quarantine) where (a) assignment is
+    // near-dup-CLUSTER-atomic (the x65 guarantee: no eval leakage through
+    // paraphrases), and (b) a cluster is quarantined WHOLE if ANY member is
+    // benchmark-contaminated (x23's shingle-overlap rule) OR IS a benchmark
+    // doc (a corpus doc near-dupping a benchmark doc is contamination the
+    // shingle gate alone can miss). quarantined_by_cluster isolates the
+    // docs that are clean themselves but ride out with a dirty cluster —
+    // the visibility a curation team needs to tune the tradeoff. Scale
+    // shape: rides the shared component + shingle stages; the roll-up is
+    // one cluster-keyed bool_or; everything else is hash maps and joins on
+    // ids.
+    QueryDef("x77_split_manifest",
+      s"""$ComponentsCteSql,
+          a AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN lab l USING (doc_id)),
+          -- `sh` (distinct shingle sets) comes from the components CTE prefix
+          bb AS (SELECT list_distinct(flatten(list(s))) AS bset FROM sh WHERE doc_id < 10),
+          ct AS (SELECT sh.doc_id,
+                   len(list_filter(s, x -> list_contains(bset, x)))::DOUBLE
+                     / greatest(len(s), 1) >= 0.5 AS contaminated
+                 FROM sh, bb WHERE sh.doc_id >= 10),
+          cq AS (SELECT a.cluster_id,
+                   bool_or(a.doc_id < 10 OR coalesce(ct.contaminated, false)) AS q
+                 FROM a LEFT JOIN ct USING (doc_id) GROUP BY 1),
+          m AS (SELECT a.doc_id, a.cluster_id, cq.q,
+                  coalesce(ct.contaminated, false) AS self_cont,
+                  ${Sketches.bucketSql("a.cluster_id::VARCHAR", "'split'", 65536)} AS cb
+                FROM a JOIN cq USING (cluster_id) LEFT JOIN ct USING (doc_id)
+                WHERE a.doc_id >= 10)
+          SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+            CASE WHEN q THEN 'quarantine'
+                 WHEN cb < 52429 THEN 'train' WHEN cb < 58982 THEN 'val'
+                 ELSE 'test' END AS disposition,
+            (q AND NOT self_cont) AS quarantined_by_cluster
+          FROM m""") { (s, d2) =>
+      val lab = sharedComponents(s, d2).select(col("id").as("doc_id"), col("cluster_id"))
+      val a = t(s, d2, "documents").select(col("doc_id"))
+        .join(broadcast(lab), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val sh = sharedShingles(s, d2)
+      val bench = sh.filter(col("doc_id") < 10)
+        .agg(array_distinct(flatten(collect_list(col("s")))).as("bset"))
+      val ct = sh.filter(col("doc_id") >= 10)
+        .crossJoin(broadcast(bench))
+        .select(col("doc_id"),
+          (size(array_intersect(col("s"), col("bset"))).cast("double") /
+            greatest(size(col("s")), lit(1)) >= 0.5).as("contaminated"))
+      Dedup.splitManifest(a, ct, benchBelow = 10)
+    },
+
     // Exact-size deterministic sample per source — the reservoir-sampling
     // shape (exactly min(k, n) rows per stratum, not a Bernoulli fraction
     // like x19): rank every doc by a portable hash and keep the k smallest

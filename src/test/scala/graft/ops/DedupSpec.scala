@@ -183,4 +183,24 @@ class DedupSpec extends SparkSpec {
     // 12 untouched -> kept
     assert(got == Set((10L, true, 1L), (11L, false, -1L), (12L, false, -1L)))
   }
+
+  test("splitManifest: every disposition and the cluster-quarantine branch fire") {
+    import spark.implicits._
+    // Planted topology the organic corpus lacks (its benchmark-adjacent
+    // docs are all verbatim copies): cluster 5 holds benchmark doc 5 plus
+    // CLEAN doc 100 (paraphrase chain) -> 100 is quarantined_by_cluster;
+    // cluster 200 holds self-contaminated 200 plus clean 201; 300/301/302
+    // are clean singletons spread across train/val/test by the hash.
+    val assign = Seq((5L, 5L), (100L, 5L), (200L, 200L), (201L, 200L),
+      (300L, 300L), (301L, 301L), (302L, 302L)).toDF("doc_id", "cluster_id")
+    val ct = Seq((100L, false), (200L, true), (201L, false),
+      (300L, false), (301L, false), (302L, false)).toDF("doc_id", "contaminated")
+    val got = Dedup.splitManifest(assign, ct, benchBelow = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(got(100L) == ("quarantine", true))  // clean, but cluster-mate is benchmark
+    assert(got(200L) == ("quarantine", false)) // self-contaminated
+    assert(got(201L) == ("quarantine", true))  // clean, but cluster-mate contaminated
+    assert(Seq(300L, 301L, 302L).forall(id => got(id)._1 != "quarantine" && !got(id)._2))
+    assert(got.size == 6) // benchmark doc 5 excluded from the manifest
+  }
 }
