@@ -393,6 +393,95 @@ object OpsQueries {
         .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
     },
 
+    // IVF nprobe→recall TUNING CURVE — the table that answers "what nprobe
+    // do we run in production?" (the x68 coverage-curve idiom applied to
+    // ANN): for nprobe ∈ {1, 2, 4, 8 = all cells}, top-3 recall vs the
+    // exact ranking, plus the candidate count that nprobe paid for it.
+    // nprobe = 8 probes every cell, so its recall row must read 1.0 — the
+    // in-query self-check. ONE cell assignment and ONE candidate-join
+    // produce all four curve points (the nprobe explode happens on the
+    // 16×8-row probe frame, not on the corpus); the exact side is the same
+    // broadcast-query brute force x06 calibrates with.
+    QueryDef("x78_ivf_nprobe_curve", {
+      def d2(a: String, b: String) =
+        s"""list_sum(list_transform(generate_series(1, len($a)),
+             di -> (($a)[di]::DOUBLE - ($b)[di]::DOUBLE) * (($a)[di]::DOUBLE - ($b)[di]::DOUBLE)))"""
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+          assigned AS (SELECT vec_id, embedding, cid FROM (
+              SELECT e.vec_id, e.embedding, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2("e.embedding", "c.ce")}, c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id >= 8 AND vec_id < 24),
+          qp AS (SELECT q.qid, q.qe, c.cid,
+                row_number() OVER (PARTITION BY q.qid ORDER BY ${d2("q.qe", "c.ce")}, c.cid) AS probe_rank
+              FROM q CROSS JOIN cent c),
+          pr AS (SELECT qid, qe, cid, np FROM qp, (SELECT unnest([1, 2, 4, 8]) AS np) t
+                 WHERE probe_rank <= np),
+          cand AS (SELECT pr.qid, pr.np, a.vec_id, ${cosineSql("pr.qe", "a.embedding")} AS cos
+                   FROM pr JOIN assigned a USING (cid) WHERE a.vec_id <> pr.qid),
+          ap AS (SELECT qid, np, vec_id FROM (
+              SELECT qid, np, vec_id, row_number() OVER (PARTITION BY qid, np ORDER BY cos DESC, vec_id) AS rk
+              FROM cand) WHERE rk <= 3),
+          nc AS (SELECT qid, np, count(*) AS n_candidates FROM cand GROUP BY 1, 2),
+          ex AS (SELECT qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                row_number() OVER (PARTITION BY q.qid ORDER BY ${cosineSql("q.qe", "e.embedding")} DESC, e.vec_id) AS rk
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) WHERE rk <= 3),
+          h AS (SELECT ap.qid, ap.np, count(*) AS h FROM ap
+                JOIN ex ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id GROUP BY 1, 2)
+          SELECT nc.qid, CAST(nc.np AS INT) AS nprobe,
+            CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+            round(coalesce(h.h, 0) / 3.0, 6) AS recall
+          FROM nc LEFT JOIN h ON h.qid = nc.qid AND h.np = nc.np"""
+    }) { (s, d2) =>
+      def dist2(a: Column, b: Column) =
+        aggregate(zip_with(a, b,
+          (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+          lit(0.0), (acc, v) => acc + v)
+      val e = t(s, d2, "embeddings").select("vec_id", "embedding")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val assigned = graft.util.PersistScope.track(
+        e.crossJoin(broadcast(cent))
+          .withColumn("d2", dist2(col("embedding"), col("ce")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1).select("vec_id", "embedding", "cid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val probes = q.crossJoin(broadcast(cent))
+        .withColumn("d2q", dist2(col("qe"), col("ce")))
+        .withColumn("probe_rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2q"), col("cid"))))
+        .withColumn("np", explode(array(lit(1), lit(2), lit(4), lit(8))))
+        .filter(col("probe_rank") <= col("np"))
+        .select("qid", "qe", "cid", "np")
+      val cand = graft.util.PersistScope.track(
+        assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("rawcos", cosine(col("qe"), col("embedding")))
+          .select("qid", "np", "vec_id", "rawcos")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val ap = cand.withColumn("rk", row_number().over(
+          Window.partitionBy("qid", "np").orderBy(col("rawcos").desc, col("vec_id"))))
+        .filter(col("rk") <= 3).select("qid", "np", "vec_id")
+      val nc = cand.groupBy("qid", "np").agg(count(lit(1)).as("n_candidates"))
+      val ex = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rawcos", cosine(col("qe"), col("embedding")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid").as("eqid"), col("vec_id").as("evid"))
+      val h = ap.join(ex, col("qid") === col("eqid") && col("vec_id") === col("evid"))
+        .groupBy("qid", "np").agg(count(lit(1)).as("h"))
+      nc.join(h, Seq("qid", "np"), "left")
+        .select(col("qid"), col("np").cast("int").as("nprobe"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          round(coalesce(col("h"), lit(0)) / 3.0, 6).as("recall"))
+    },
+
     // Language-ID heuristic: stopword hits per language, argmax with
     // first-in-list tie-break.
     QueryDef("x08_langid",
