@@ -1686,6 +1686,61 @@ object OpsQueries {
           round(sum(col("c") * col("term")) / (sum("c") * 1000000000.0), 6).as("avg_neg_logprob"))
     },
 
+    // PMI collocations — the corpus's top word PAIRS by pointwise mutual
+    // information (ln of observed-vs-independent bigram probability), the
+    // classic multiword-expression/tokenizer-seed signal, min-count-gated
+    // (c ≥ 5) so rare-pair noise can't top the list. Determinism: the one
+    // ln per PAIR TYPE is snapped to int64 fixed-point (the x24/x69
+    // trick — floor(ln·1e9 + 0.5) on an identically-built double), and
+    // ALL ranking happens on that integer. Scale shape: one bigram-keyed
+    // count shuffle (map-side combined), vocab-sized unigram joins off
+    // the shared wordcount stage, and the global top-20 is ONE bounded
+    // topk_min row — no global sort, the corpus never shuffles twice.
+    QueryDef("x79_pmi_collocations",
+      """WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+         bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+                FROM tk, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+         bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         nb AS (SELECT sum(c) AS nb FROM bc),
+         u AS (SELECT token, count(*) AS cu FROM
+                 (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+         nu AS (SELECT sum(cu) AS nu FROM u),
+         p AS (SELECT bc.w1, bc.w2, bc.c,
+                 CAST(floor(ln(bc.c::DOUBLE * nu.nu::DOUBLE * nu.nu::DOUBLE
+                     / (nb.nb::DOUBLE * u1.cu::DOUBLE * u2.cu::DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS pmi_fp
+               FROM bc JOIN u u1 ON u1.token = bc.w1 JOIN u u2 ON u2.token = bc.w2, nb, nu
+               WHERE bc.c >= 5)
+         SELECT w1, w2, CAST(c AS BIGINT) AS c, CAST(rk AS INT) AS rank,
+           round(pmi_fp / 1000000000.0, 6) AS pmi
+         FROM (SELECT *, row_number() OVER (ORDER BY pmi_fp DESC, w1, w2) AS rk FROM p)
+         WHERE rk <= 20""") { (s, d2) =>
+      val tk = t(s, d2, "documents").select(tokens(col("text")).as("tk"))
+      val bc = graft.util.PersistScope.track(
+        tk.select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => struct(element_at(col("tk"), i + 1).as("w1"),
+              element_at(col("tk"), i + 2).as("w2")))).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nb = bc.agg(sum("c").as("nb"))
+      val u = sharedWordCounts(s, d2).groupBy("token").agg(sum("c").as("cu"))
+      val nu = u.agg(sum("cu").as("nu"))
+      val top = bc.filter(col("c") >= 5)
+        .join(u.select(col("token").as("w1"), col("cu").as("cu1")), "w1")
+        .join(u.select(col("token").as("w2"), col("cu").as("cu2")), "w2")
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .withColumn("pmi_fp",
+          floor(log(col("c").cast("double") * col("nu").cast("double") * col("nu").cast("double")
+            / (col("nb").cast("double") * col("cu1").cast("double") * col("cu2").cast("double")))
+            * 1000000000L + 0.5).cast("long"))
+        .agg(TopK.topk_min(struct((-col("pmi_fp")).as("np"), col("w1"), col("w2"),
+          col("c")), 20).as("top"))
+      top.select(posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"),
+          col("p.c").cast("long").as("c"), (col("i") + 1).cast("int").as("rank"),
+          round((-col("p.np")) / 1000000000.0, 6).as("pmi"))
+    },
+
     // Quality-aware cluster representatives — production near-dup dedup
     // keeps the BEST document of each duplicate cluster, not the min-id
     // one (x03's convention): here best = most characters, doc_id
