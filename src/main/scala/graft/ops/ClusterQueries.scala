@@ -77,6 +77,13 @@ object ClusterQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Embedding-side shared stages for the bench's pre-build pass, in
+    * dependency order — see [[OpsQueries.stageBuilders]]. */
+  private[graft] def stageBuilders
+      : Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "int8" -> (sharedInt8(_, _)),
+    "kmeans" -> (sharedKmeans(_, _)))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic k-means (k=8, 2 Lloyd rounds) over int8 codes: the

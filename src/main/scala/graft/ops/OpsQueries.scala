@@ -133,6 +133,24 @@ object OpsQueries {
       shingleSets(t(s, d, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
 
+  /** Shared-stage builders in dependency order (upstream first), for the
+    * bench's separately-timed pre-build pass. Whichever query first
+    * touches a SharedStages frame absorbs its whole build, so per-query
+    * bench numbers depended on run order (x53 read 0.44 s or 4.69 s
+    * across two identical r8 runs depending on who paid for the component
+    * frame). Building each stage under its own named timer before the
+    * query loop makes per-query numbers comparable across orderings; the
+    * production analogue is materializing the staging tables once per
+    * pipeline run before the query fleet reads them. */
+  private[graft] def stageBuilders
+      : Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "wordcounts" -> (sharedWordCounts(_, _)),
+    "bands" -> (sharedBands(_, _)),
+    "shingles" -> (sharedShingles(_, _)),
+    "edges08" -> (sharedEdges(_, _)),
+    "components" -> (sharedComponents(_, _)),
+    "bpe3" -> (sharedBpeSegs(_, _)))
+
   /** Verified near-dup edge set (jaccard ≥ 0.8 over LSH candidates) — the
     * pair graph x21 (clusters) and x35 (cross-source matrix) both consume.
     * Pair-graph sized (only docs WITH a near-dup appear) and re-read by
@@ -1715,8 +1733,13 @@ object OpsQueries {
          FROM (SELECT *, row_number() OVER (ORDER BY pmi_fp DESC, w1, w2) AS rk FROM p)
          WHERE rk <= 20""") { (s, d2) =>
       val tk = t(s, d2, "documents").select(tokens(col("text")).as("tk"))
+      // size(tk)-2 is NEGATIVE for a 1-token doc and sequence() counts
+      // DOWN to [0,-1], making element_at(tk, 0) throw (Dedup.scala:28
+      // pitfall; same guard as x74's grams5). A <2-token doc has no
+      // bigrams — the filter matches the oracle's empty generate_series.
       val bc = graft.util.PersistScope.track(
-        tk.select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        tk.filter(size(col("tk")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
             i => struct(element_at(col("tk"), i + 1).as("w1"),
               element_at(col("tk"), i + 2).as("w2")))).as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))

@@ -192,6 +192,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
 
+  // nullSafeEval yields null on length mismatch / null elements even when
+  // both inputs are non-null, so the inherited children-derived
+  // nullability would under-claim and let downstream operators mishandle
+  // the null (e.g. drop a null check in codegen).
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
@@ -525,6 +531,10 @@ case class Int8Dist2Expr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
+  // null on length mismatch / null elements regardless of input
+  // nullability — see CosineSimExpr.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
@@ -568,6 +578,10 @@ object Int8Dist2Expr {
 case class Int8DotExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+
+  // null on length mismatch / null elements regardless of input
+  // nullability — see CosineSimExpr.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
