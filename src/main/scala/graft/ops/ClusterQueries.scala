@@ -34,6 +34,36 @@ object ClusterQueries {
  qb AS (SELECT vec_id, list_transform(e, v -> CASE WHEN emax = 0 THEN 0
           ELSE CAST(floor(v / emax * 127 + 0.5) AS INT) END) AS qv FROM m)"""
 
+  /** Exact int64 dist² between two int-code arrays, as DuckDB SQL. */
+  private def bDi(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(generate_series(1, 64),
+         i -> (($a)[i]::BIGINT - ($b)[i]::BIGINT) * (($a)[i]::BIGINT - ($b)[i]::BIGINT))) AS BIGINT)"""
+
+  /** The x70 bucketed-assignment chain as DuckDB CTEs (mirrors
+    * KMeans.bucketedAssignments over the shifted large-k centroid set; ends
+    * at `ba` = (vec_id, cid, dist2, cell), with `coarse` available for
+    * query-side probes). Shared by x70 (assignment) and x80 (IVF search). */
+  private val BucketedCte =
+    s"""$QuantCte,
+        cent AS (SELECT vec_id * 4 + j AS cid, list_transform(qv, v -> v + j) AS ce
+                 FROM qb, unnest([0, 1, 2, 3]) AS t(j)),
+        coarse AS (SELECT cid AS cell, ce AS ge FROM cent WHERE cid % 44 = 0),
+        cc AS (SELECT cell, cid, ce FROM (
+           SELECT g.cell, c.cid, c.ce,
+             row_number() OVER (PARTITION BY c.cid
+               ORDER BY ${bDi("c.ce", "g.ge")}, g.cell) AS rn
+           FROM cent c CROSS JOIN coarse g) WHERE rn = 1),
+        vp AS (SELECT vec_id, qv, cell FROM (
+           SELECT b.vec_id, b.qv, g.cell,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY ${bDi("b.qv", "g.ge")}, g.cell) AS rn
+           FROM qb b CROSS JOIN coarse g) WHERE rn <= 5),
+        ba AS (SELECT vec_id, cid, dist2, cell FROM (
+           SELECT v.vec_id, c.cid, ${bDi("v.qv", "c.ce")} AS dist2, v.cell,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY ${bDi("v.qv", "c.ce")}, c.cid) AS rn
+           FROM vp v JOIN cc c USING (cell)) WHERE rn = 1)"""
+
   private def kmeansCte(withD2: Boolean): String = {
     val d2 = """list_sum(list_transform(generate_series(1, 64),
           i -> (b.qv[i]::DOUBLE - c.ce[i]) * (b.qv[i]::DOUBLE - c.ce[i])))"""
@@ -77,12 +107,36 @@ object ClusterQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The x70/x80 synthetic large-k centroid set: FOUR shifted int-code
+    * variants per corpus vector, k = 4·|corpus| (2000 at sf0.01, 20000 at
+    * sf0.1) — deliberately past the broadcast bar and growing with SF so
+    * the bucketed path is exercised at the scale it exists for. */
+  private def shiftedCents(qb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    qb.select(col("vec_id"), col("qv"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+      .select((col("vec_id") * 4 + col("j")).as("cid"),
+        transform(col("qv"), v => v + col("j")).as("ce"))
+
+  /** x70's bucketed (non-broadcast) assignment over the shifted large-k
+    * centroid set, shared between x70 (assignment inspection) and x80 (IVF
+    * search over the resulting cells) — one index build per pass, the way a
+    * production pipeline materializes its IVF lists once. Vector-count
+    * rows: memory-first. */
+  private def sharedBucketedAssign(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"embeddings-bucketed|$d|${System.identityHashCode(s)}") {
+      val qb = sharedInt8(s, d)
+      KMeans.bucketedAssignments(shiftedCents(qb), qb, "vec_id", "qv",
+          cellStep = 44, nprobe = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Embedding-side shared stages for the bench's pre-build pass, in
     * dependency order — see [[OpsQueries.stageBuilders]]. */
   private[graft] def stageBuilders
       : Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
     "int8" -> (sharedInt8(_, _)),
-    "kmeans" -> (sharedKmeans(_, _)))
+    "kmeans" -> (sharedKmeans(_, _)),
+    "bucketed" -> (sharedBucketedAssign(_, _)))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -372,39 +426,71 @@ object ClusterQueries {
     // collected, or folded per-row. Approximate by construction (nprobe < m);
     // both engines walk the identical deterministic probe set, so the result
     // is still bitwise-checked. All distances exact int64.
-    QueryDef("x70_bucketed_assign", {
-      def di(a: String, b: String) =
-        s"""CAST(list_sum(list_transform(generate_series(1, 64),
-             i -> (($a)[i]::BIGINT - ($b)[i]::BIGINT) * (($a)[i]::BIGINT - ($b)[i]::BIGINT))) AS BIGINT)"""
-      s"""WITH $QuantCte,
-          cent AS (SELECT vec_id * 4 + j AS cid, list_transform(qv, v -> v + j) AS ce
-                   FROM qb, unnest([0, 1, 2, 3]) AS t(j)),
-          coarse AS (SELECT cid AS cell, ce AS ge FROM cent WHERE cid % 44 = 0),
-          cc AS (SELECT cell, cid, ce FROM (
-             SELECT g.cell, c.cid, c.ce,
-               row_number() OVER (PARTITION BY c.cid
-                 ORDER BY ${di("c.ce", "g.ge")}, g.cell) AS rn
-             FROM cent c CROSS JOIN coarse g) WHERE rn = 1),
-          vp AS (SELECT vec_id, qv, cell FROM (
-             SELECT b.vec_id, b.qv, g.cell,
-               row_number() OVER (PARTITION BY b.vec_id
-                 ORDER BY ${di("b.qv", "g.ge")}, g.cell) AS rn
-             FROM qb b CROSS JOIN coarse g) WHERE rn <= 5)
-          SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2, CAST(cell AS BIGINT) AS cell FROM (
-             SELECT v.vec_id, c.cid, ${di("v.qv", "c.ce")} AS dist2, v.cell,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${di("v.qv", "c.ce")}, c.cid) AS rn
-             FROM vp v JOIN cc c USING (cell)) WHERE rn = 1"""
-    }) { (s, d) =>
-      val qb = sharedInt8(s, d)
-      val cents = qb
-        .select(col("vec_id"), col("qv"),
-          explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
-        .select((col("vec_id") * 4 + col("j")).as("cid"),
-          transform(col("qv"), v => v + col("j")).as("ce"))
-      KMeans.bucketedAssignments(cents, qb, "vec_id", "qv", cellStep = 44, nprobe = 5)
+    QueryDef("x70_bucketed_assign",
+      s"""WITH $BucketedCte
+          SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist2, CAST(cell AS BIGINT) AS cell
+          FROM ba""") { (s, d) =>
+      sharedBucketedAssign(s, d)
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("dist2"), col("cell").cast("long").as("cell"))
+    },
+
+    // IVF ANN over the BUCKETED index — x38's trained-IVF search composed
+    // with x70's non-broadcast assignment, closing the loop SCALE.md's cost
+    // model promised: when k (here 4·|corpus| ≥ 2000, growing with SF) is
+    // past the broadcast bar, the index build routes through
+    // KMeans.bucketedAssignments and the SEARCH keys on the coarse CELL the
+    // assignment produced. Query side probes its nprobe nearest cells with
+    // the same broadcast coarse array (KMeans.probeCells — the identical
+    // probe machinery, so index and search walk one geometry); nprobe = 4
+    // per x78's measured nprobe→recall curve (recall flattens by 4 probes
+    // at this cell geometry). Candidates = one cell-keyed equi-join against
+    // the query-sized broadcast probe set, ranked by exact float cosine —
+    // the corpus is never shuffled by the search, and nothing k-sized is
+    // broadcast, collected, or folded per-row anywhere in the composition.
+    QueryDef("x80_ivf_bucketed", {
+      val cosSql =
+        """(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i]::DOUBLE * emb[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(qe, v -> v::DOUBLE * v::DOUBLE)))
+               * sqrt(list_sum(list_transform(emb, v -> v::DOUBLE * v::DOUBLE)))))"""
+      s"""WITH $BucketedCte,
+          q AS (SELECT b.vec_id AS qid, b.qv, e.embedding AS qe
+                FROM qb b JOIN embeddings e USING (vec_id)
+                WHERE b.vec_id >= 8 AND b.vec_id < 24),
+          qp AS (SELECT qid, cell FROM (
+             SELECT q.qid, g.cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY ${bDi("q.qv", "g.ge")}, g.cell) AS rn
+             FROM q CROSS JOIN coarse g) WHERE rn <= 4),
+          lists AS (SELECT ba.vec_id, ba.cell, e.embedding AS emb
+                    FROM ba JOIN embeddings e USING (vec_id)),
+          cand AS (SELECT qp.qid, l.vec_id, q.qe, l.emb
+                   FROM qp JOIN lists l USING (cell) JOIN q USING (qid)
+                   WHERE l.vec_id <> qp.qid)
+          SELECT qid, vec_id, rank, cos FROM (
+            SELECT qid, vec_id, round($cosSql, 5) AS cos,
+              CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY $cosSql DESC, vec_id) AS INT) AS rank
+            FROM cand) WHERE rank <= 3"""
+    }) { (s, d) =>
+      val qb = sharedInt8(s, d)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // the inverted lists: corpus vectors keyed by the coarse cell the
+      // bucketed assignment put them in (shared with x70 — one index build
+      // per pass serves assignment inspection and search)
+      val lists = sharedBucketedAssign(s, d).select("vec_id", "cell").join(emb, "vec_id")
+      val qs = KMeans.probeCells(shiftedCents(qb),
+          qb.filter(col("vec_id") >= 8 && col("vec_id") < 24),
+          "vec_id", "qv", cellStep = 44, nprobe = 4)
+        .select(col("vec_id").as("qid"), col("cell"))
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      val w = Window.partitionBy("qid").orderBy(col("rawcos").desc, col("vec_id"))
+      lists.join(broadcast(qs), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("rawcos", VectorOps.cosine(col("qe"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"), col("rank"), round(col("rawcos"), 5).as("cos"))
     },
 
     // Cluster-balanced selection (diversity sampling / D4-style): per

@@ -234,9 +234,7 @@ object KMeans {
                           qvCol: String, cellStep: Int, nprobe: Int): DataFrame = {
     require(cellStep >= 1, s"cellStep must be >= 1, got $cellStep")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val coarseArr = cents.filter(col("cid") % cellStep === 0)
-      .agg(array_sort(collect_list(struct(col("cid").as("cell"), col("ce").as("ge"))))
-        .as("__gs"))
+    val coarseArr = coarseCellArray(cents, cellStep)
     // centroid -> its one cell (every coarse center lands in its own cell at
     // distance 0, so no cell is empty and every probe finds candidates)
     val centCell = cents.crossJoin(broadcast(coarseArr))
@@ -244,19 +242,40 @@ object KMeans {
         g => struct(int8Dist2(col("ce"), g.getField("ge")).as("d2"),
           g.getField("cell").as("cell")))))
       .select(col("__best.cell").as("cell"), col("cid"), col("ce"))
-    val probes = qb.crossJoin(broadcast(coarseArr))
-      .withColumn("__near", slice(array_sort(transform(col("__gs"),
-        g => struct(int8Dist2(col(qvCol), g.getField("ge")).as("d2"),
-          g.getField("cell").as("cell")))), 1, nprobe))
-      .select(col(idCol), col(qvCol),
-        explode(transform(col("__near"), x => x.getField("cell"))).as("cell"))
-    probes.join(centCell, "cell")
+    probeCells(cents, qb, idCol, qvCol, cellStep, nprobe).join(centCell, "cell")
       .withColumn("__d2", int8Dist2(col(qvCol), col("ce")))
       .groupBy(col(idCol))
       .agg(min(struct(col("__d2").as("d2"), col("cid").as("cid"),
         col("cell").as("cell"))).as("__b"))
       .select(col(idCol), col("__b.cid").as("cid"), col("__b.d2").as("dist2"),
         col("__b.cell").as("cell"))
+  }
+
+  /** The sorted coarse-cell array (one row, k/cellStep structs) both halves
+    * of the two-level structure broadcast: cells = centroids with
+    * cid % cellStep == 0. This is the ONLY broadcast-bounded piece. */
+  private def coarseCellArray(cents: DataFrame, cellStep: Int): DataFrame =
+    cents.filter(col("cid") % cellStep === 0)
+      .agg(array_sort(collect_list(struct(col("cid").as("cell"), col("ce").as("ge"))))
+        .as("__gs"))
+
+  /** Step 3 of [[bucketedAssignments]] standing alone — the QUERY side of
+    * an IVF search over a bucketed index: each vector in `qb` probes its
+    * `nprobe` nearest coarse cells (exact int64 dist² against the broadcast
+    * coarse array, in-row sort + slice, ties on min cell; no shuffle, no
+    * k-sized anything). Returns one row per (vector, probed cell):
+    * (idCol, qvCol, cell). Exposed so searches can compose the same probe
+    * set the assignment used (x80 composes this with the x70 assignment). */
+  def probeCells(cents: DataFrame, qb: DataFrame, idCol: String,
+                 qvCol: String, cellStep: Int, nprobe: Int): DataFrame = {
+    require(cellStep >= 1, s"cellStep must be >= 1, got $cellStep")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    qb.crossJoin(broadcast(coarseCellArray(cents, cellStep)))
+      .withColumn("__near", slice(array_sort(transform(col("__gs"),
+        g => struct(int8Dist2(col(qvCol), g.getField("ge")).as("d2"),
+          g.getField("cell").as("cell")))), 1, nprobe))
+      .select(col(idCol), col(qvCol),
+        explode(transform(col("__near"), x => x.getField("cell"))).as("cell"))
   }
 
   /** Deterministic k-center greedy (farthest-point / Gonzalez) seeding over

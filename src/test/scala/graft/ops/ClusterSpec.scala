@@ -390,4 +390,34 @@ class ClusterSpec extends SparkSpec {
     // every winning cell is a coarse centroid id
     assert(out.forall(r => r.getLong(3) % 44 == 0))
   }
+
+  test("probeCells: exactly the nprobe nearest coarse cells per vector") {
+    import org.apache.spark.sql.expressions.Window
+    val qb = codes().persist()
+    try {
+      val cents = qb
+        .select(col("vec_id"), col("qv"),
+          explode(array(lit(0), lit(1), lit(2), lit(3))).as("j"))
+        .select((col("vec_id") * 4 + col("j")).as("cid"),
+          transform(col("qv"), v => v + col("j")).as("ce"))
+        .persist()
+      val probes = KMeans.probeCells(cents, qb, "vec_id", "qv",
+        cellStep = 44, nprobe = 4).collect()
+      val byVec = probes.groupBy(_.getLong(0))
+      assert(byVec.size == qb.count())
+      assert(byVec.values.forall(_.map(_.getLong(2)).distinct.length == 4))
+      assert(probes.forall(_.getLong(2) % 44 == 0))
+      // the probe set IS the 4 nearest cells under (int64 dist², cell id) —
+      // a brute-force window over every coarse cell must reproduce it exactly
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+      val exact = qb.crossJoin(
+          cents.filter(col("cid") % 44 === 0)
+            .select(col("cid").as("cell"), col("ce")))
+        .withColumn("d2", KMeans.int8Dist2(col("qv"), col("ce")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(probes.map(r => (r.getLong(0), r.getLong(2))).toSet == exact)
+    } finally qb.unpersist()
+  }
 }
