@@ -420,4 +420,36 @@ class ClusterSpec extends SparkSpec {
       assert(probes.map(r => (r.getLong(0), r.getLong(2))).toSet == exact)
     } finally qb.unpersist()
   }
+
+  test("x80 bucketed IVF search: well-formed ranks and high recall vs exact cosine") {
+    // The oracle gates x80's exact values (it replays the same probe walk);
+    // what it CANNOT assert is quality against the non-IVF ground truth.
+    // This pins that: recall@3 of the composed bucketed-index search vs the
+    // exact brute-force cosine top-3 over the full corpus.
+    import org.apache.spark.sql.expressions.Window
+    val q80 = graft.ops.ClusterQueries.defs.find(_.name == "x80_ivf_bucketed").get
+    val got = q80.fn(spark, sf).collect()
+    graft.util.SharedStages.releaseAll()
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    // per query: ranks are 1..n consecutive, no self-match
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length), s"qid=$qid ranks")
+      assert(rows.forall(_.getLong(1) != qid), s"qid=$qid self-match")
+    }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val exact = qs.crossJoin(emb)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", VectorOps.cosine(col("qe"), col("embedding")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@3 $recall below floor (hits=$hits of ${exact.size})")
+  }
 }
