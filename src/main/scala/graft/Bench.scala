@@ -103,6 +103,12 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       util.PersistScope.releaseAll() // off the clock: catalog drop is sync, block delete async
+      // Also off the clock: collect the PREVIOUS queries' garbage now, not
+      // inside the next query's timed region. Without this, whichever query
+      // runs when the heap debt comes due absorbs a multi-second GC pause —
+      // observed as x22/x24 reading 1.5 s or 4.7 s across identical runs
+      // purely by position (r8 driver bench flagged them at ~6 s each).
+      System.gc()
       q.name -> dt
     }
     util.SharedStages.releaseAll()
