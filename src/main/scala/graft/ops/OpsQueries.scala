@@ -1383,19 +1383,25 @@ object OpsQueries {
     // docs sharing ≥ 2 winnowed fingerprints, ranked by overlap strength.
     // Fingerprint equi-join (shuffle ∝ shingles/window per doc), threshold
     // suppresses single-collision noise; near-dups in this corpus share up
-    // to ~40 fingerprints while unrelated docs share 0-1.
+    // to ~40 fingerprints while unrelated docs share 0-1. Fingerprints in
+    // more than 128 docs are dropped pre-join (the MOSS hot-fingerprint
+    // rule — boilerplate, no pairwise signal, O(m²) bucket cost; see
+    // Dedup.winnowCandidatePairs). Test-SF posting lists max out at 24, so
+    // the cap is semantics-visible only at stress scale.
     QueryDef("x40_winnow_pairs",
       s"""WITH sh AS (SELECT doc_id, list_transform($ShinglesSql, g -> md5(g)) AS hs FROM documents),
           f AS (SELECT doc_id, list_distinct(list_transform(
                   generate_series(1, greatest(len(hs) - 3, 1)),
                   j -> list_min(hs[j:j+3]))) AS fps
                 FROM sh WHERE len(hs) >= 1),
-          p AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+          p0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          hot AS (SELECT fp FROM p0 GROUP BY fp HAVING count(*) > 128),
+          p AS (SELECT * FROM p0 WHERE fp NOT IN (SELECT fp FROM hot))
           SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS shared_fps
           FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 2""") { (s, d) =>
       Dedup.winnowCandidatePairs(t(s, d, "documents"), "doc_id", "text",
-        window = 4, minShared = 2)
+        window = 4, minShared = 2, maxPosting = 128)
     },
 
     // Per-source length quantiles with the sketch SELF-VERIFIED in-query
