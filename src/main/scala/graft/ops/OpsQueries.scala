@@ -1689,8 +1689,14 @@ object OpsQueries {
       // is exactly c × term and n_bigrams is Σc). Only the reduced frame
       // persists; the raw instance stream is consumed once by its own
       // map-side combine and never shuffles.
+      // size(tk)-2 is NEGATIVE for a 1-token doc and sequence() counts
+      // DOWN to [0,-1], making element_at(tk, 0) throw (same latent
+      // pitfall ADVICE r8 flagged in x79; Dedup.scala:28). A <2-token doc
+      // has no bigrams — the filter matches the oracle's empty
+      // generate_series(1, 0).
       val dbc = graft.util.PersistScope.track(
-        tk.select(col("doc_id"), explode(transform(
+        tk.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(transform(
             sequence(lit(0), size(col("tk")) - 2),
             i => struct(element_at(col("tk"), i + 1).as("w1"),
               element_at(col("tk"), i + 2).as("w2")))).as("b"))
