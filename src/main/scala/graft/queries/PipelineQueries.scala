@@ -169,9 +169,17 @@ object PipelineQueries {
             round(max(score), 6) AS confidence,
             count(*) AS n_hits
           FROM scored GROUP BY doc_id""") { (s, d) =>
+      // pii_candidates_rows (the dedicated generator), NOT
+      // posexplode(pii_candidates(text)): the latter lets
+      // InferFiltersFromGenerate add size(pii_candidates(text)) > 0 on the
+      // generate's child, which pushdown substitutes into the parquet scan
+      // as a DataFilter — re-running the whole 10-regex CodegenFallback
+      // tree once more per row off-codegen (the p04 trap; q17 measured
+      // 4.8 s warm vs p02's 0.66 s for strictly more work until this).
       PiiEnsemble.withPredictionOffline(
           PiiInputs.df(s, d)
-            .select(col("doc_id"), posexplode(pii_candidates(col("text"))).as(Seq("idx", "c"))),
+            .select(col("doc_id"),
+              graft.functions.pii_candidates_rows(col("text")).as(Seq("idx", "c"))),
           col("c.rule_label"), col("c.rule_confidence"), col("c.validations"),
           Calibrator.identity, Weights.runtimeDefault)
         .groupBy("doc_id")
