@@ -321,23 +321,48 @@ object Dedup {
     * MinHash path. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int): DataFrame = {
-    // Persisted: the signature frame feeds the band derivation plus both
-    // verify joins — three consumers, one 32-bit-signature computation.
+    // Persisted: the signature frame feeds the distinct-signature band join
+    // plus both expansion joins — three consumers, one signature computation.
     val sh = graft.util.PersistScope.track(docs.select(col(idCol).as("id"),
       SimHash32Expr.simhash32(tokens(col(textCol))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bands = sh.select(col("id"),
+    // Candidacy depends only on the SIGNATURES (two docs share a band iff
+    // their signatures do), so the band self-join runs over the DISTINCT
+    // signature frame — bounded at 2^32 rows no matter how many documents
+    // exist, and immune to duplicate-group size. The naive id-level
+    // bands x bands join is quadratic in group size: a boilerplate-heavy
+    // corpus where every doc has ~30 near-identical copies measured 0.7 s
+    // -> 93 s for 30x the data (the 10x/30x ScaleUp stress), all of it
+    // spent generating and distinct-ing C(30b, 2) candidate id pairs per
+    // bucket before verification.
+    val sigs = graft.util.PersistScope.track(sh.select("s").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = sigs.select(col("s"),
       posexplode(transform(sequence(lit(0), lit(1)),
         b => col("s").substr(b * 16 + 1, lit(16)))).as(Seq("band", "bits")))
-    val cand = bands.as("x").join(bands.as("y"),
+    // Verified signature pairs: the hamming filter runs once per DISTINCT
+    // signature pair (strictly less work than once per id pair).
+    val sigPairs = bands.as("x").join(bands.as("y"),
       col("x.band") === col("y.band") && col("x.bits") === col("y.bits")
-        && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
-    cand.join(sh.as("s1"), col("id1") === col("s1.id"))
-      .join(sh.as("s2"), col("id2") === col("s2.id"))
-      .withColumn("hamming", VectorOps.hammingBits(col("s1.s"), col("s2.s")).cast("int"))
+        && col("x.s") < col("y.s"))
+      .select(col("x.s").as("s1"), col("y.s").as("s2")).distinct()
+      .withColumn("hamming", VectorOps.hammingBits(col("s1"), col("s2")).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+    // Expansion back to id pairs is pure output-bound equi-join work:
+    // intra-signature pairs are hamming 0 (identical signatures share both
+    // bands, so they always qualify for maxHamming >= 0); inter-signature
+    // pairs cross the two id sets. The sets are disjoint (a doc has ONE
+    // signature), so no distinct is needed after expansion.
+    val intra = sh.as("a").join(sh.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        lit(0).as("hamming"))
+    val inter = sigPairs
+      .join(sh.as("a"), col("a.s") === col("s1"))
+      .join(sh.as("b"), col("b.s") === col("s2"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"), col("hamming"))
+    intra.unionByName(inter)
   }
 
   /** Passage-level first-occurrence dedup — the scalable cousin of exact
