@@ -147,19 +147,45 @@ object OpsQueries {
     "wordcounts" -> (sharedWordCounts(_, _)),
     "bands" -> (sharedBands(_, _)),
     "shingles" -> (sharedShingles(_, _)),
+    "repmap" -> (sharedRepMap(_, _)),
+    "repedges" -> (sharedRepEdges(_, _)),
     "edges08" -> (sharedEdges(_, _)),
     "components" -> (sharedComponents(_, _)),
     "bpe3" -> (sharedBpeSegs(_, _)))
 
-  /** Verified near-dup edge set (jaccard ≥ 0.8 over LSH candidates) — the
-    * pair graph x21 (clusters) and x35 (cross-source matrix) both consume.
-    * Pair-graph sized (only docs WITH a near-dup appear) and re-read by
-    * x21's propagation rounds — memory-first, unlike the corpus-sized
-    * band/shingle frames above. */
-  private def sharedEdges(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.util.SharedStages.cached(s"documents-edges08|$d|${System.identityHashCode(s)}") {
+  /** Exact-duplicate representative map (doc_id → rep = min doc_id of its
+    * exact-text group). The standard collapse a boilerplate-heavy crawl
+    * corpus needs BEFORE near-dup candidate generation: exact copies share
+    * every band hash, so an id-level band self-join is quadratic in copy
+    * count, while the rep-level join is immune to it. One md5 window
+    * shuffle, corpus-sized narrow frame. */
+  private def sharedRepMap(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-repmap|$d|${System.identityHashCode(s)}")(
+      t(s, d, "documents")
+        .select(col("doc_id"), min(col("doc_id")).over(
+          Window.partitionBy(md5(col("text")))).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Verified near-dup edges at the exact-text REPRESENTATIVE level —
+    * identical-text docs have identical band hashes and identical shingle
+    * sets, so LSH candidacy and jaccard are functions of the
+    * representative. Running the band self-join + verification over reps
+    * only makes both immune to duplicate-group size (the 30× ScaleUp
+    * stress: 30 copies/doc made the id-level join generate 900× the
+    * candidate rows before any verification). Rep-graph sized. */
+  private def sharedRepEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-repedges|$d|${System.identityHashCode(s)}") {
+      val m = sharedRepMap(s, d)
       val bands = sharedBands(s, d)
-      val cand = bands.as("a").join(bands.as("b"),
+      // bands of representatives only (reps are rows where doc_id == rep).
+      // Scoped persist: rb feeds both sides of the self-join; released
+      // with the first consuming query, by which point this stage's own
+      // persisted result is materialized.
+      val rb = graft.util.PersistScope.track(bands.join(
+        m.filter(col("doc_id") === col("rep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val cand = rb.as("a").join(rb.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
@@ -172,16 +198,60 @@ object OpsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** Transitive cluster labels over the verified edge set — x21 (cluster
-    * listing) and x48 (effective size) both need the same connected
-    * components; the propagation rounds are the most expensive stage either
-    * query runs, so one computation serves both. Label-frame sized (only
-    * docs with a near-dup). */
+  /** All banded doc ids (docs that produced LSH bands: nonempty, ≥3
+    * tokens). Group membership is text-determined, so a doc is banded iff
+    * its whole exact-text group is. Derived from the persisted band frame
+    * — cheap enough not to be its own stage. */
+  private def bandedDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedBands(s, d).select("doc_id").distinct()
+
+  /** Verified near-dup edge set (jaccard ≥ 0.8 over LSH candidates) at the
+    * id level — the pair-set consumers (x35 cross-source matrix, x43/x50
+    * doomed sets) read this. Pure output-bound expansion of the rep-level
+    * edges: intra-group pairs are jaccard-1 edges iff the group banded
+    * (identical nonempty shingle sets share every band), cross-group pairs
+    * inherit the rep pair's verdict verbatim. A group of n emits C(n, 2)
+    * intra rows — that quadratic is the declared OUTPUT of pair-set
+    * semantics, not avoidable work; connectivity consumers ride
+    * [[sharedComponents]]' sparse edge set instead and never pay it. */
+  private def sharedEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.util.SharedStages.cached(s"documents-edges08|$d|${System.identityHashCode(s)}") {
+      val m = sharedRepMap(s, d)
+      val intra = m.as("ma").join(m.as("mb"),
+        col("ma.rep") === col("mb.rep") && col("ma.doc_id") < col("mb.doc_id"))
+        .join(bandedDocs(s, d).as("bd"), col("ma.doc_id") === col("bd.doc_id"), "left_semi")
+        .select(col("ma.doc_id").as("d1"), col("mb.doc_id").as("d2"))
+      // Disjoint from intra (different groups), and each id pair maps to
+      // exactly one rep pair — no distinct needed.
+      val cross = sharedRepEdges(s, d)
+        .join(m.as("ma"), col("ma.rep") === col("d1"))
+        .join(m.as("mb"), col("mb.rep") === col("d2"))
+        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("d1"),
+          greatest(col("ma.doc_id"), col("mb.doc_id")).as("d2"))
+      intra.unionByName(cross)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Transitive cluster labels — x21 (cluster listing), x48 (effective
+    * size), x53, x77 all need the same connected components. The
+    * propagation runs over a SPARSE connectivity-equivalent edge set:
+    * star edges rep→member inside each banded exact-text group (a group is
+    * a clique of jaccard-1 pairs; a star has the same connectivity) plus
+    * the rep-level verified edges (members reach other groups through
+    * their rep's star). Same components and min-labels as the full
+    * expanded pair set at O(n) instead of O(n²) edges per duplicate
+    * group — at the 30× stress that is 155k edges in place of 2.3M. */
   private def sharedComponents(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.util.SharedStages.cached(s"documents-components|$d|${System.identityHashCode(s)}")(
-      Dedup.connectedComponents(
-        sharedEdges(s, d).select(col("d1").as("id1"), col("d2").as("id2")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.util.SharedStages.cached(s"documents-components|$d|${System.identityHashCode(s)}") {
+      val m = sharedRepMap(s, d)
+      val stars = m.filter(col("doc_id") =!= col("rep"))
+        .join(bandedDocs(s, d), Seq("doc_id"), "left_semi")
+        .select(col("rep").as("id1"), col("doc_id").as("id2"))
+      val conn = stars.unionByName(
+        sharedRepEdges(s, d).select(col("d1").as("id1"), col("d2").as("id2")))
+      Dedup.connectedComponents(conn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** The full DuckDB replica of the shared component stage (bands →
     * LSH candidates → jaccard-verified edges → recursive min-label
