@@ -287,20 +287,54 @@ object Dedup {
     * scale shape as the MinHash path: shuffle ∝ 1 row/vector, never O(n²). */
   def embeddingNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, planes: Int = 8, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Exact-vector representative collapse before the bucket join — the
+    // same group-size-immunity move as the text path (OpsQueries
+    // sharedRepEdges): identical vectors share their bucket, and cosine is
+    // a function of the two vector VALUES, so candidacy and verdicts are
+    // functions of the representatives. The id-level bucket self-join was
+    // quadratic in identical-vector group size (exact-dup documents yield
+    // exact-dup embeddings; the 30× ScaleUp stress put ~230 rows in every
+    // bucket). Grouping partitions by the vector value itself — heavier
+    // shuffle key than a hash but collision-free, and it happens once.
+    val m = graft.util.PersistScope.track(
+      vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("rep", min(col("id")).over(Window.partitionBy(col("v"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = m.filter(col("id") === col("rep"))
     // Persisted: the self-join would otherwise compute every bucket TWICE
     // (once per side), and the join-key isnotnull filter Catalyst infers
     // would substitute the bucket expression into the scan for a third
     // evaluation (plan-audit finding). The cached frame computes each
     // bucket once; the filter reads the cached column.
     val b = graft.util.PersistScope.track(
-      vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-        VectorOps.lshBucket(col(vecCol), planes, dims).as("bucket"))
+      reps.select(col("id"), col("v"),
+        VectorOps.lshBucket(col("v"), planes, dims).as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    b.as("a").join(b.as("b"),
+    val repPairs = b.as("a").join(b.as("b"),
       col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", VectorOps.cosine(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+      .select(col("a.id").as("r1"), col("b.id").as("r2"), col("cos"))
+    // Intra-group pairs carry cosine(v, v) computed by the SAME expression
+    // (bitwise-identical to what the member pair would have produced —
+    // the values are equal arrays), including its verdict under the
+    // threshold, so degenerate vectors behave exactly as before.
+    val selfCos = reps.select(col("id").as("r"),
+        VectorOps.cosine(col("v"), col("v")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val intra = m.as("ma").join(m.as("mb"),
+      col("ma.rep") === col("mb.rep") && col("ma.id") < col("mb.id"))
+      .join(selfCos, col("ma.rep") === col("r"))
+      .select(col("ma.id").as("id1"), col("mb.id").as("id2"), col("cos"))
+    // Disjoint from intra (different groups); each id pair maps to exactly
+    // one rep pair — no distinct needed.
+    val cross = repPairs
+      .join(m.as("ma"), col("ma.rep") === col("r1"))
+      .join(m.as("mb"), col("mb.rep") === col("r2"))
+      .select(least(col("ma.id"), col("mb.id")).as("id1"),
+        greatest(col("ma.id"), col("mb.id")).as("id2"), col("cos"))
+    intra.unionByName(cross)
   }
 
   /** The vector set with embedding near-duplicates removed: every vector with
