@@ -257,16 +257,20 @@ object OpsQueries {
     * LSH candidates → jaccard-verified edges → recursive min-label
     * components as `lab(doc_id, cluster_id)`) — the oracle prefix x21 and
     * x53 both build on. */
-  private val ComponentsCteSql =
-    s"""WITH RECURSIVE bands AS (
+  /** The component CTE chain over an arbitrary doc table (must expose
+    * doc_id + text) — x82 runs it over a derived corpus; the `documents`
+    * instance below serves x21/x53. Caller supplies the WITH RECURSIVE
+    * prefix (and any CTEs the table itself needs before this chain). */
+  private[graft] def componentsCteOver(table: String): String =
+    s"""bands AS (
           SELECT doc_id, band, md5(array_to_string(sig[band*$BandSize+1 : band*$BandSize+$BandSize], ',')) AS band_hash
-          FROM (SELECT doc_id, $MinhashSigSql AS sig FROM documents WHERE length(text) > 0),
+          FROM (SELECT doc_id, $MinhashSigSql AS sig FROM $table WHERE length(text) > 0),
                (SELECT unnest(generate_series(0, ${NumHashes / BandSize - 1})) AS band)
           WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM documents),
+        sh AS (SELECT doc_id, list_distinct($ShinglesSql) AS s FROM $table),
         edges AS (
           SELECT p.d1, p.d2 FROM cand p
           JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
@@ -278,6 +282,8 @@ object OpsQueries {
           UNION
           SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.doc_id),
         lab AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+  private val ComponentsCteSql = "WITH RECURSIVE " + componentsCteOver("documents")
 
   private val SimhashBitsSql =
     """array_to_string(list_transform(generate_series(1, 32), b ->

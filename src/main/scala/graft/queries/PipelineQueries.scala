@@ -305,6 +305,71 @@ object PipelineQueries {
               lit(false))), "drop")
             .when(size(col("cands")) > 0, "redact")
             .otherwise("keep").as("disposition"))
+    },
+
+    // PII QUARANTINE PROPAGATION over near-dup clusters — the privacy rule
+    // a curation pipeline actually needs: a near-duplicate of a PII-bearing
+    // document carries (most of) the same content, so the whole dup cluster
+    // is quarantined, not just the members where detectors fired. The
+    // organic corpus has no mixed clusters (word-salad docs are clean), so
+    // the fixture plants one per eligible doc: doc_id < 20 with ≥40 tokens
+    // gets an id-offset twin with a Luhn-valid card appended — appending 4
+    // tokens to a ≥40-token doc keeps shingle jaccard ≥ 0.8, so twin and
+    // base cluster together while only the twin has PII (the x77 planted-
+    // fixture pattern for branches the organic data lacks). Scale shape:
+    // near-dup pairs ride the same banded MinHash machinery as x21 (never
+    // all-pairs), components are pointer-jumped, the PII flag is a pure
+    // one-pass map, and the rollup is one cluster-keyed window — the
+    // detector family composed into the dedup family with no new shuffle
+    // classes.
+    QueryDef("x82_pii_quarantine",
+      s"""WITH RECURSIVE off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+          corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT d.doc_id + off.o, d.text || ' 4111 1111 1111 1111'
+            FROM documents d, off
+            WHERE d.doc_id < 20 AND len(string_split(d.text, ' ')) >= 40),
+          ${graft.ops.OpsQueries.componentsCteOver("corpus")},
+          pii_inputs AS (SELECT doc_id, text FROM corpus),
+          raw_cands AS (${PiiQueries.candidatesSql}),
+          pf AS (SELECT DISTINCT doc_id FROM raw_cands),
+          base AS (
+            SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cid,
+              CASE WHEN pf.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pii
+            FROM corpus c LEFT JOIN lab l ON l.doc_id = c.doc_id
+            LEFT JOIN pf ON pf.doc_id = c.doc_id)
+          SELECT doc_id, CAST(cid AS BIGINT) AS cluster_id,
+            CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size,
+            CAST(sum(pii) OVER (PARTITION BY cid) AS BIGINT) AS n_pii_docs,
+            sum(pii) OVER (PARTITION BY cid) > 0 AS quarantined
+          FROM base""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val off = docs.agg((max("doc_id") + lit(1)).as("o"))
+      val planted = docs
+        .filter(col("doc_id") < 20 && size(split(col("text"), " ")) >= 40)
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("o")).as("doc_id"),
+          concat(col("text"), lit(" 4111 1111 1111 1111")).as("text"))
+      // Persisted: the corpus feeds the pair machinery (bands + shingles),
+      // the PII flag map, and the final rollup.
+      val corpus = graft.util.PersistScope.track(
+        docs.unionByName(planted)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val edges = graft.ops.Dedup.nearDuplicatePairs(corpus, "doc_id", "text", 0.8)
+      val lab = graft.ops.Dedup.connectedComponents(edges.select(col("id1"), col("id2")))
+      val flags = corpus.select(col("doc_id"),
+        when(size(pii_candidates(col("text"))) > 0, 1).otherwise(0).as("pii"))
+      val wc = Window.partitionBy("cid")
+      corpus.select("doc_id")
+        .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+        .join(flags, Seq("doc_id"))
+        .select(col("doc_id"), col("cid").cast("long").as("cluster_id"),
+          count(lit(1)).over(wc).cast("long").as("cluster_size"),
+          sum("pii").over(wc).cast("long").as("n_pii_docs"),
+          (sum("pii").over(wc) > 0).as("quarantined"))
     })
 
   /** Regex literals reused by q16 (kept here to avoid a cyclic reference). */
