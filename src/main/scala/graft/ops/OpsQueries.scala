@@ -2432,6 +2432,44 @@ object OpsQueries {
         .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
         .select(col("source"), col("p.doc_id").as("doc_id"),
           (col("i") + 1).cast("int").as("smpl_rank"))
+    },
+
+    // WEIGHTED sample without replacement — priority sampling (Duffield/
+    // Lund/Thorup): u = deterministic md5 uniform in (0,1], priority =
+    // w/u, keep the k largest priorities per source; inclusion probability
+    // is weight-proportional, and the sample is reproducible across
+    // engines, retries, and cluster sizes (x73's hash-ordering argument
+    // applied to the weighted case). Weight = token count, so the sample
+    // is token-mass-representative — the form a mixture-budget pipeline
+    // samples corpora with. Float story: priority = w·65536/(h+1) is one
+    // IEEE division of exact integers — correctly-rounded and therefore
+    // bitwise-identical in both engines; no ln/exp/pow in the key (the
+    // exponential-jump E-S formulation would put libm in the gate).
+    // Scale shape: pure map → bounded topk_min heap per source (k rows per
+    // (partition, source) on the shuffle), no corpus window, no sort.
+    QueryDef("x81_weighted_sample",
+      s"""WITH r AS (SELECT source, doc_id, len(string_split(text, ' ')) AS w,
+            ${Sketches.bucketSql("doc_id::VARCHAR", "'wsmp'", 65536)} AS h FROM documents)
+          SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
+            w * 65536.0 / (h + 1) AS priority, CAST(rn AS INT) AS smpl_rank
+          FROM (SELECT *, row_number() OVER (
+              PARTITION BY source ORDER BY w * 65536.0 / (h + 1) DESC, doc_id) AS rn FROM r)
+          WHERE rn <= 25""") { (s, d2) =>
+      t(s, d2, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          Sketches.bucket(col("doc_id").cast("string"), lit("wsmp"), 65536).as("h"))
+        .withColumn("priority", col("w") * 65536.0 / (col("h") + 1))
+        // natural struct order: -priority ascending == priority descending,
+        // doc_id breaks ties — exactly the oracle's row_number ordering
+        .groupBy("source")
+        .agg(TopK.topk_min(
+          struct((-col("priority")).as("np"), col("doc_id"), col("w"), col("priority")),
+          25).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
+        .select(col("source"), col("p.doc_id").as("doc_id"),
+          col("p.w").cast("long").as("n_tokens"), col("p.priority").as("priority"),
+          (col("i") + 1).cast("int").as("smpl_rank"))
     })
 
   /** The x62 oracle's CTE chain (corpus wordcount → char segmentation →
