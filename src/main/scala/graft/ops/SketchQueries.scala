@@ -281,6 +281,31 @@ object SketchQueries {
           array_sort(collect_list(when(col("kind") === "v",
             struct(col("key"), col("c"))))).as("vc"))
       histQuantileOutput(joined)
+    },
+
+    // Streaming greedy sequence packing (the x25 batch operator as keyed
+    // state): docs arrive through a file stream, each is assigned the
+    // context-window bin it starts in, and the per-language fill level is
+    // carried across micro-batches as ONE long of state per language —
+    // the packer a training-data ingest runs unbounded, with nothing to
+    // watermark (state size = language count by construction). Gate: the
+    // streamed assignment must equal x25's batch oracle verbatim.
+    QueryDef("s13_stream_packing",
+      """SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(before_doc / 2048.0) AS BIGINT) AS bin_id
+         FROM (
+           SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_doc
+           FROM documents)""") { (s, d) =>
+      val name = "s13_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runPackingMaintain(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))
     })
 
   /** The x76 quantile read-out over a (source, n, hb, vc) frame (sorted

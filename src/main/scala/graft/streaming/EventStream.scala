@@ -481,6 +481,61 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming greedy sequence packing (s13): the x25 batch operator run as
+    * a STATEFUL stream — documents arrive through a file stream and each
+    * doc is assigned the context-window bin it starts in, where the
+    * per-language running token offset is CUSTOM KEYED STATE
+    * (flatMapGroupsWithState) carried across micro-batches. State per
+    * language is ONE long (the fill level); a production packer runs this
+    * unbounded, emitting bin assignments as docs arrive, with state size =
+    * number of languages by construction — nothing to watermark or evict.
+    *
+    * Within a micro-batch each language group is sorted by doc_id before
+    * folding, so a single-batch replay (the oracle gate's shape: one
+    * parquet file → one AvailableNow batch) reproduces x25's
+    * order-by-doc_id semantics exactly; under multi-batch arrival the
+    * contract degrades to arrival-order packing, which is the honest
+    * streaming semantics (bins depend on history, and history is arrival).
+    * Each doc is processed in exactly one batch, so Update-mode emissions
+    * land once per doc and the sink table needs no dedup on read-back. */
+  def runPackingMaintain(spark: SparkSession, dir: String, queryName: String,
+                         binTokens: Long = 2048,
+                         glob: String = "documents.parquet",
+                         statePartitions: Option[Int] = Some(4),
+                         maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val schema = schemaCache.computeIfAbsent((dir, glob),
+      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
+    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val assigned = reader.parquet(dir)
+      .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var before = state.getOption.getOrElse(0L)
+          // sort inside the group: micro-batch-local, bounded by batch size
+          val out = rows.toSeq.sortBy(_._2).map { case (_, docId, nt) =>
+            val bin = before / binTokens
+            before += nt
+            (lang, docId, nt, bin)
+          }
+          state.update(before)
+          out.iterator
+      }
+      .toDF("lang", "doc_id", "n_tokens", "bin_id")
+    assigned.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
 
 /** Transactional parquet batch sink: the missing piece between Structured

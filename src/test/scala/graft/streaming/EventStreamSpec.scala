@@ -323,4 +323,51 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
     assert(streamed.nonEmpty)
   }
+
+  test("streaming packing carries fill state across micro-batches (arrival-order contract)") {
+    // Split documents into 3 files by doc_id % 3; maxFilesPerTrigger=1
+    // forces one micro-batch per file, so every language's fill level must
+    // survive the batch boundary in state. The emitted bins must equal the
+    // arrival-order fold for the file order the source actually chose —
+    // asserted as "matches exactly one of the 6 possible split orders"
+    // (the source's listing order is an implementation detail; the
+    // CONTRACT is a consistent arrival-order fold over whatever order it
+    // picked, with state carried between batches).
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = Files.createTempDirectory("stream_packing").toString
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    for (i <- 0 until 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/docs_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runPackingMaintain(spark, tmp, "s13_spec_sink",
+      glob = "docs_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one data micro-batch per split file")
+    val got = q.sparkSession.table("s13_spec_sink").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_id")).toMap
+    val docs = raw.select(col("doc_id"), col("lang"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.size == docs.length, "one emission per doc")
+    def binsFor(order: Seq[Int]): Map[Long, Long] = {
+      val fill = scala.collection.mutable.Map.empty[String, Long]
+      docs.sortBy { case (id, _, _) => (order.indexOf((id % 3).toInt), id) }
+        .map { case (id, lang, nt) =>
+          val before = fill.getOrElse(lang, 0L)
+          fill(lang) = before + nt
+          id -> before / 2048L
+        }.toMap
+    }
+    val perms = Seq(0, 1, 2).permutations.toSeq
+    assert(perms.exists(p => binsFor(p) == got),
+      "bins must equal the arrival-order fold for the split order the source chose")
+  }
 }
