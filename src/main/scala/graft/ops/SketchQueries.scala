@@ -306,6 +306,39 @@ object SketchQueries {
       if (q.isActive) q.stop()
       q.sparkSession.table(name)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))
+    },
+
+    // Streaming weighted-sample maintenance: x81's priority sample kept
+    // current as docs arrive — the custom bounded-heap aggregate
+    // (TopKMinExpr) IS the state-store value, so state is k rows per
+    // source by construction and the engine's serialize/merge maintains it
+    // across micro-batches. The heap improves monotonically, so ranking
+    // the union of all Update-mode emissions reconstructs the exact final
+    // sample under any batching. Gate: must equal x81's batch oracle
+    // verbatim.
+    QueryDef("s14_stream_weighted_sample",
+      s"""WITH r AS (SELECT source, doc_id, len(string_split(text, ' ')) AS w,
+            ${Sketches.bucketSql("doc_id::VARCHAR", "'wsmp'", 65536)} AS h FROM documents)
+          SELECT source, doc_id, CAST(w AS BIGINT) AS n_tokens,
+            w * 65536.0 / (h + 1) AS priority, CAST(rn AS INT) AS smpl_rank
+          FROM (SELECT *, row_number() OVER (
+              PARTITION BY source ORDER BY w * 65536.0 / (h + 1) DESC, doc_id) AS rn FROM r)
+          WHERE rn <= 25""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val name = "s14_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runWeightedSampleMaintain(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("source"), explode(col("top")).as("p"))
+        .select(col("source"), col("p.np").as("np"), col("p.doc_id").as("doc_id"),
+          col("p.w").as("w"), col("p.priority").as("priority"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("np"), col("doc_id"))))
+        .filter(col("rn") <= 25)
+        .select(col("source"), col("doc_id"), col("w").cast("long").as("n_tokens"),
+          col("priority"), col("rn").cast("int").as("smpl_rank"))
     })
 
   /** The x76 quantile read-out over a (source, n, hb, vc) frame (sorted

@@ -536,6 +536,43 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming weighted-sample maintenance (s14): x81's priority sample
+    * kept current as docs arrive, with the CUSTOM bounded-heap aggregate
+    * (TopKMinExpr, a TypedImperativeAggregate) as the state-store value —
+    * state is k rows per source BY CONSTRUCTION, no watermark, and the
+    * engine's own serialize/merge path maintains it across micro-batches.
+    * The heap only improves monotonically, so every member of the final
+    * top-k appears in some Update-mode emission and every emitted non-
+    * member ranks strictly below the final k — the read-back (explode all
+    * emissions, distinct, rank, take k) reconstructs the exact final
+    * sample regardless of batching. */
+  def runWeightedSampleMaintain(spark: SparkSession, dir: String, queryName: String,
+                                k: Int = 25,
+                                glob: String = "documents.parquet",
+                                statePartitions: Option[Int] = Some(4),
+                                maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    val schema = schemaCache.computeIfAbsent((dir, glob),
+      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
+    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val top = reader.parquet(dir)
+      .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        graft.ops.Sketches.bucket(col("doc_id").cast("string"), lit("wsmp"), 65536).as("h"))
+      .withColumn("priority", col("w") * 65536.0 / (col("h") + 1))
+      .groupBy("source")
+      .agg(graft.ops.TopK.topk_min(
+        struct((-col("priority")).as("np"), col("doc_id"), col("w"), col("priority")),
+        k).as("top"))
+    top.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
 
 /** Transactional parquet batch sink: the missing piece between Structured

@@ -370,4 +370,41 @@ class EventStreamSpec extends SparkSpec {
     assert(perms.exists(p => binsFor(p) == got),
       "bins must equal the arrival-order fold for the split order the source chose")
   }
+
+  test("streaming weighted sample merges heap state across micro-batches to the batch sample") {
+    // Unlike packing, the priority sample is ORDER-INDEPENDENT: the final
+    // top-k must equal the batch x81 result exactly no matter how the
+    // corpus was batched — the strongest possible cross-batch assertion.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = Files.createTempDirectory("stream_wsample").toString
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    for (i <- 0 until 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/docs_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runWeightedSampleMaintain(spark, tmp, "s14_spec_sink",
+      glob = "docs_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one data micro-batch per split file")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{explode, row_number}
+    val streamed = q.sparkSession.table("s14_spec_sink")
+      .select(col("source"), explode(col("top")).as("p"))
+      .select(col("source"), col("p.np").as("np"), col("p.doc_id").as("doc_id"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("np"), col("doc_id"))))
+      .filter(col("rn") <= 25)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("rn"))).toSet
+    val batch = graft.SparkEntry.queries("x81_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("smpl_rank"))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
