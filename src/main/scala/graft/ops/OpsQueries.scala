@@ -2470,6 +2470,75 @@ object OpsQueries {
         .select(col("source"), col("p.doc_id").as("doc_id"),
           col("p.w").cast("long").as("n_tokens"), col("p.priority").as("priority"),
           (col("i") + 1).cast("int").as("smpl_rank"))
+    },
+
+    // Dedup CASCADE accounting — the per-source token-retention ledger a
+    // curation run reports after its sequential dedup stages: exact (keep
+    // the min-id of each identical-text group) → near-dup (keep each
+    // cluster's min id; on exact survivors the cluster structure is the
+    // rep graph, whose components equal the full graph's restricted to
+    // reps — every cross-group id pair implies its rep pair, so the full
+    // cluster min IS the surviving rep) → passage-level first-occurrence
+    // dedup over what remains. Composes repmap + components + passageDedup
+    // with no new shuffle classes; the budget numbers (tokens_raw →
+    // tokens_passage) are what a mixture planner consumes.
+    QueryDef("x83_dedup_cascade",
+      s"""WITH RECURSIVE ${componentsCteOver("documents")},
+          em AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                 FROM documents),
+          st AS (SELECT em.doc_id, em.source, em.nt,
+                   em.doc_id = em.rep AS s_exact,
+                   em.doc_id = em.rep AND (l.cluster_id IS NULL OR l.cluster_id = em.doc_id) AS s_nd
+                 FROM em LEFT JOIN lab l ON l.doc_id = em.doc_id),
+          tk AS (SELECT d.doc_id, string_split(d.text, ' ') AS tk
+                 FROM documents d JOIN st ON st.doc_id = d.doc_id AND st.s_nd),
+          p AS (SELECT doc_id, j AS pos, array_to_string(tk[(j*8+1):(j*8+8)], ' ') AS ptext
+                FROM tk, unnest(generate_series(0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS t(j)),
+          w AS (SELECT md5(ptext) AS h, min(struct_pack(d:=doc_id, p:=pos)) AS win FROM p GROUP BY 1),
+          ptok AS (SELECT p.doc_id, sum(CASE WHEN struct_pack(d:=p.doc_id, p:=p.pos) = w.win
+                     THEN len(string_split(p.ptext, ' ')) ELSE 0 END) AS pt
+                   FROM p JOIN w ON md5(p.ptext) = w.h GROUP BY 1)
+          SELECT st.source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(st.nt) AS BIGINT) AS tokens_raw,
+            CAST(count(*) FILTER (st.s_exact) AS BIGINT) AS docs_exact,
+            CAST(sum(st.nt) FILTER (st.s_exact) AS BIGINT) AS tokens_exact,
+            CAST(count(*) FILTER (st.s_nd) AS BIGINT) AS docs_nd,
+            CAST(sum(st.nt) FILTER (st.s_nd) AS BIGINT) AS tokens_nd,
+            CAST(coalesce(sum(pt), 0) AS BIGINT) AS tokens_passage,
+            round(coalesce(sum(pt), 0)::DOUBLE / sum(st.nt), 6) AS retention
+          FROM st LEFT JOIN ptok ON ptok.doc_id = st.doc_id
+          GROUP BY st.source""") { (s, d2) =>
+      val docs = t(s, d2, "documents")
+      val lab = sharedComponents(s, d2)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      // Persisted: st feeds the survivor filter (passage stage input) AND
+      // the final rollup.
+      val st = graft.util.PersistScope.track(
+        docs.select(col("doc_id"), col("source"), size(tokens(col("text"))).as("nt"))
+          .join(sharedRepMap(s, d2), Seq("doc_id"))
+          .join(lab, Seq("doc_id"), "left")
+          .withColumn("s_exact", col("doc_id") === col("rep"))
+          .withColumn("s_nd", col("s_exact") &&
+            (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val ndDocs = docs.join(
+        st.filter(col("s_nd")).select("doc_id"), Seq("doc_id"), "left_semi")
+      val pt = Dedup.passageDedup(ndDocs, "doc_id", "text", passageTokens = 8)
+        .select(col("doc_id"),
+          when(length(col("cleaned_text")) === 0, 0L)
+            .otherwise(size(split(col("cleaned_text"), " ")).cast("long")).as("pt"))
+      st.join(pt, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("nt").cast("long").as("tokens_raw"),
+          count(when(col("s_exact"), 1)).cast("long").as("docs_exact"),
+          sum(when(col("s_exact"), col("nt")).otherwise(0L)).cast("long").as("tokens_exact"),
+          count(when(col("s_nd"), 1)).cast("long").as("docs_nd"),
+          sum(when(col("s_nd"), col("nt")).otherwise(0L)).cast("long").as("tokens_nd"),
+          coalesce(sum("pt"), lit(0L)).cast("long").as("tokens_passage"),
+          round(coalesce(sum("pt"), lit(0L)).cast("double") / sum("nt"), 6).as("retention"))
     })
 
   /** The x62 oracle's CTE chain (corpus wordcount → char segmentation →
