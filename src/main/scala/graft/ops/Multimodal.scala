@@ -137,4 +137,41 @@ object Multimodal {
       }
     }
   }
+
+  case class WindowFeature(doc_id: Long, win_idx: Int, energy: Long,
+                           fp: String, n_windows: Long)
+
+  /** OVERLAPPING windowed feature extraction — the audio-preprocessing
+    * shape (STFT frames with hop < window): full `win`-byte windows every
+    * `hop` bytes, each reduced to a per-window feature. The feature kernel
+    * is stubbed to an exact int64 byte-sum ("energy") plus an md5
+    * fingerprint — swap in a real FFT/filterbank without touching the
+    * pipeline shape. Full windows only (a trailing partial window is
+    * dropped, the way frame-aligned audio pipelines crop); blobs shorter
+    * than one window emit nothing. Same batch contract as the other
+    * kernels: one instance per partition, iterator in/out, output rows
+    * ∝ n/hop per blob, the blob never resident twice. */
+  def windowedFeatures(media: Dataset[MediaRow],
+                       win: Int = 32, hop: Int = 16): Dataset[WindowFeature] = {
+    require(win >= 1 && hop >= 1, s"bad win=$win hop=$hop")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition kernel init (stubbed; a real FFT plan opens here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { row =>
+        val n = row.media.length
+        val nw = if (n < win) 0L else ((n - win) / hop + 1).toLong
+        (0L until nw).iterator.map { j =>
+          val from = (j * hop).toInt
+          var e = 0L
+          var i = from
+          while (i < from + win) { e += row.media(i) & 0xff; i += 1 }
+          md.reset()
+          md.update(row.media, from, win)
+          WindowFeature(row.doc_id, j.toInt, e,
+            md.digest().map("%02x".format(_)).mkString, nw)
+        }
+      }
+    }
+  }
 }

@@ -226,6 +226,31 @@ object PipelineQueries {
         .toDF()
     },
 
+    // Multimodal OVERLAPPING windows — the audio-preprocessing shape (STFT
+    // frames, hop < window): 32-byte windows every 16 bytes, each reduced
+    // in the per-partition batched kernel to an exact int64 byte-sum
+    // ("energy", the stubbed filterbank) plus an md5 fingerprint. Full
+    // windows only — the trailing partial is cropped the way frame-aligned
+    // audio pipelines do. The oracle recomputes every window's energy from
+    // the text bytes (ASCII corpus: char offsets == byte offsets), so any
+    // wrong byte in any window hash-mismatches.
+    QueryDef("x84_audio_windows",
+      """WITH f AS (SELECT doc_id, text,
+             CAST((length(text) - 32) // 16 + 1 AS BIGINT) AS nw
+           FROM documents WHERE length(text) >= 32)
+         SELECT doc_id, CAST(j AS INT) AS win_idx,
+           CAST(list_sum(list_transform(generate_series(1, 32),
+             i -> ascii(substr(text, CAST(j * 16 AS BIGINT) + i, 1)))) AS BIGINT) AS energy,
+           md5(substr(text, CAST(j * 16 + 1 AS BIGINT), 32)) AS fp,
+           nw AS n_windows
+         FROM f, unnest(generate_series(0, nw - 1)) AS g(j)""") { (s, d) =>
+      import graft.ops.Multimodal
+      Multimodal.windowedFeatures(
+          Multimodal.mediaFromDocuments(t(s, d, "documents")),
+          win = 32, hop = 16)
+        .toDF()
+    },
+
     // Multimodal resize: the blob as a 16-wide row-major byte raster,
     // 2×2-block floor-mean downsampled in the same per-partition batched
     // kernel as x13/x55 (the image-resize preprocessing shape; the mean is

@@ -328,6 +328,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("windowed features: overlap, exact energies, tail crop, unsigned bytes") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // 10 bytes, win=4 hop=2 -> full windows at 0,2,4,6 (start 8 would need
+    // bytes 8..11 — cropped); energies are exact byte sums over the overlap
+    val blob = (1 to 10).map(_.toByte).toArray
+    val media = Seq(Multimodal.MediaRow(9L, blob, "audio/fake")).toDS()
+    val got = Multimodal.windowedFeatures(media, win = 4, hop = 2)
+      .collect().sortBy(_.win_idx)
+    assert(got.map(_.win_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(got.forall(_.n_windows == 4))
+    assert(got.map(_.energy).toSeq == Seq(1 + 2 + 3 + 4, 3 + 4 + 5 + 6, 5 + 6 + 7 + 8, 7 + 8 + 9 + 10))
+    assert(got.forall(_.fp.length == 32))
+    // overlapping identical content -> identical fingerprints
+    val rep = Seq(Multimodal.MediaRow(10L, Array.fill[Byte](8)(7), "audio/fake")).toDS()
+    val reps = Multimodal.windowedFeatures(rep, win = 4, hop = 2).collect()
+    assert(reps.map(_.fp).distinct.length == 1)
+    // bytes stay unsigned in the energy sum
+    val hi = Seq(Multimodal.MediaRow(11L, Array.fill[Byte](4)(-1), "audio/fake")).toDS()
+    assert(Multimodal.windowedFeatures(hi, win = 4, hop = 4).collect()(0).energy == 4 * 0xff)
+    // blobs shorter than one window emit nothing
+    val short = Seq(Multimodal.MediaRow(12L, Array[Byte](1, 2), "audio/fake")).toDS()
+    assert(Multimodal.windowedFeatures(short, win = 4, hop = 2).count() == 0)
+  }
+
   test("resize differential: matches an in-memory reference over random blobs") {
     import spark.implicits._
     import graft.ops.Multimodal
