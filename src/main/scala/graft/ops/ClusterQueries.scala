@@ -523,5 +523,56 @@ object ClusterQueries {
           col("n_c").cast("long").as("cluster_size"),
           ceil(sqrt(col("n_c"))).cast("long").as("quota"),
           col("rk").cast("int").as("pick_rank"))
+    },
+
+    // Embedding L2-norm OUTLIER audit (Tukey fences) — the vector-quality
+    // gate an embedding pipeline runs before indexing: truncated/zeroed or
+    // blown-up vectors sit far outside [q1−1.5·IQR, q3+1.5·IQR] of the norm
+    // distribution. Determinism: norms are fixed-pointed to int64 BEFORE
+    // ranking (floor(x·10⁶+0.5) — sqrt and the square-sum fold are
+    // correctly-rounded IEEE, identical in both engines), quartiles are
+    // exact smallest-value-at-rank picks over the value-count frame, and
+    // the fences compare in pure integer arithmetic (2v < 2q1 − 3·IQR) so
+    // no float division ever reaches the verdict. Scale shape: norm is a
+    // pure map; ranking runs over the DISTINCT-norm value-count frame
+    // (bounded by norm granularity, not corpus size — the x76 argument);
+    // the verdict is a broadcast of two scalars back over the corpus.
+    QueryDef("x85_norm_outliers",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
+         nm AS (SELECT vec_id,
+             CAST(floor(sqrt(list_sum(list_transform(e, v -> v * v))) * 1000000 + 0.5) AS BIGINT) AS nfp
+           FROM e),
+         vc AS (SELECT nfp, count(*) AS c FROM nm GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM nm),
+         cum AS (SELECT nfp, sum(c) OVER (ORDER BY nfp) AS cum FROM vc),
+         q AS (SELECT min(CASE WHEN cum >= (n.n * 25 + 99) // 100 THEN nfp END) AS q1,
+                      min(CASE WHEN cum >= (n.n * 75 + 99) // 100 THEN nfp END) AS q3
+               FROM cum, n)
+         SELECT vec_id, nfp / 1000000.0 AS norm,
+           q.q1 / 1000000.0 AS q1, q.q3 / 1000000.0 AS q3,
+           (2 * nfp < 2 * q.q1 - 3 * (q.q3 - q.q1))
+             OR (2 * nfp > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS is_outlier
+         FROM nm, q""") { (s, d) =>
+      val nm = graft.util.PersistScope.track(
+        t(s, d, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), v => v.cast("double")).as("e"))
+          .select(col("vec_id"),
+            floor(sqrt(aggregate(col("e"), lit(0.0), (a, v) => a + v * v))
+              * 1000000 + 0.5).cast("long").as("nfp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val vc = nm.groupBy("nfp").agg(count(lit(1)).as("c"))
+      val n = nm.agg(count(lit(1)).as("n"))
+      // global cumulative window over the DISTINCT-norm frame only
+      val cum = vc.withColumn("cum",
+        sum("c").over(Window.orderBy("nfp")))
+      val q = cum.crossJoin(broadcast(n)).agg(
+        min(when(col("cum") >= expr("(n * 25 + 99) div 100"), col("nfp"))).as("q1"),
+        min(when(col("cum") >= expr("(n * 75 + 99) div 100"), col("nfp"))).as("q3"))
+      nm.crossJoin(broadcast(q))
+        .select(col("vec_id"), (col("nfp") / 1000000.0).as("norm"),
+          (col("q1") / 1000000.0).as("q1"), (col("q3") / 1000000.0).as("q3"),
+          ((col("nfp") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3)
+            || (col("nfp") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)).as("is_outlier"))
     })
 }
