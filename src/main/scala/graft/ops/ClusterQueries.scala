@@ -538,7 +538,13 @@ object ClusterQueries {
     // (bounded by norm granularity, not corpus size — the x76 argument);
     // the verdict is a broadcast of two scalars back over the corpus.
     QueryDef("x85_norm_outliers",
-      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
+         off AS (SELECT max(vec_id) + 1 AS o FROM e0),
+         e AS (SELECT vec_id, e FROM e0
+               UNION ALL  -- planted degenerates: a zeroed and a 50x blown-up
+               SELECT e0.vec_id + off.o, list_transform(e0.e, v -> v * 0) FROM e0, off WHERE e0.vec_id < 3
+               UNION ALL
+               SELECT e0.vec_id + 2 * off.o, list_transform(e0.e, v -> v * 50) FROM e0, off WHERE e0.vec_id < 3),
          nm AS (SELECT vec_id,
              CAST(floor(sqrt(list_sum(list_transform(e, v -> v * v))) * 1000000 + 0.5) AS BIGINT) AS nfp
            FROM e),
@@ -553,10 +559,19 @@ object ClusterQueries {
            (2 * nfp < 2 * q.q1 - 3 * (q.q3 - q.q1))
              OR (2 * nfp > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS is_outlier
          FROM nm, q""") { (s, d) =>
+      val e0 = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("e"))
+      val off = e0.agg((max("vec_id") + 1).as("o"))
+      // planted degenerates (the organic synthetic norms are too tight to
+      // cross a fence, so both verdict branches would otherwise be dead —
+      // the x82 planted-fixture pattern): a zeroed and a 50x blown-up copy
+      // of the first three vectors, id-offset like x16's variants.
+      def plant(mult: Double, offs: Int) = e0.filter(col("vec_id") < 3)
+        .crossJoin(broadcast(off))
+        .select((col("vec_id") + col("o") * offs).as("vec_id"),
+          transform(col("e"), v => v * mult).as("e"))
       val nm = graft.util.PersistScope.track(
-        t(s, d, "embeddings")
-          .select(col("vec_id"),
-            transform(col("embedding"), v => v.cast("double")).as("e"))
+        e0.unionByName(plant(0.0, 1)).unionByName(plant(50.0, 2))
           .select(col("vec_id"),
             floor(sqrt(aggregate(col("e"), lit(0.0), (a, v) => a + v * v))
               * 1000000 + 0.5).cast("long").as("nfp"))
