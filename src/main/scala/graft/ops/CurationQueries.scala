@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Round-9 corpus-curation operators: the selection/trimming decisions a
+  * training-data pipeline makes AFTER dedup has mapped the redundancy —
+  * containment (quote/subset) detection, boilerplate span trimming,
+  * data-constrained epoch scheduling, and curriculum phasing.
+  *
+  * Same determinism contract as OpsQueries: md5 everywhere both engines
+  * hash, exact integer arithmetic across every cross-row reduction, ratios
+  * divided once at the end and rounded 6dp.
+  */
+object CurationQueries {
+
+  private val Sh = OpsQueries.ShinglesSql
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Asymmetric near-containment pairs (Broder's containment coefficient
+    // over winnowed fingerprints): |fp(a)∩fp(b)| / |fp(a)| — flags the doc
+    // QUOTED INSIDE another even when symmetric Jaccard (x40's shape) is
+    // tiny because the outer doc dominates the union. Ordered pairs by
+    // design: containment is directional, so each unordered pair surfaces
+    // twice with its own denominator. Scale: identical fingerprint
+    // equi-join as x40 (shuffle ∝ shingles/window per doc, hot-fingerprint
+    // cap pre-join), plus one id-keyed count frame — no new corpus-scale
+    // stage. Engine in Dedup.containmentPairs.
+    QueryDef("x86_containment_pairs",
+      s"""WITH sh AS (SELECT doc_id, list_transform($Sh, g -> md5(g)) AS hs FROM documents),
+          f AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(len(hs) - 3, 1)),
+                  j -> list_min(hs[j:j+3]))) AS fps
+                FROM sh WHERE len(hs) >= 1),
+          p0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          hot AS (SELECT fp FROM p0 GROUP BY fp HAVING count(*) > 128),
+          p AS (SELECT * FROM p0 WHERE fp NOT IN (SELECT fp FROM hot)),
+          nf AS (SELECT doc_id AS inner_id, count(*) AS n_fp FROM p GROUP BY 1),
+          pr AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS shared_fps
+                 FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2)
+          SELECT pr.inner_id, pr.outer_id, CAST(pr.shared_fps AS BIGINT) AS shared_fps,
+            CAST(nf.n_fp AS BIGINT) AS n_fp_inner,
+            round(pr.shared_fps::DOUBLE / nf.n_fp, 6) AS containment,
+            pr.shared_fps::DOUBLE / nf.n_fp >= 0.8 AS near_contained
+          FROM pr JOIN nf USING (inner_id)
+          WHERE pr.shared_fps::DOUBLE / nf.n_fp >= 0.5""") { (s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        window = 4, minContain = 0.5, maxPosting = 128)
+    },
+
+    // Boilerplate SPAN coverage — the C4/CCNet-style trim decision: a
+    // 3-gram occurring in ≥ 4 distinct docs is corpus boilerplate; each
+    // boilerplate occurrence covers its 3 token positions, and the doc's
+    // kept-token count is what survives trimming every covered span.
+    // Distinct-position counting makes overlapping boilerplate grams count
+    // each token once — span semantics, not x28's occurrence-weighted
+    // dup fraction (and unlike x74's novelty, membership is by corpus
+    // DOCFREQ, not first-arrival). Scale: positional grams shuffle as md5
+    // keys; docfreq is a map-side-combinable distinct-count; the
+    // boilerplate membership join is a gram-keyed equi-join (the
+    // boilerplate set is NOT assumed small — no broadcast claim); span
+    // expansion is 3 rows per hit, bounded per doc by 3·positions.
+    QueryDef("x87_boilerplate_coverage",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, i, md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS h
+               FROM tk, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)),
+         df AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+         cov AS (SELECT doc_id, count(DISTINCT p) AS nc FROM (
+             SELECT g.doc_id, unnest(generate_series(g.i, g.i + 2)) AS p
+             FROM g JOIN df USING (h) WHERE df.nd >= 4) GROUP BY 1),
+         n AS (SELECT doc_id, len(tk) AS n_tokens FROM tk)
+         SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.nc, 0) AS BIGINT) AS n_boiler_tokens,
+           round(coalesce(cov.nc, 0)::DOUBLE / n.n_tokens, 6) AS boiler_frac,
+           CAST(n.n_tokens - coalesce(cov.nc, 0) AS BIGINT) AS n_kept_tokens,
+           coalesce(cov.nc, 0)::DOUBLE / n.n_tokens <= 0.5 AS keep
+         FROM n LEFT JOIN cov ON cov.doc_id = n.doc_id""") { (s, d) =>
+      val tk = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("tk"))
+      // Positional 3-gram hashes: (doc_id, i, h) with i 1-based so the span
+      // i..i+2 matches the oracle's generate_series. posexplode is 0-based.
+      val g = graft.util.PersistScope.track(
+        tk.filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), posexplode(transform(sequence(lit(1), size(col("tk")) - 2),
+            i => md5(concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))).as(Seq("i0", "h")))
+          .select(col("doc_id"), (col("i0") + 1).as("i"), col("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val df = g.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+      val cov = g.join(df.filter(col("nd") >= 4).select("h"), "h")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 2)).as("p"))
+        .groupBy("doc_id").agg(count_distinct(col("p")).as("nc"))
+      tk.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("__frac", coalesce(col("nc"), lit(0L)).cast("double") / col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          coalesce(col("nc"), lit(0L)).cast("long").as("n_boiler_tokens"),
+          round(col("__frac"), 6).as("boiler_frac"),
+          (col("n_tokens") - coalesce(col("nc"), lit(0L))).cast("long").as("n_kept_tokens"),
+          (col("__frac") <= 0.5).as("keep"))
+    },
+
+    // Data-constrained epoch scheduling (the Muennighoff et al. repeat
+    // question made operational): given a token budget of 2× the corpus
+    // and per-source diversity weights (distinct-vocabulary size), each
+    // source's budget share yields N full epochs (capped — repeats beyond
+    // the cap return ~nothing) plus a deterministic partial epoch: docs
+    // md5-ranked, prefix-summed, admitted while the cumulative token count
+    // fits. All integer arithmetic until the final utilization ratio —
+    // budget shares by int64 div, so bit-identical on any partitioning
+    // (note: the 2·total·weight product wants 128-bit math at real corpus
+    // scale; split the div or use decimal there). The per-source prefix
+    // sum is a window per source — for a source too big for one task,
+    // sub-bucket by md5 prefix and roll bucket sums first (x76's
+    // value-keyed cumulative pattern); the admitted set is identical.
+    QueryDef("x88_epoch_schedule",
+      """WITH dt AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt FROM documents),
+         st AS (SELECT source, sum(nt) AS toks FROM dt GROUP BY 1),
+         w AS (SELECT source, count(DISTINCT token) AS w FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+         tot AS (SELECT sum(toks) AS tt FROM st),
+         sw AS (SELECT sum(w) AS sw FROM w),
+         b AS (SELECT st.source, st.toks, w.w, (2 * tot.tt * w.w) // sw.sw AS budget
+               FROM st JOIN w USING (source), tot, sw),
+         e AS (SELECT *, least(budget // toks, 2) AS full_epochs FROM b),
+         r AS (SELECT *, CASE WHEN full_epochs >= 2 THEN 0
+                 ELSE budget - full_epochs * toks END AS part_budget FROM e),
+         pd AS (SELECT source, doc_id, nt,
+                  sum(nt) OVER (PARTITION BY source
+                    ORDER BY md5(doc_id::VARCHAR), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM dt),
+         ps AS (SELECT pd.source, count(*) AS npd, sum(pd.nt) AS ptok
+                FROM pd JOIN r USING (source) WHERE pd.cum <= r.part_budget GROUP BY 1)
+         SELECT r.source, CAST(r.toks AS BIGINT) AS tokens, CAST(r.w AS BIGINT) AS vocab,
+           CAST(r.budget AS BIGINT) AS budget, CAST(r.full_epochs AS INT) AS full_epochs,
+           CAST(coalesce(ps.npd, 0) AS BIGINT) AS n_partial_docs,
+           CAST(r.full_epochs * r.toks + coalesce(ps.ptok, 0) AS BIGINT) AS effective_tokens,
+           round((r.full_epochs * r.toks + coalesce(ps.ptok, 0))::DOUBLE / r.budget, 6) AS utilization
+         FROM r LEFT JOIN ps ON ps.source = r.source""") { (s, d) =>
+      val dt = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("nt"))
+      val st = dt.groupBy("source").agg(sum("nt").as("toks"))
+      val w = OpsQueries.sharedWordCounts(s, d).select("source", "token").distinct()
+        .groupBy("source").agg(count(lit(1)).as("w"))
+      val tot = st.agg(sum("toks").as("tt"))
+      val sw = w.agg(sum("w").as("sw"))
+      val r = st.join(w, "source")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(sw))
+        .withColumn("budget", expr("(2 * tt * w) div sw"))
+        .withColumn("full_epochs", least(expr("budget div toks"), lit(2L)))
+        .withColumn("part_budget", when(col("full_epochs") >= 2, lit(0L))
+          .otherwise(col("budget") - col("full_epochs") * col("toks")))
+      val pd = dt.withColumn("cum", sum("nt").over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ps = pd.join(r.select("source", "part_budget"), "source")
+        .filter(col("cum") <= col("part_budget"))
+        .groupBy("source").agg(count(lit(1)).as("npd"), sum("nt").as("ptok"))
+      r.join(ps, Seq("source"), "left")
+        .withColumn("__eff", col("full_epochs") * col("toks") + coalesce(col("ptok"), lit(0L)))
+        .select(col("source"), col("toks").cast("long").as("tokens"),
+          col("w").cast("long").as("vocab"), col("budget").cast("long").as("budget"),
+          col("full_epochs").cast("int").as("full_epochs"),
+          coalesce(col("npd"), lit(0L)).cast("long").as("n_partial_docs"),
+          col("__eff").cast("long").as("effective_tokens"),
+          round(col("__eff").cast("double") / col("budget"), 6).as("utilization"))
+    },
+
+    // Curriculum phasing by document length (short→long is the classic
+    // curriculum axis): exact global decile of (n_tokens, doc_id) WITHOUT
+    // a global sort — the rank decomposes into "docs with strictly
+    // smaller length" (a cumulative count over the distinct-length frame,
+    // which is tiny: lengths are bounded by the context window) plus the
+    // doc's row_number among equal-length peers. The per-phase roll-up is
+    // then an ordinary groupBy. Phase formula ((rank−1)·10) div n on BOTH
+    // engines — deliberately NOT ntile(), whose remainder placement
+    // differs from this even split. Scale: the only windows are (a) over
+    // the ≤max-length distinct-length frame and (b) within one length
+    // value — for production tie-bucket sizes, sub-rank by md5(doc_id)
+    // ranges, same x76 cumulative trick one level down.
+    QueryDef("x89_curriculum_phases",
+      """WITH nt AS (SELECT doc_id, source, len(string_split(text, ' ')) AS toklen FROM documents),
+         n AS (SELECT count(*) AS n FROM nt),
+         r AS (SELECT *, row_number() OVER (ORDER BY toklen, doc_id) AS rk FROM nt),
+         p AS (SELECT *, CAST((rk - 1) * 10 // n.n + 1 AS INT) AS phase FROM r, n)
+         SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(toklen) AS BIGINT) AS min_len, CAST(max(toklen) AS BIGINT) AS max_len,
+           CAST(sum(toklen) AS BIGINT) AS tok_sum,
+           round(sum(toklen)::DOUBLE / count(*), 6) AS mean_len,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM p GROUP BY 1""") { (s, d) =>
+      val nt = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("toklen"))
+      val cnt = nt.groupBy("toklen").agg(count(lit(1)).as("c"))
+      // Distinct-length cumulative frame: single-partition window over a
+      // frame bounded by max doc length — deliberate, same as x76's cells.
+      val cum = cnt.withColumn("cumb",
+        coalesce(sum("c").over(Window.orderBy("toklen")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val n = nt.agg(count(lit(1)).as("n"))
+      nt.join(cum.select("toklen", "cumb"), "toklen")
+        .withColumn("rk", col("cumb") +
+          row_number().over(Window.partitionBy("toklen").orderBy("doc_id")))
+        .crossJoin(broadcast(n))
+        .withColumn("phase", expr("CAST((rk - 1) * 10 div n + 1 AS INT)"))
+        .groupBy("phase").agg(count(lit(1)).as("n_docs"),
+          min("toklen").as("min_len"), max("toklen").as("max_len"),
+          sum("toklen").as("tok_sum"), count_distinct(col("source")).as("n_sources"))
+        .select(col("phase"), col("n_docs").cast("long").as("n_docs"),
+          col("min_len").cast("long").as("min_len"),
+          col("max_len").cast("long").as("max_len"),
+          col("tok_sum").cast("long").as("tok_sum"),
+          round(col("tok_sum").cast("double") / col("n_docs"), 6).as("mean_len"),
+          col("n_sources").cast("long").as("n_sources"))
+    })
+}

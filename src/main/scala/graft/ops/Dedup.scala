@@ -618,6 +618,51 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Asymmetric near-CONTAINMENT pairs over winnowed fingerprints: for each
+    * ordered pair (inner, outer), containment = |fp(inner) ∩ fp(outer)| /
+    * |fp(inner)| — Broder's containment coefficient computed on the winnow
+    * sample instead of the full shingle sets. This is the dedup signal
+    * symmetric Jaccard misses: a short doc quoted verbatim inside a much
+    * longer one has near-zero Jaccard (the union is outer-sized) but
+    * containment ≈ 1, and winnowing's LOCAL selection guarantees the
+    * quoted span still contributes shared fingerprints (a MinHash global
+    * signature would wash it out — see winnowFingerprints).
+    *
+    * Shape: the SAME fingerprint equi-join as [[winnowCandidatePairs]] —
+    * candidate generation never leaves the bucket-join scale posture; the
+    * only additions are a per-doc fingerprint-count frame (id-keyed, one
+    * row per doc) and an ordered (=!= not <) pair roll-up, so each
+    * unordered pair surfaces twice with its OWN denominator — by design:
+    * containment is directional (the quote is contained in the article,
+    * never the reverse). Denominators count fingerprints AFTER the
+    * hot-fingerprint drop, so boilerplate-heavy docs can still reach
+    * containment 1.0 on their informative remainder — and both sides of
+    * the ratio see the identical fingerprint universe. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int = 4, minContain: Double = 0.5,
+                       maxPosting: Int = 128): DataFrame = {
+    val p0 = graft.util.PersistScope.track(
+      winnowFingerprints(docs, idCol, textCol, window)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hot = p0.groupBy("fp").agg(count(lit(1)).as("__m"))
+      .filter(col("__m") > maxPosting).select("fp")
+    val p = graft.util.PersistScope.track(
+      p0.join(broadcast(hot), Seq("fp"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nf = p.groupBy(col(idCol).as("inner_id")).agg(count(lit(1)).as("n_fp"))
+    p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("inner_id"), col(s"b.$idCol").as("outer_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(nf, "inner_id")
+      .withColumn("__cont", col("shared_fps").cast("double") / col("n_fp"))
+      .filter(col("__cont") >= minContain)
+      .select(col("inner_id"), col("outer_id"), col("shared_fps"),
+        col("n_fp").cast("long").as("n_fp_inner"),
+        round(col("__cont"), 6).as("containment"),
+        (col("__cont") >= 0.8).as("near_contained"))
+  }
+
   /** Exact dedup: one representative (min id) per identical text. */
   def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val reps = docs.groupBy(md5(col(textCol)).as("__fp")).agg(min(col(idCol)).as(idCol))

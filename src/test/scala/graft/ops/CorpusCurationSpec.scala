@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantic invariants for the round-9 curation operators (x86-x89). The
+  * oracle gate checks exact values; these pin the properties that make the
+  * operators USEFUL — directionality of containment, span semantics of
+  * boilerplate coverage, budget caps, and phase monotonicity — including
+  * planted fixtures for the branches the organic corpus exercises weakly. */
+class CorpusCurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x86 containment: bounded, directional, flag consistent") {
+    val rows = graft.SparkEntry.queries("x86_containment_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    graft.util.PersistScope.releaseAll()
+    assert(rows.nonEmpty)
+    for ((in, out, shared, nfp, cont, flag) <- rows) {
+      assert(in != out)
+      assert(shared >= 1 && shared <= nfp, s"shared $shared vs n_fp $nfp")
+      assert(cont >= 0.5 - 1e-9 && cont <= 1.0 + 1e-9)
+      // flag computed from the unrounded ratio; tolerate the rounding edge
+      assert(flag == (shared.toDouble / nfp >= 0.8))
+    }
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+  }
+
+  test("x86 planted quote: contained direction flags, reverse direction absent") {
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val tail = (1 to 80).map(i => s"t$i").mkString(" ")
+    val other = (1 to 50).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, quote, "en", "srcA", quote.length.toLong),
+      (1L, s"$quote $tail", "en", "srcA", (quote.length + tail.length + 1).toLong),
+      (2L, other, "en", "srcB", other.length.toLong))
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("x86_containment_pairs")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getBoolean(5)))
+    graft.util.PersistScope.releaseAll()
+    // the quote is contained in the long doc: (inner=0, outer=1) near 1.0
+    val fwd = rows.find(r => r._1 == 0L && r._2 == 1L)
+    assert(fwd.isDefined, "quote->article containment pair missing")
+    assert(fwd.get._3 >= 0.8 && fwd.get._4, s"containment ${fwd.get._3} should flag")
+    // the article is NOT contained in the quote: reverse ratio is tiny
+    assert(!rows.exists(r => r._1 == 1L && r._2 == 0L && r._3 >= 0.5),
+      "article->quote direction must not reach the output threshold")
+    assert(!rows.exists(r => r._1 == 2L || r._2 == 2L), "unrelated doc is clean")
+  }
+
+  test("x87 coverage: span accounting consistent, keep flag matches") {
+    val rows = graft.SparkEntry.queries("x87_boilerplate_coverage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+    graft.util.PersistScope.releaseAll()
+    assert(rows.length == 500)
+    for ((_, n, nb, frac, kept, keep) <- rows) {
+      assert(nb >= 0 && nb <= n)
+      assert(kept == n - nb)
+      assert(math.abs(frac - nb.toDouble / n) < 1e-6 + 5e-7)
+      assert(keep == (nb.toDouble / n <= 0.5))
+    }
+    // organic corpus at this SF: some docs fully clean, some heavily covered
+    assert(rows.exists(_._3 == 0.0), "some docs carry zero boilerplate")
+    assert(rows.exists(!_._6), "some docs exceed the trim threshold")
+  }
+
+  test("x87 planted prefix: shared prefix covered exactly, unique tails clean") {
+    import spark.implicits._
+    val prefix = (1 to 6).map(i => s"p$i").mkString(" ")
+    // 5 docs share the 6-token prefix (docfreq 5 >= 4); tails are disjoint
+    val docs = (0 until 5).map { k =>
+      val tail = (1 to 10).map(i => s"u${k}_$i").mkString(" ")
+      (k.toLong, s"$prefix $tail", "en", s"src$k", 0L)
+    } :+ (5L, (1 to 12).map(i => s"solo$i").mkString(" "), "en", "src9", 0L)
+    val tmp = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("x87_boilerplate_coverage")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    graft.util.PersistScope.releaseAll()
+    // only grams fully inside the prefix are shared: positions 1..4 cover
+    // tokens 1..6; the prefix->tail straddling grams are unique per doc
+    for (k <- 0L until 5L) {
+      val (n, nb, kept) = rows(k)
+      assert(n == 16 && nb == 6 && kept == 10, s"doc $k: n=$n covered=$nb kept=$kept")
+    }
+    val (n5, nb5, kept5) = rows(5L)
+    assert(n5 == 12 && nb5 == 0 && kept5 == 12, "solo doc is fully kept")
+  }
+
+  test("x88 schedule: caps, partials, and budget accounting line up") {
+    val rows = graft.SparkEntry.queries("x88_epoch_schedule")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    graft.util.SharedStages.releaseAll()
+    assert(rows.length == 20, "every source gets a schedule row")
+    for ((src, toks, vocab, budget, fe, npd, eff, util) <- rows) {
+      assert(toks > 0 && vocab > 0 && budget > 0)
+      assert(fe >= 1 && fe <= 2, s"$src full_epochs $fe")
+      if (fe == 2) assert(npd == 0, s"$src capped source must not take a partial epoch")
+      assert(eff >= fe * toks && eff <= budget, s"$src effective $eff vs budget $budget")
+      assert(util > 0.0 && util <= 1.0 + 1e-9)
+    }
+    // the test corpus weights put sources on BOTH sides of the cap
+    assert(rows.exists(_._5 == 2) && rows.exists(_._5 == 1))
+    assert(rows.filter(_._5 == 1).exists(_._6 > 0), "some source takes a partial epoch")
+  }
+
+  test("x89 phases: an even partition, length-monotone across phases") {
+    val rows = graft.SparkEntry.queries("x89_curriculum_phases")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1 to 10), "phases 1..10 all present")
+    val n = rows.map(_._2).sum
+    assert(n == 500)
+    // even split: every phase holds floor(n/10) or ceil(n/10) docs
+    assert(rows.forall(r => r._2 == n / 10 || r._2 == (n + 9) / 10))
+    // curriculum order: lengths never decrease across the phase boundary
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray))
+      assert(a._4 <= b._3, s"phase ${a._1} max ${a._4} > phase ${b._1} min ${b._3}")
+    for ((_, nd, mn, mx, sum, mean, ns) <- rows) {
+      assert(mn <= mx && sum >= nd * mn && sum <= nd * mx)
+      assert(math.abs(mean - sum.toDouble / nd) < 1e-6 + 5e-7)
+      assert(ns >= 1 && ns <= 20)
+    }
+  }
+}
