@@ -41,15 +41,19 @@ object SketchQueries {
           (e.est - t.n) <= ceil(tot.nn * 2.718281828459045 / $CmsWidth) AS within_bound
         FROM top t JOIN est e ON e.token = t.token, tot"""
 
-  /** The x41/s09 verification tail: exact top-20 + estimates off `grid`,
-    * every frame built on `session` (for s09 that is the stream's child
-    * session, so plan resolution never crosses sessions). */
+  /** The x41/s09 verification tail: exact top-20 + estimates off `grid`.
+    * The exact unigram frame re-aggregates the pass-wide shared wordcount
+    * stage (exact integer sums, so identical to a private tokenize) —
+    * before round 9 both x41 and s09 re-exploded the corpus privately
+    * here, ~1.5 s each at sf0.1 that the shared frame already paid. */
   private def cmsVerifyOutput(session: org.apache.spark.sql.SparkSession,
                               d: String, grid: org.apache.spark.sql.DataFrame) = {
-    val tok = t(session, d, "documents")
-      .select(explode(split(col("text"), " ")).as("token"))
-    val uni = graft.util.PersistScope.track(
-      tok.groupBy("token").agg(count(lit(1)).as("n"))
+    // Pass-wide: x41 and s09 both read this identical vocab-sized frame
+    // (PersistScope would persist it twice under Verify's concurrent pool).
+    val uni = graft.util.SharedStages.cached(
+      s"cms-unigram|$d|${System.identityHashCode(session)}")(
+      OpsQueries.sharedWordCounts(session, d)
+        .groupBy("token").agg(sum("c").as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tot = uni.agg(sum("n").as("nn"))
     val top = uni.orderBy(col("n").desc, col("token")).limit(20)
@@ -122,9 +126,18 @@ object SketchQueries {
       val q = graft.streaming.EventStream.runCmsMaintain(s, d, name, CmsDepth, CmsWidth)
       q.awaitTermination(300000)
       if (q.isActive) q.stop()
-      val cs = q.sparkSession // build everything on the stream's session
+      val cs = q.sparkSession // the memory sink registers in the stream's session
+      // The grid is ≤ depth×width cells BY CONSTRUCTION (the sketch
+      // property) — small enough to lift onto the parent session as a
+      // local relation, so the verify tail runs where the pass-wide
+      // shared wordcount stage lives instead of on the stream's child
+      // session (which cannot see the parent's cache). Same class of
+      // bounded driver materialization as a broadcast benchmark set.
+      import s.implicits._
       val grid = cs.table(name).groupBy("j", "bucket").agg(max("bc").as("bc"))
-      cmsVerifyOutput(cs, d, grid)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("j", "bucket", "bc")
+      cmsVerifyOutput(s, d, grid)
     },
 
     // The x41 scale path operationalized: candidates from per-SHARD
