@@ -219,5 +219,33 @@ object CurationQueries {
           col("tok_sum").cast("long").as("tok_sum"),
           round(col("tok_sum").cast("double") / col("n_docs"), 6).as("mean_len"),
           col("n_sources").cast("long").as("n_sources"))
+    },
+
+    // x31's per-source token budget as a STREAMING admission gate (s15):
+    // docs arrive through a file stream and each is accepted or rejected
+    // at arrival against its source's remaining budget — the quota
+    // controller an unbounded ingest runs, with ONE long of keyed state
+    // per source (tokens seen so far) and nothing to watermark.
+    // Truncation semantics match x31: the counter advances on every doc,
+    // so the admitted set is an order-prefix (monotone gate — once over
+    // budget, closed for good). The oracle is x31's window form ordered
+    // by doc_id (the replay's intra-batch sort order), emitting BOTH
+    // dispositions so the rejected branch is oracle-pinned too.
+    QueryDef("s15_stream_quota",
+      """SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           before_doc < budget AS accepted
+         FROM (
+           SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+             coalesce(sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_doc,
+             (1 + CAST(substr(source, 4) AS INT) % 3) * 3000 AS budget
+           FROM documents)""") { (s, d) =>
+      val name = "s15_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runQuotaMaintain(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("accepted"))
     })
 }

@@ -537,6 +537,57 @@ object EventStream {
       .start()
   }
 
+  /** Streaming per-source token-quota admission (s15): x31's budget gate
+    * run as the unbounded ingest control it is in production — every doc
+    * is admitted or rejected AT ARRIVAL against its source's remaining
+    * budget, where the cumulative token count seen so far is ONE long of
+    * CUSTOM KEYED STATE per source. Truncation semantics, same as x31:
+    * the count advances on every doc (admitted or not), so the admitted
+    * set is an order-prefix and the gate stays monotone — once a source
+    * crosses its budget nothing more gets in, no matter how small. State
+    * size = source count by construction; nothing to watermark.
+    *
+    * Same batch-order contract as [[runPackingMaintain]]: groups sort by
+    * doc_id within a micro-batch, so the single-batch replay reproduces
+    * the doc_id-ordered oracle exactly; multi-batch arrival degrades to
+    * arrival-order admission — the honest streaming semantics. */
+  def runQuotaMaintain(spark: SparkSession, dir: String, queryName: String,
+                       glob: String = "documents.parquet",
+                       statePartitions: Option[Int] = Some(4),
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val schema = schemaCache.computeIfAbsent((dir, glob),
+      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
+    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val gated = reader.parquet(dir)
+      .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          val budget = (1L + source.drop(3).toLong % 3) * 3000L
+          var before = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, docId, nt) =>
+            val accepted = before < budget
+            before += nt
+            (source, docId, nt, accepted)
+          }
+          state.update(before)
+          out.iterator
+      }
+      .toDF("source", "doc_id", "n_tokens", "accepted")
+    gated.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming weighted-sample maintenance (s14): x81's priority sample
     * kept current as docs arrive, with the CUSTOM bounded-heap aggregate
     * (TopKMinExpr, a TypedImperativeAggregate) as the state-store value —

@@ -371,6 +371,66 @@ class EventStreamSpec extends SparkSpec {
       "bins must equal the arrival-order fold for the split order the source chose")
   }
 
+  test("streaming quota carries the budget counter across micro-batches (monotone gate)") {
+    // Same 3-file split as the packing test: the source's cumulative token
+    // counter must survive batch boundaries, so the admitted set equals
+    // the arrival-order fold for whichever file order the source chose —
+    // and once a source crosses its budget in an early batch, every later
+    // doc of that source is rejected no matter its size.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = Files.createTempDirectory("stream_quota").toString
+    // sf0.1: the only SF whose per-source token mass EXCEEDS the budgets
+    // (~13k tokens vs 3k-9k) — at sf0.001 every doc is admitted and the
+    // rejected branch this test exists to pin would be dead.
+    val raw = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for (i <- 0 until 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/docs_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runQuotaMaintain(spark, tmp, "s15_spec_sink",
+      glob = "docs_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one data micro-batch per split file")
+    val got = q.sparkSession.table("s15_spec_sink").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("accepted")).toMap
+    val docs = raw.select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.size == docs.length, "one emission per doc")
+    def acceptFor(order: Seq[Int]): Map[Long, Boolean] = {
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      docs.sortBy { case (id, _, _) => (order.indexOf((id % 3).toInt), id) }
+        .map { case (id, src, nt) =>
+          val budget = (1L + src.drop(3).toLong % 3) * 3000L
+          val before = seen.getOrElse(src, 0L)
+          seen(src) = before + nt
+          id -> (before < budget)
+        }.toMap
+    }
+    val perms = Seq(0, 1, 2).permutations.toSeq
+    val matching = perms.find(p => acceptFor(p) == got)
+    assert(matching.isDefined,
+      "admissions must equal the arrival-order fold for the split order the source chose")
+    // monotone closure: in the matched order, per source no accepted doc
+    // follows a rejected one
+    val order = matching.get
+    for ((_, perSrc) <- docs.sortBy { case (id, _, _) =>
+        (order.indexOf((id % 3).toInt), id) }.groupBy(_._2)) {
+      val flags = perSrc.map(t => got(t._1))
+      assert(!flags.zip(flags.drop(1)).exists { case (a, b) => !a && b },
+        "a rejected doc must never be followed by an accepted one")
+    }
+    assert(got.valuesIterator.exists(_ == true) && got.valuesIterator.exists(_ == false),
+      "both dispositions live")
+  }
+
   test("streaming weighted sample merges heap state across micro-batches to the batch sample") {
     // Unlike packing, the priority sample is ORDER-INDEPENDENT: the final
     // top-k must equal the batch x81 result exactly no matter how the
