@@ -221,6 +221,83 @@ object CurationQueries {
           col("n_sources").cast("long").as("n_sources"))
     },
 
+    // LSH band/row tuning curve — the "set your dedup thresholds with
+    // evidence" operator (x78's nprobe-curve idea applied to MinHash):
+    // the SAME 8-hash signature banded four ways (8×1, 4×2, 2×4, 1×8),
+    // each config's candidate pairs counted and scored for precision and
+    // recall against exact Jaccard ≥ 0.8 ground truth. Bandings are
+    // NESTED (sharing an r-row band implies sharing each of its single
+    // hashes), so the 1-row config's candidate set is a superset of every
+    // other's — exact Jaccard is computed once, on that superset, and
+    // recall is measured against its verified truth (the standard LSH
+    // calibration protocol; truth beyond ANY single shared hash has
+    // probability (1−s)^8 < 10⁻⁵ at s = 0.8). Scale: band equi-joins
+    // throughout, pair-level work bounded by the superset candidates; a
+    // production run puts the x40 hot-bucket cap in front of the 1-row
+    // join (single-hash buckets are the boilerplate-sensitive ones).
+    QueryDef("x90_lsh_tuning_curve",
+      s"""WITH s AS (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig,
+                list_distinct(${OpsQueries.ShinglesSql}) AS sh FROM documents
+              WHERE len(string_split(text, ' ')) >= 3),
+          cfg AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8)) AS t(b, r)),
+          bands AS (SELECT cfg.b, cfg.r, s.doc_id, g.i AS band,
+                md5(list_aggregate(sig[(g.i*cfg.r+1):((g.i+1)*cfg.r)], 'string_agg', ',')) AS bh
+              FROM s, cfg, unnest(generate_series(0, cfg.b - 1)) AS g(i)),
+          cand AS (SELECT DISTINCT b, r, a.doc_id AS id1, b2.doc_id AS id2
+              FROM bands a JOIN bands b2 USING (b, r, band, bh)
+              WHERE a.doc_id < b2.doc_id),
+          t81 AS (SELECT id1, id2 FROM cand WHERE b = 8),
+          jac AS (SELECT t.id1, t.id2,
+                len(list_intersect(a.sh, b2.sh))::DOUBLE / len(list_distinct(a.sh || b2.sh)) AS j
+              FROM t81 t JOIN s a ON a.doc_id = t.id1 JOIN s b2 ON b2.doc_id = t.id2),
+          truth AS (SELECT id1, id2 FROM jac WHERE j >= 0.8),
+          nt AS (SELECT count(*) AS n_truth FROM truth)
+          SELECT c.b AS bands, c.r AS rows_per_band,
+            CAST(count(*) AS BIGINT) AS n_candidates,
+            CAST(count(tr.id1) AS BIGINT) AS n_true,
+            round(count(tr.id1)::DOUBLE / count(*), 6) AS precision,
+            round(count(tr.id1)::DOUBLE / nt.n_truth, 6) AS recall
+          FROM cand c LEFT JOIN truth tr ON tr.id1 = c.id1 AND tr.id2 = c.id2, nt
+          GROUP BY c.b, c.r, nt.n_truth""") { (s, d) =>
+      val toks = OpsQueries.tokens(col("text"))
+      val s0 = graft.util.PersistScope.track(
+        t(s, d, "documents").filter(size(toks) >= 3)
+          .withColumn("sig", MinHashFromTokensExpr.minhash_from_tokens(toks, 8))
+          .withColumn("sh", array_distinct(OpsQueries.shingles(toks)))
+          .select("doc_id", "sig", "sh")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bands = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) =>
+        s0.select(lit(b).as("b"), lit(r).as("r"), col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(b - 1)),
+            i => md5(concat_ws(",", slice(col("sig"), i * r + 1, lit(r))))))
+            .as(Seq("band", "bh")))
+      }.reduce(_ union _)
+      val cand = graft.util.PersistScope.track(
+        bands.select(col("b"), col("r"), col("band"), col("bh"), col("doc_id").as("id1"))
+          .join(bands.select(col("b"), col("r"), col("band"), col("bh"),
+            col("doc_id").as("id2")), Seq("b", "r", "band", "bh"))
+          .filter(col("id1") < col("id2"))
+          .select("b", "r", "id1", "id2").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val truth = graft.util.PersistScope.track(
+        cand.filter(col("b") === 8).select("id1", "id2")
+          .join(s0.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+          .join(s0.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+          .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+            / size(array_union(col("sh1"), col("sh2"))) >= 0.8)
+          .select("id1", "id2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      cand.join(truth.withColumn("tr", lit(1)), Seq("id1", "id2"), "left")
+        .groupBy("b", "r").agg(count(lit(1)).as("n_candidates"), count(col("tr")).as("n_true"))
+        .crossJoin(broadcast(nt))
+        .select(col("b").as("bands"), col("r").as("rows_per_band"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          col("n_true").cast("long").as("n_true"),
+          round(col("n_true").cast("double") / col("n_candidates"), 6).as("precision"),
+          round(col("n_true").cast("double") / col("n_truth"), 6).as("recall"))
+    },
+
     // x31's per-source token budget as a STREAMING admission gate (s15):
     // docs arrive through a file stream and each is accepted or rejected
     // at arrival against its source's remaining budget — the quota

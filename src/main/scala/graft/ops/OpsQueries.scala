@@ -28,13 +28,13 @@ object OpsQueries {
   // ---- shared building blocks -------------------------------------------
 
   /** Word tokens (split on single spaces — documents are single-spaced). */
-  private def tokens(text: Column): Column = split(text, " ")
+  private[ops] def tokens(text: Column): Column = split(text, " ")
 
   /** Word 3-gram shingles of a token array. Docs with fewer than 3 tokens
     * yield an empty array — `sequence(1, 0)` would count DOWN on Spark
     * (unlike DuckDB's empty `generate_series`) and then hit index 0 in
     * `element_at`, so the degenerate case must be guarded explicitly. */
-  private def shingles(toks: Column): Column =
+  private[ops] def shingles(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
@@ -47,7 +47,7 @@ object OpsQueries {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands x 2 hashes
 
-  private val MinhashSigSql =
+  private[ops] val MinhashSigSql =
     s"""list_transform(generate_series(0, ${NumHashes - 1}),
         j -> list_min(list_transform($ShinglesSql, x -> md5(j::VARCHAR || '|' || x))))"""
 

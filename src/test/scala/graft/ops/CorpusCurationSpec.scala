@@ -110,6 +110,28 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows.filter(_._5 == 1).exists(_._6 > 0), "some source takes a partial epoch")
   }
 
+  test("x90 tuning curve: nested candidates, monotone recall, anchored truth") {
+    val rows = graft.SparkEntry.queries("x90_lsh_tuning_curve")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._2)
+    graft.util.PersistScope.releaseAll()
+    assert(rows.map(t => (t._1, t._2)).sameElements(
+      Seq((8, 1), (4, 2), (2, 4), (1, 8))), "all four configs present")
+    for ((_, _, cand, tru, prec, rec) <- rows) {
+      assert(tru <= cand && tru >= 0)
+      assert(prec > 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    }
+    // bandings are nested: fewer, wider bands can only LOSE candidates
+    assert(rows.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // ...and with them true pairs, so recall is non-increasing
+    assert(rows.map(_._6).sliding(2).forall { case Array(a, b) => a >= b - 1e-9; case _ => true })
+    // truth is defined on the 1-row superset, so its recall is exactly 1
+    assert(math.abs(rows.head._6 - 1.0) < 1e-9)
+    // the curve must actually trade: the superset is noisier than the
+    // narrowest config on this corpus
+    assert(rows.head._5 < rows.last._5)
+  }
+
   test("x89 phases: an even partition, length-monotone across phases") {
     val rows = graft.SparkEntry.queries("x89_curriculum_phases")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
