@@ -266,12 +266,16 @@ object CurationQueries {
           .withColumn("sh", array_distinct(OpsQueries.shingles(toks)))
           .select("doc_id", "sig", "sh")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val bands = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) =>
-        s0.select(lit(b).as("b"), lit(r).as("r"), col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(b - 1)),
-            i => md5(concat_ws(",", slice(col("sig"), i * r + 1, lit(r))))))
-            .as(Seq("band", "bh")))
-      }.reduce(_ union _)
+      // persisted: BOTH sides of the self-join read it (without the persist
+      // each side re-derives the 4-config union — 8 passes of band hashing)
+      val bands = graft.util.PersistScope.track(
+        Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) =>
+          s0.select(lit(b).as("b"), lit(r).as("r"), col("doc_id"),
+            posexplode(transform(sequence(lit(0), lit(b - 1)),
+              i => md5(concat_ws(",", slice(col("sig"), i * r + 1, lit(r))))))
+              .as(Seq("band", "bh")))
+        }.reduce(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val cand = graft.util.PersistScope.track(
         bands.select(col("b"), col("r"), col("band"), col("bh"), col("doc_id").as("id1"))
           .join(bands.select(col("b"), col("r"), col("band"), col("bh"),
@@ -296,6 +300,50 @@ object CurationQueries {
           col("n_true").cast("long").as("n_true"),
           round(col("n_true").cast("double") / col("n_candidates"), 6).as("precision"),
           round(col("n_true").cast("double") / col("n_truth"), 6).as("recall"))
+    },
+
+    // Quality-route × duplication cross-tab — the audit that tells a
+    // curation pipeline whether its quality gate and its dedup stage are
+    // measuring the SAME pathology (low-quality docs that are also dups
+    // get dropped twice for one reason) or independent ones (each stage
+    // earns its keep). Composes s10/x09's disposition routing with the
+    // shared near-dup components: per route, how many docs sit in a
+    // verified near-dup cluster. Scale: disposition is a pure map;
+    // cluster membership is an id-keyed semi-join against the shared
+    // component frame (every lab member has ≥1 verified edge, so
+    // membership IS duplication); one 3-row aggregate at the end — the
+    // whole query costs two cheap joins on top of stages other queries
+    // already paid.
+    QueryDef("x91_quality_vs_dup",
+      "WITH RECURSIVE " + OpsQueries.componentsCteOver("documents") + """,
+          q AS (SELECT doc_id,
+              CASE WHEN nt < 15 THEN 'short'
+                   WHEN ns * 25 < nt THEN 'low_stopword'
+                   ELSE 'keep' END AS disposition
+            FROM (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+                    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS ns
+                  FROM documents))
+          SELECT q.disposition, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(lab.doc_id) AS BIGINT) AS n_dup,
+            round(count(lab.doc_id)::DOUBLE / count(*), 6) AS dup_rate
+          FROM q LEFT JOIN lab ON lab.doc_id = q.doc_id
+          GROUP BY 1""") { (s, d) =>
+      val toks = OpsQueries.tokens(col("text"))
+      val q = t(s, d, "documents")
+        .select(col("doc_id"), size(toks).as("nt"),
+          size(filter(toks, tk => tk.isin("the", "a"))).as("ns"))
+        .withColumn("disposition",
+          when(col("nt") < 15, "short")
+            .when(col("ns") * 25 < col("nt"), "low_stopword")
+            .otherwise("keep"))
+      val dup = OpsQueries.sharedComponents(s, d)
+        .select(col("id").as("doc_id"), lit(1).as("in_dup"))
+      q.join(dup, Seq("doc_id"), "left")
+        .groupBy("disposition")
+        .agg(count(lit(1)).as("n_docs"), count(col("in_dup")).as("n_dup"))
+        .select(col("disposition"), col("n_docs").cast("long").as("n_docs"),
+          col("n_dup").cast("long").as("n_dup"),
+          round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"))
     },
 
     // x31's per-source token budget as a STREAMING admission gate (s15):

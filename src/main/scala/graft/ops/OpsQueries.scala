@@ -241,7 +241,7 @@ object OpsQueries {
     * their rep's star). Same components and min-labels as the full
     * expanded pair set at O(n) instead of O(n²) edges per duplicate
     * group — at the 30× stress that is 155k edges in place of 2.3M. */
-  private def sharedComponents(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[ops] def sharedComponents(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.util.SharedStages.cached(s"documents-components|$d|${System.identityHashCode(s)}") {
       val m = sharedRepMap(s, d)
       val stars = m.filter(col("doc_id") =!= col("rep"))

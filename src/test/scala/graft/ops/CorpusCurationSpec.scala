@@ -132,6 +132,20 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows.head._5 < rows.last._5)
   }
 
+  test("x91 cross-tab: partitions the corpus, dup counts bounded and live") {
+    val rows = graft.SparkEntry.queries("x91_quality_vs_dup")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graft.util.SharedStages.releaseAll()
+    assert(rows.map(_._1).sorted.sameElements(Seq("keep", "low_stopword", "short")),
+      "all three dispositions present")
+    assert(rows.map(_._2).sum == 500, "dispositions partition the corpus")
+    for ((_, n, dup, rate) <- rows) {
+      assert(dup >= 0 && dup <= n)
+      assert(math.abs(rate - dup.toDouble / n) < 1e-6 + 5e-7)
+    }
+    assert(rows.map(_._3).sum > 0, "the corpus plants near-dups; some route sees them")
+  }
+
   test("x89 phases: an even partition, length-monotone across phases") {
     val rows = graft.SparkEntry.queries("x89_curriculum_phases")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
