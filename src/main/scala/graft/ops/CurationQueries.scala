@@ -346,6 +346,83 @@ object CurationQueries {
           round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"))
     },
 
+    // Intra-source DRIFT: KL divergence between each source's front and
+    // back halves (doc_id order = ingest order) — the monitoring signal
+    // that catches a crawl whose content shifted mid-collection, where
+    // x39's KL-from-blend would still read "normal" (both halves equally
+    // far from the corpus). Add-one smoothing over the source's OWN vocab
+    // makes every term finite; per-term values are exact-count ratios
+    // snapped to int64 fixed-point (the x39/x24 trick) before the
+    // cross-row sum, so the result is bit-identical on any partitioning.
+    // Shape: the half label is one per-source window over doc ids (x25's
+    // accepted shape; sub-bucketable at production source sizes); counts
+    // re-reduce from the shared wordcount frame; the term grid is
+    // vocab-sized per source, never corpus-sized.
+    QueryDef("x92_source_drift",
+      """WITH dt AS (SELECT source, doc_id FROM documents),
+         n AS (SELECT source, count(*) AS nd FROM dt GROUP BY 1),
+         r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM dt),
+         h AS (SELECT r.source, r.doc_id, CASE WHEN r.rn * 2 <= n.nd THEN 0 ELSE 1 END AS half
+               FROM r JOIN n USING (source)),
+         tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents),
+         hc AS (SELECT tok.source, h.half, tok.token, count(*) AS c
+                FROM tok JOIN h ON h.doc_id = tok.doc_id GROUP BY 1, 2, 3),
+         va AS (SELECT DISTINCT source, token FROM hc),
+         vt AS (SELECT source, count(*) AS vv FROM va GROUP BY 1),
+         nt AS (SELECT source, half, sum(c) AS n FROM hc GROUP BY 1, 2),
+         grid AS (SELECT va.source, va.token,
+                    coalesce(f.c, 0) AS cf, coalesce(b.c, 0) AS cb
+                  FROM va
+                  LEFT JOIN hc f ON f.source = va.source AND f.token = va.token AND f.half = 0
+                  LEFT JOIN hc b ON b.source = va.source AND b.token = va.token AND b.half = 1),
+         j AS (SELECT g.source,
+                 (g.cf + 1)::DOUBLE / (nf.n + vt.vv) AS qf,
+                 (g.cb + 1)::DOUBLE / (nb.n + vt.vv) AS qb,
+                 nf.n AS nf, nb.n AS nb, vt.vv AS vv
+               FROM grid g
+               JOIN nt nf ON nf.source = g.source AND nf.half = 0
+               JOIN nt nb ON nb.source = g.source AND nb.half = 1
+               JOIN vt ON vt.source = g.source)
+         SELECT source, CAST(any_value(nf) AS BIGINT) AS n_front_tokens,
+           CAST(any_value(nb) AS BIGINT) AS n_back_tokens,
+           CAST(any_value(vv) AS BIGINT) AS vocab,
+           round(sum(CAST(floor(qf * ln(qf / qb) * 1000000000 + 0.5) AS BIGINT)) / 1000000000.0, 6) AS kl_drift
+         FROM j GROUP BY source""") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.groupBy("source").agg(count(lit(1)).as("nd"))
+      val h = docs.select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .join(n, "source")
+        .select(col("doc_id"), when(col("rn") * 2 <= col("nd"), 0).otherwise(1).as("half"))
+      val hc = graft.util.PersistScope.track(
+        OpsQueries.sharedWordCounts(s, d).join(h, "doc_id")
+          .groupBy("source", "half", "token").agg(sum("c").as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val va = hc.select("source", "token").distinct()
+      val vt = va.groupBy("source").agg(count(lit(1)).as("vv"))
+      val nt = hc.groupBy("source", "half").agg(sum("c").as("n"))
+      val grid = va
+        .join(hc.filter(col("half") === 0)
+          .select(col("source"), col("token"), col("c").as("cf")), Seq("source", "token"), "left")
+        .join(hc.filter(col("half") === 1)
+          .select(col("source"), col("token"), col("c").as("cb")), Seq("source", "token"), "left")
+        .select(col("source"), col("token"),
+          coalesce(col("cf"), lit(0L)).as("cf"), coalesce(col("cb"), lit(0L)).as("cb"))
+      val qf = (col("cf") + 1).cast("double") / (col("nf") + col("vv"))
+      val qb = (col("cb") + 1).cast("double") / (col("nb") + col("vv"))
+      grid
+        .join(nt.filter(col("half") === 0).select(col("source"), col("n").as("nf")), "source")
+        .join(nt.filter(col("half") === 1).select(col("source"), col("n").as("nb")), "source")
+        .join(vt, "source")
+        .withColumn("term", floor(qf * log(qf / qb) * 1000000000L + 0.5).cast("long"))
+        .groupBy("source")
+        .agg(max("nf").cast("long").as("n_front_tokens"),
+          max("nb").cast("long").as("n_back_tokens"),
+          max("vv").cast("long").as("vocab"),
+          round(sum("term") / 1000000000.0, 6).as("kl_drift"))
+    },
+
     // x31's per-source token budget as a STREAMING admission gate (s15):
     // docs arrive through a file stream and each is accepted or rejected
     // at arrival against its source's remaining budget — the quota

@@ -146,6 +146,34 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0, "the corpus plants near-dups; some route sees them")
   }
 
+  test("x92 drift: nonnegative, near zero on homogeneous halves, and planted drift fires") {
+    val rows = graft.SparkEntry.queries("x92_source_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    graft.util.SharedStages.releaseAll()
+    graft.util.PersistScope.releaseAll()
+    assert(rows.length == 20)
+    for ((_, nf, nb, vv, kl) <- rows) {
+      assert(nf > 0 && nb > 0 && vv > 0)
+      // KL >= 0 up to the 1e-9-per-term fixed-point snap
+      assert(kl >= -1e-6, s"negative drift $kl")
+    }
+    // planted: a source whose vocabulary flips between halves must read
+    // far higher drift than one drawn from a single distribution
+    import spark.implicits._
+    val front = (0 until 10).map(i => (i.toLong, (1 to 30).map(j => s"alpha${j % 5}").mkString(" "), "en", "srcdrift", 0L))
+    val back = (10 until 20).map(i => (i.toLong, (1 to 30).map(j => s"beta${j % 5}").mkString(" "), "en", "srcdrift", 0L))
+    val flat = (20 until 40).map(i => (i.toLong + 80, (1 to 30).map(j => s"gamma${j % 5}").mkString(" "), "en", "srcflat", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    (front ++ back ++ flat).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val planted = graft.SparkEntry.queries("x92_source_drift")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    graft.util.SharedStages.releaseAll()
+    graft.util.PersistScope.releaseAll()
+    assert(planted("srcdrift") > 1.0, s"vocab flip must read high drift, got ${planted("srcdrift")}")
+    assert(math.abs(planted("srcflat")) < 1e-6, s"homogeneous source must read ~0, got ${planted("srcflat")}")
+  }
+
   test("x89 phases: an even partition, length-monotone across phases") {
     val rows = graft.SparkEntry.queries("x89_curriculum_phases")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
