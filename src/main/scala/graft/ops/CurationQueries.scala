@@ -423,6 +423,57 @@ object CurationQueries {
           round(sum("term") / 1000000000.0, 6).as("kl_drift"))
     },
 
+    // Temperature SWEEP — x63's α = 0.5 mixture generalized to the
+    // decision table a mixture designer actually reads (the x78/x90
+    // "curve" family): per α ∈ {0.25, 0.5, 0.75, 1.0}, every source's
+    // temperature share and up/downsample direction. Cross-engine float
+    // discipline: fractional powers come ONLY from sqrt compositions —
+    // p^¼ = √√p, p^¾ = √p·√√p — because IEEE sqrt (and double multiply)
+    // are correctly rounded and therefore bit-identical in Spark and
+    // DuckDB, where libm pow() is not. Each power is snapped to int64
+    // fixed-point BEFORE the per-α normalizer sum (the x63/x39 idiom), so
+    // normalizers are order-free integer sums. Shape: sources×4 rows off
+    // the shared wordcount pass; normalizers are a 4-row broadcast.
+    QueryDef("x93_temperature_sweep",
+      """WITH st AS (SELECT source, count(*) AS n FROM
+           (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM st),
+         a AS (SELECT unnest([25, 50, 75, 100]) AS alpha_pct),
+         term AS (SELECT st.source, st.n, a.alpha_pct,
+             CAST(floor(CASE a.alpha_pct
+                 WHEN 25 THEN sqrt(sqrt(st.n::DOUBLE / tot.nn))
+                 WHEN 50 THEN sqrt(st.n::DOUBLE / tot.nn)
+                 WHEN 75 THEN sqrt(st.n::DOUBLE / tot.nn) * sqrt(sqrt(st.n::DOUBLE / tot.nn))
+                 ELSE st.n::DOUBLE / tot.nn END * 1000000000 + 0.5) AS BIGINT) AS w
+           FROM st, tot, a),
+         ts AS (SELECT alpha_pct, sum(w) AS tw FROM term GROUP BY 1)
+         SELECT term.source, CAST(term.alpha_pct AS INT) AS alpha_pct,
+           CAST(term.n AS BIGINT) AS n_tokens,
+           round(term.n::DOUBLE / tot.nn, 6) AS share,
+           round(term.w::DOUBLE / ts.tw, 6) AS temp_share,
+           round(term.w::DOUBLE / ts.tw, 6) > round(term.n::DOUBLE / tot.nn, 6) AS upsampled
+         FROM term JOIN ts USING (alpha_pct), tot""") { (s, d) =>
+      val st = OpsQueries.sharedWordCounts(s, d)
+        .groupBy("source").agg(sum("c").as("n"))
+      val tot = st.agg(sum("n").as("nn"))
+      val p = col("n").cast("double") / col("nn")
+      val term = st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"), col("nn"),
+          explode(array(Seq(25, 50, 75, 100).map(lit): _*)).as("alpha_pct"))
+        .withColumn("w", floor(
+          when(col("alpha_pct") === 25, sqrt(sqrt(p)))
+            .when(col("alpha_pct") === 50, sqrt(p))
+            .when(col("alpha_pct") === 75, sqrt(p) * sqrt(sqrt(p)))
+            .otherwise(p) * 1000000000L + 0.5).cast("long"))
+      val ts = term.groupBy("alpha_pct").agg(sum("w").as("tw"))
+      term.join(broadcast(ts), "alpha_pct")
+        .select(col("source"), col("alpha_pct").cast("int").as("alpha_pct"),
+          col("n").cast("long").as("n_tokens"),
+          round(p, 6).as("share"),
+          round(col("w").cast("double") / col("tw"), 6).as("temp_share"),
+          (round(col("w").cast("double") / col("tw"), 6) > round(p, 6)).as("upsampled"))
+    },
+
     // x31's per-source token budget as a STREAMING admission gate (s15):
     // docs arrive through a file stream and each is accepted or rejected
     // at arrival against its source's remaining budget — the quota

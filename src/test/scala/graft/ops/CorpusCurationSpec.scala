@@ -174,6 +174,30 @@ class CorpusCurationSpec extends SparkSpec {
     assert(math.abs(planted("srcflat")) < 1e-6, s"homogeneous source must read ~0, got ${planted("srcflat")}")
   }
 
+  test("x93 sweep: shares normalize per alpha, flattening is monotone in temperature") {
+    val rows = graft.SparkEntry.queries("x93_temperature_sweep")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    graft.util.SharedStages.releaseAll()
+    assert(rows.length == 20 * 4)
+    for ((alpha, group) <- rows.groupBy(_._2)) {
+      // fixed-point snap + 6dp rounding: the per-alpha shares still sum to ~1
+      assert(math.abs(group.map(_._5).sum - 1.0) < 1e-4, s"alpha $alpha shares don't normalize")
+      for ((_, _, _, share, ts, up) <- group) assert(up == (ts > share))
+    }
+    // alpha = 1.0 is the identity: temp share == raw share to rounding
+    for ((_, a, _, share, ts, _) <- rows if a == 100)
+      assert(math.abs(ts - share) < 2e-6)
+    // temperature flattens monotonically: the largest source's share can
+    // only shrink as alpha drops, the smallest source's can only grow
+    val bySrc = rows.groupBy(_._1)
+    val maxSrc = bySrc.maxBy(_._2.map(_._3).max)._2.sortBy(_._2).map(_._5)
+    val minSrc = bySrc.minBy(_._2.map(_._3).min)._2.sortBy(_._2).map(_._5)
+    assert(maxSrc.sliding(2).forall { case Array(lo, hi) => lo <= hi + 2e-6; case _ => true },
+      "head source share must grow with alpha")
+    assert(minSrc.sliding(2).forall { case Array(lo, hi) => lo >= hi - 2e-6; case _ => true },
+      "tail source share must shrink with alpha")
+  }
+
   test("x89 phases: an even partition, length-monotone across phases") {
     val rows = graft.SparkEntry.queries("x89_curriculum_phases")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
