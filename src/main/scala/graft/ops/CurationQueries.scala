@@ -474,6 +474,39 @@ object CurationQueries {
           (round(col("w").cast("double") / col("tw"), 6) > round(p, 6)).as("upsampled"))
     },
 
+    // Composed streaming INGEST GATE (s16) — s10's quality router and
+    // s15's token quota fused into the one stateful pass a production
+    // ingest runs: every doc is routed, and only keep-routed docs draw
+    // from their source's budget (the counter measures admitted QUALITY
+    // mass — junk must not starve the budget). State is still one long
+    // per source; the oracle is the keep-substream window form, emitting
+    // route AND admission for every doc so all four outcome combinations
+    // are pinned (keep+accepted, keep+over-budget, short, low_stopword).
+    QueryDef("s16_stream_ingest_gate",
+      """SELECT source, doc_id, CAST(nt AS BIGINT) AS n_tokens, disposition,
+           disposition = 'keep' AND coalesce(before_keep, 0) < budget AS accepted
+         FROM (
+           SELECT source, doc_id, nt, disposition,
+             sum(CASE WHEN disposition = 'keep' THEN nt END) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_keep,
+             (1 + CAST(substr(source, 4) AS INT) % 3) * 3000 AS budget
+           FROM (
+             SELECT source, doc_id, len(string_split(text, ' ')) AS nt,
+               CASE WHEN len(string_split(text, ' ')) < 15 THEN 'short'
+                    WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 25
+                         < len(string_split(text, ' ')) THEN 'low_stopword'
+                    ELSE 'keep' END AS disposition
+             FROM documents))""") { (s, d) =>
+      val name = "s16_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runIngestGate(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("disposition"), col("accepted"))
+    },
+
     // x31's per-source token budget as a STREAMING admission gate (s15):
     // docs arrive through a file stream and each is accepted or rejected
     // at arrival against its source's remaining budget — the quota

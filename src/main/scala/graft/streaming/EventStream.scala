@@ -588,6 +588,59 @@ object EventStream {
       .start()
   }
 
+  /** Composed streaming INGEST GATE (s16): the front door a training-data
+    * ingest actually runs — s10's quality routing and s15's token quota in
+    * ONE stateful pass. Every arriving doc is routed (keep / low_stopword /
+    * short, stateless per-row metrics) and only keep-routed docs draw from
+    * their source's token budget, so the quota counter measures ADMITTED
+    * QUALITY MASS, not raw arrivals — rejecting junk must not starve the
+    * budget. State stays ONE long per source; same batch-order contract as
+    * [[runPackingMaintain]] (intra-batch sort by doc_id → the single-batch
+    * replay reproduces the doc_id-ordered oracle; multi-batch arrival is
+    * honest arrival-order gating). */
+  def runIngestGate(spark: SparkSession, dir: String, queryName: String,
+                    glob: String = "documents.parquet",
+                    statePartitions: Option[Int] = Some(4),
+                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val schema = schemaCache.computeIfAbsent((dir, glob),
+      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
+    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val toks = split(col("text"), " ")
+    val gated = reader.parquet(dir)
+      .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        size(toks).cast("long").as("nt"),
+        size(filter(toks, t => t.isin("the", "a"))).cast("long").as("ns"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, String, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long, Long)], state: GroupState[Long]) =>
+          val budget = (1L + source.drop(3).toLong % 3) * 3000L
+          var before = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, docId, nt, ns) =>
+            val disposition =
+              if (nt < 15) "short"
+              else if (ns * 25 < nt) "low_stopword"
+              else "keep"
+            val accepted = disposition == "keep" && before < budget
+            if (disposition == "keep") before += nt
+            (source, docId, nt, disposition, accepted)
+          }
+          state.update(before)
+          out.iterator
+      }
+      .toDF("source", "doc_id", "n_tokens", "disposition", "accepted")
+    gated.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming weighted-sample maintenance (s14): x81's priority sample
     * kept current as docs arrive, with the CUSTOM bounded-heap aggregate
     * (TopKMinExpr, a TypedImperativeAggregate) as the state-store value —

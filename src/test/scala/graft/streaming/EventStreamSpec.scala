@@ -431,6 +431,63 @@ class EventStreamSpec extends SparkSpec {
       "both dispositions live")
   }
 
+  test("streaming ingest gate: quality routing composed with quota state across batches") {
+    // The composed front door: only keep-routed docs draw budget, and the
+    // keep-token counter must survive micro-batch boundaries. Run at
+    // sf0.1 (budgets bind there) split into 3 files; assert the fold for
+    // the source's chosen file order AND that all four outcome classes
+    // are live: keep+accepted, keep+over-budget, short, low_stopword.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = Files.createTempDirectory("stream_gate").toString
+    val raw = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for (i <- 0 until 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/docs_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runIngestGate(spark, tmp, "s16_spec_sink",
+      glob = "docs_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one data micro-batch per split file")
+    val got = q.sparkSession.table("s16_spec_sink").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("disposition"), r.getAs[Boolean]("accepted")))).toMap
+    val docs = raw.select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.split(col("text"), " "),
+          t => t.isin("the", "a"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.size == docs.length, "one emission per doc")
+    def gateFor(order: Seq[Int]): Map[Long, (String, Boolean)] = {
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      docs.sortBy { case (id, _, _, _) => (order.indexOf((id % 3).toInt), id) }
+        .map { case (id, src, nt, ns) =>
+          val budget = (1L + src.drop(3).toLong % 3) * 3000L
+          val disp = if (nt < 15) "short"
+            else if (ns * 25 < nt) "low_stopword" else "keep"
+          val before = seen.getOrElse(src, 0L)
+          val acc = disp == "keep" && before < budget
+          if (disp == "keep") seen(src) = before + nt
+          id -> ((disp, acc))
+        }.toMap
+    }
+    val perms = Seq(0, 1, 2).permutations.toSeq
+    assert(perms.exists(p => gateFor(p) == got),
+      "gate decisions must equal the arrival-order fold for the source's split order")
+    val outcomes = got.values.toSet
+    assert(outcomes.contains(("keep", true)) && outcomes.contains(("keep", false)),
+      "both keep outcomes live")
+    assert(outcomes.exists(_._1 == "short") && outcomes.exists(_._1 == "low_stopword"),
+      "both reject routes live")
+  }
+
   test("streaming weighted sample merges heap state across micro-batches to the batch sample") {
     // Unlike packing, the priority sample is ORDER-INDEPENDENT: the final
     // top-k must equal the batch x81 result exactly no matter how the
