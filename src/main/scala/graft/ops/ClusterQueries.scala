@@ -156,6 +156,44 @@ object ClusterQueries {
           round(col("dist2"), 4).as("dist2"))
     },
 
+    // Cluster-label PURITY audit — the "is the unsupervised index telling
+    // the truth" check a pipeline runs before trusting k-means cells for
+    // SemDeDup or balanced selection: per cluster, how concentrated are
+    // the supervised labels (majority share + distinct-label count). Low
+    // purity everywhere means the cells slice across semantics and
+    // cell-scoped dedup (x33) is operating near random partitions — the
+    // measured caveat, in-query. Shape: one (cluster, label)-keyed count
+    // (map-side combined, ≤ clusters×labels rows), the majority pick is a
+    // window over each cluster's ≤|labels| count rows, purity is one exact
+    // integer division at output. Rides the shared assignment stage.
+    QueryDef("x94_cluster_purity",
+      s"""WITH ${kmeansCte(withD2 = false)},
+          lab AS (SELECT a2.cid, el.label FROM a2 JOIN embeddings el ON el.vec_id = a2.vec_id),
+          lc AS (SELECT cid, label, count(*) AS c FROM lab GROUP BY 1, 2),
+          cn AS (SELECT cid, sum(c) AS n, count(*) AS n_labels FROM lc GROUP BY 1),
+          maj AS (SELECT cid, label AS majority_label, c AS n_majority FROM (
+              SELECT *, row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn
+              FROM lc) WHERE rn = 1)
+          SELECT CAST(maj.cid AS BIGINT) AS cluster, CAST(cn.n AS BIGINT) AS n,
+            CAST(cn.n_labels AS BIGINT) AS n_labels,
+            maj.majority_label, CAST(maj.n_majority AS BIGINT) AS n_majority,
+            round(maj.n_majority::DOUBLE / cn.n, 6) AS purity
+          FROM maj JOIN cn USING (cid)""") { (s, d) =>
+      val lab = sharedKmeans(s, d).select("vec_id", "cid")
+        .join(t(s, d, "embeddings").select("vec_id", "label"), "vec_id")
+      val lc = lab.groupBy("cid", "label").agg(count(lit(1)).as("c"))
+      val n = lc.groupBy("cid").agg(sum("c").as("n"), count(lit(1)).as("n_labels"))
+      val m = lc.withColumn("rn", row_number().over(
+          Window.partitionBy("cid").orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("label").as("majority_label"), col("c").as("n_majority"))
+      m.join(n, "cid")
+        .select(col("cid").cast("long").as("cluster"), col("n").cast("long").as("n"),
+          col("n_labels").cast("long").as("n_labels"),
+          col("majority_label"), col("n_majority").cast("long").as("n_majority"),
+          round(col("n_majority").cast("double") / col("n"), 6).as("purity"))
+    },
+
     // SemDeDup: within-CLUSTER near-duplicate pruning — pairs are generated
     // only inside a k-means cell (cluster-key equi-join; the cells bound the
     // pair blowup the way LSH buckets do in x16), scored by QUANTIZED cosine

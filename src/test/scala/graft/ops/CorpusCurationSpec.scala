@@ -198,6 +198,22 @@ class CorpusCurationSpec extends SparkSpec {
       "tail source share must shrink with alpha")
   }
 
+  test("x94 purity: clusters partition the corpus, majority accounting consistent") {
+    val rows = graft.SparkEntry.queries("x94_cluster_purity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5)))
+    graft.util.SharedStages.releaseAll()
+    assert(rows.length == 8, "k = 8 clusters, all non-empty on this corpus")
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == nVec, "clusters partition the vectors")
+    for ((_, n, nl, _, nm, p) <- rows) {
+      assert(nl >= 1 && nm >= 1 && nm <= n)
+      // the majority label's share is at least an even split across labels
+      assert(nm * nl >= n, s"majority $nm of $n cannot be under 1/$nl")
+      assert(math.abs(p - nm.toDouble / n) < 1e-6 + 5e-7)
+    }
+  }
+
   test("x89 phases: an even partition, length-monotone across phases") {
     val rows = graft.SparkEntry.queries("x89_curriculum_phases")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
