@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked app's stdout RAW: sbt's default logger prefixes every
+// line with "[info] " and appends its own "[success] ..." epilogue, which
+// defeats any harness that parses the app's last stdout line as JSON
+// (the bench contract). StdoutOutput passes the child's stdout through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

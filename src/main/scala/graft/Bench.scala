@@ -61,7 +61,13 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] stage $name failed: ${e.getMessage}")
           }
-          name -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Off the clock, same as the query loop: collect the PREVIOUS
+          // build's garbage now so the NEXT stage's timer doesn't absorb
+          // it (r9: the last/heaviest stage read 9.2 s warm vs 2.2 s cold
+          // purely from accumulated heap debt coming due mid-build).
+          System.gc()
+          name -> dt
       }
     // Codegen/JIT warmup at the TARGET SF: identical (query, dir) pairs to
     // the timed loop, so the exact physical plans AQE will pick are the ones
@@ -94,15 +100,18 @@ object Bench {
     // frames): the timed pass must pay each shared computation exactly once
     // — timing reads of warmup-era cache blocks would understate the suite.
     util.SharedStages.releaseAll()
-    val stages = stagePass()
-    // The per-query loop collects garbage AFTER each query — the FIRST
-    // timed query otherwise absorbs the warmup pass's and the stage
-    // pass's accumulated heap debt plus the async unpersist churn from
-    // releaseAll (observed: q01 0.6 s isolated vs 9.3 s as the suite
-    // opener). Settle off-clock before the first timer starts.
+    // Settle the heap BEFORE the warm stage pass, not after it: the warm
+    // pass's first timers otherwise absorb the whole cold pass's + the
+    // streaming warmup's accumulated debt plus the async unpersist churn
+    // from releaseAll (r8: q01 0.6 s isolated vs 9.3 s as suite opener;
+    // r9: the stage pass ran before the settle and its heaviest stage
+    // read 9.2 s warm vs 2.2 s cold for the same reason).
     System.gc()
     Thread.sleep(500)
     System.gc()
+    val stages = stagePass()
+    System.gc()
+    Thread.sleep(200)
     val results = picked.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -38,20 +38,20 @@ object CurateCorpus {
     "epoch_schedule" -> "x88_epoch_schedule",
     "budget_slices" -> "x31_mixture_budget")
 
-  /** Run every stage, write each artifact, return (stage, rows) counts. */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] = {
-    new java.io.File(outDir).mkdirs()
-    val counts = stages.map { case (stage, query) =>
+  /** Run every stage, write each artifact, return (stage, rows) counts.
+    * The parquet writer creates output directories itself (and accepts any
+    * Hadoop URI, not just local paths — no local mkdirs here). Cache
+    * lifetime is the CALLER's: library users embedding this pass next to
+    * other in-process work release PersistScope/SharedStages themselves;
+    * [[main]] releases both on exit. */
+  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[(String, Long)] =
+    stages.map { case (stage, query) =>
       val df = graft.SparkEntry.queries(query)(spark, sfDir)
       df.write.mode("overwrite").parquet(s"$outDir/$stage.parquet")
       val n = spark.read.parquet(s"$outDir/$stage.parquet").count()
       println(s"[curate] $stage ($query): $n rows -> $outDir/$stage.parquet")
       stage -> n
     }
-    graft.util.PersistScope.releaseAll()
-    graft.util.SharedStages.releaseAll()
-    counts
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -66,6 +66,8 @@ object CurateCorpus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val counts = run(spark, sfDir, outDir)
+    graft.util.PersistScope.releaseAll()
+    graft.util.SharedStages.releaseAll()
     println(counts.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{\"curate_summary\":{", ",", s"},\"sf\":\"$sfDir\"}"))
     spark.stop()

@@ -19,17 +19,42 @@ object CurationQueries {
 
   private val Sh = OpsQueries.ShinglesSql
 
+  /** x88's budget-share arithmetic over a pre-aggregated (source, toks, w)
+    * frame: budget = ⌊2·Σtoks·w / Σw⌋, capped full epochs, and the partial-
+    * epoch remainder. The 2·Σtoks·w product is computed as decimal(38,0) —
+    * int64 wraps once total tokens × vocab weight passes 2⁶² (a 10¹⁵-token
+    * corpus with 10⁹-term vocab weights is past it), and a wrapped product
+    * yields a silently NEGATIVE budget that admits nothing. The quotient is
+    * ≤ 2·Σtoks (w ≤ Σw), so the final budget is long-safe; under ANSI mode
+    * a corpus beyond even decimal(38,0) throws rather than wraps. */
+  def epochBudgets(stw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stw
+      .crossJoin(broadcast(stw.agg(sum("toks").as("tt"), sum("w").as("sw"))))
+      .withColumn("budget",
+        expr("CAST((CAST(2 AS DECIMAL(38,0)) * tt * w) div sw AS BIGINT)"))
+      .withColumn("full_epochs", least(expr("budget div toks"), lit(2L)))
+      .withColumn("part_budget", when(col("full_epochs") >= 2, lit(0L))
+        .otherwise(col("budget") - col("full_epochs") * col("toks")))
+
   val defs: Seq[QueryDef] = Seq(
 
-    // Asymmetric near-containment pairs (Broder's containment coefficient
-    // over winnowed fingerprints): |fp(a)∩fp(b)| / |fp(a)| — flags the doc
-    // QUOTED INSIDE another even when symmetric Jaccard (x40's shape) is
-    // tiny because the outer doc dominates the union. Ordered pairs by
-    // design: containment is directional, so each unordered pair surfaces
-    // twice with its own denominator. Scale: identical fingerprint
+    // Asymmetric near-containment, top-8 witnesses per doc (Broder's
+    // containment coefficient over winnowed fingerprints):
+    // |fp(a)∩fp(b)| / |fp(a)| — flags the doc QUOTED INSIDE another even
+    // when symmetric Jaccard (x40's shape) is tiny because the outer doc
+    // dominates the union. Ordered pairs by design: containment is
+    // directional, so each unordered pair can surface in both directions
+    // with its own denominator. The OUTPUT is bounded per inner doc — the
+    // N strongest containing candidates by (containment desc, outer_id)
+    // with their rank — because on a clone-heavy corpus mutual-containment
+    // cliques make the full ordered pair set Θ(clique²) per group (the
+    // 10× stress measured ~300× output growth) while the curation decision
+    // needs only the best witnesses; the full set stays available via
+    // Dedup.containmentPairs(topNPerDoc = 0). Scale: identical fingerprint
     // equi-join as x40 (shuffle ∝ shingles/window per doc, hot-fingerprint
-    // cap pre-join), plus one id-keyed count frame — no new corpus-scale
-    // stage. Engine in Dedup.containmentPairs.
+    // cap pre-join), an id-keyed count frame, and a bounded-heap top-N
+    // roll-up (O(N) state per doc, no per-doc sort) — no corpus-scale sort
+    // or unbounded group anywhere. Engine in Dedup.containmentPairs.
     QueryDef("x86_containment_pairs",
       s"""WITH sh AS (SELECT doc_id, list_transform($Sh, g -> md5(g)) AS hs FROM documents),
           f AS (SELECT doc_id, list_distinct(list_transform(
@@ -42,15 +67,20 @@ object CurationQueries {
           nf AS (SELECT doc_id AS inner_id, count(*) AS n_fp FROM p GROUP BY 1),
           pr AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS shared_fps
                  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id <> b.doc_id
-                 GROUP BY 1, 2)
-          SELECT pr.inner_id, pr.outer_id, CAST(pr.shared_fps AS BIGINT) AS shared_fps,
-            CAST(nf.n_fp AS BIGINT) AS n_fp_inner,
-            round(pr.shared_fps::DOUBLE / nf.n_fp, 6) AS containment,
-            pr.shared_fps::DOUBLE / nf.n_fp >= 0.8 AS near_contained
-          FROM pr JOIN nf USING (inner_id)
-          WHERE pr.shared_fps::DOUBLE / nf.n_fp >= 0.5""") { (s, d) =>
+                 GROUP BY 1, 2),
+          c AS (SELECT pr.inner_id, pr.outer_id, pr.shared_fps, nf.n_fp,
+                  pr.shared_fps::DOUBLE / nf.n_fp AS ct
+                FROM pr JOIN nf USING (inner_id)
+                WHERE pr.shared_fps::DOUBLE / nf.n_fp >= 0.5),
+          rk AS (SELECT *, row_number() OVER (
+                   PARTITION BY inner_id ORDER BY ct DESC, outer_id) AS rn FROM c)
+          SELECT inner_id, outer_id, CAST(shared_fps AS BIGINT) AS shared_fps,
+            CAST(n_fp AS BIGINT) AS n_fp_inner,
+            round(ct, 6) AS containment, ct >= 0.8 AS near_contained,
+            CAST(rn AS INT) AS rank
+          FROM rk WHERE rn <= 8""") { (s, d) =>
       Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
-        window = 4, minContain = 0.5, maxPosting = 128)
+        window = 4, minContain = 0.5, maxPosting = 128, topNPerDoc = 8)
     },
 
     // Boilerplate SPAN coverage — the C4/CCNet-style trim decision: a
@@ -112,12 +142,15 @@ object CurationQueries {
     // the cap return ~nothing) plus a deterministic partial epoch: docs
     // md5-ranked, prefix-summed, admitted while the cumulative token count
     // fits. All integer arithmetic until the final utilization ratio —
-    // budget shares by int64 div, so bit-identical on any partitioning
-    // (note: the 2·total·weight product wants 128-bit math at real corpus
-    // scale; split the div or use decimal there). The per-source prefix
-    // sum is a window per source — for a source too big for one task,
-    // sub-bucket by md5 prefix and roll bucket sums first (x76's
-    // value-keyed cumulative pattern); the admitted set is identical.
+    // the 2·total·weight product runs in 128-bit integer space on BOTH
+    // engines (decimal(38,0) here, HUGEINT in the oracle) because at real
+    // corpus scale (tt ≈ 10¹⁵ tokens, vocab weights ≈ 10⁹) the int64
+    // product silently wraps negative; the share itself is ≤ 2·tt so the
+    // final budget is long-safe (engine in [[epochBudgets]], spec-pinned
+    // past the int64 horizon). The per-source prefix sum is a window per
+    // source — for a source too big for one task, sub-bucket by md5
+    // prefix and roll bucket sums first (x76's value-keyed cumulative
+    // pattern); the admitted set is identical.
     QueryDef("x88_epoch_schedule",
       """WITH dt AS (SELECT doc_id, source, len(string_split(text, ' ')) AS nt FROM documents),
          st AS (SELECT source, sum(nt) AS toks FROM dt GROUP BY 1),
@@ -125,7 +158,8 @@ object CurationQueries {
              SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY 1),
          tot AS (SELECT sum(toks) AS tt FROM st),
          sw AS (SELECT sum(w) AS sw FROM w),
-         b AS (SELECT st.source, st.toks, w.w, (2 * tot.tt * w.w) // sw.sw AS budget
+         b AS (SELECT st.source, st.toks, w.w,
+                 CAST((2::HUGEINT * tot.tt * w.w) // sw.sw AS BIGINT) AS budget
                FROM st JOIN w USING (source), tot, sw),
          e AS (SELECT *, least(budget // toks, 2) AS full_epochs FROM b),
          r AS (SELECT *, CASE WHEN full_epochs >= 2 THEN 0
@@ -148,14 +182,7 @@ object CurationQueries {
       val st = dt.groupBy("source").agg(sum("nt").as("toks"))
       val w = OpsQueries.sharedWordCounts(s, d).select("source", "token").distinct()
         .groupBy("source").agg(count(lit(1)).as("w"))
-      val tot = st.agg(sum("toks").as("tt"))
-      val sw = w.agg(sum("w").as("sw"))
-      val r = st.join(w, "source")
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(sw))
-        .withColumn("budget", expr("(2 * tt * w) div sw"))
-        .withColumn("full_epochs", least(expr("budget div toks"), lit(2L)))
-        .withColumn("part_budget", when(col("full_epochs") >= 2, lit(0L))
-          .otherwise(col("budget") - col("full_epochs") * col("toks")))
+      val r = epochBudgets(st.join(w, "source"))
       val pd = dt.withColumn("cum", sum("nt").over(
         Window.partitionBy("source")
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -232,9 +259,18 @@ object CurationQueries {
     // recall is measured against its verified truth (the standard LSH
     // calibration protocol; truth beyond ANY single shared hash has
     // probability (1−s)^8 < 10⁻⁵ at s = 0.8). Scale: band equi-joins
-    // throughout, pair-level work bounded by the superset candidates; a
-    // production run puts the x40 hot-bucket cap in front of the 1-row
-    // join (single-hash buckets are the boilerplate-sensitive ones).
+    // throughout, pair-level work bounded by the superset candidates, and
+    // the x40 hot-bucket rule applied SYMMETRICALLY to every config before
+    // its self-join: any (config, band, hash) bucket holding > 128 docs is
+    // boilerplate-shaped (single-hash buckets especially — r=1 is the
+    // config a dup-dense crawl blows up), carries no calibration signal,
+    // and alone contributes O(m²) pairs. No silent coverage loss: each
+    // config reports how many buckets the cap removed and the exact
+    // C(m,2) candidate upper bound those buckets would have generated
+    // (capped_buckets / dropped_candidates — 0 at test SF, where postings
+    // top out well under the cap). Degenerate corpora (no truth pairs, a
+    // config with zero candidates) return defined 0.0 scores, not NaN,
+    // and every config row survives via the config-table left join.
     QueryDef("x90_lsh_tuning_curve",
       s"""WITH s AS (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig,
                 list_distinct(${OpsQueries.ShinglesSql}) AS sh FROM documents
@@ -243,22 +279,37 @@ object CurationQueries {
           bands AS (SELECT cfg.b, cfg.r, s.doc_id, g.i AS band,
                 md5(list_aggregate(sig[(g.i*cfg.r+1):((g.i+1)*cfg.r)], 'string_agg', ',')) AS bh
               FROM s, cfg, unnest(generate_series(0, cfg.b - 1)) AS g(i)),
+          hot AS (SELECT b, r, band, bh, count(*) AS m FROM bands
+              GROUP BY 1, 2, 3, 4 HAVING count(*) > 128),
+          capstat AS (SELECT b, r, count(*) AS capped_buckets,
+                sum(m * (m - 1) // 2) AS dropped_candidates
+              FROM hot GROUP BY 1, 2),
+          bk AS (SELECT bands.* FROM bands LEFT JOIN hot USING (b, r, band, bh)
+              WHERE hot.m IS NULL),
           cand AS (SELECT DISTINCT b, r, a.doc_id AS id1, b2.doc_id AS id2
-              FROM bands a JOIN bands b2 USING (b, r, band, bh)
+              FROM bk a JOIN bk b2 USING (b, r, band, bh)
               WHERE a.doc_id < b2.doc_id),
           t81 AS (SELECT id1, id2 FROM cand WHERE b = 8),
           jac AS (SELECT t.id1, t.id2,
                 len(list_intersect(a.sh, b2.sh))::DOUBLE / len(list_distinct(a.sh || b2.sh)) AS j
               FROM t81 t JOIN s a ON a.doc_id = t.id1 JOIN s b2 ON b2.doc_id = t.id2),
           truth AS (SELECT id1, id2 FROM jac WHERE j >= 0.8),
-          nt AS (SELECT count(*) AS n_truth FROM truth)
-          SELECT c.b AS bands, c.r AS rows_per_band,
-            CAST(count(*) AS BIGINT) AS n_candidates,
-            CAST(count(tr.id1) AS BIGINT) AS n_true,
-            round(count(tr.id1)::DOUBLE / count(*), 6) AS precision,
-            round(count(tr.id1)::DOUBLE / nt.n_truth, 6) AS recall
-          FROM cand c LEFT JOIN truth tr ON tr.id1 = c.id1 AND tr.id2 = c.id2, nt
-          GROUP BY c.b, c.r, nt.n_truth""") { (s, d) =>
+          nt AS (SELECT count(*) AS n_truth FROM truth),
+          agg AS (SELECT c.b, c.r, count(*) AS n_candidates, count(tr.id1) AS n_true
+              FROM cand c LEFT JOIN truth tr ON tr.id1 = c.id1 AND tr.id2 = c.id2
+              GROUP BY c.b, c.r)
+          SELECT cfg.b AS bands, cfg.r AS rows_per_band,
+            CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+            CAST(coalesce(agg.n_true, 0) AS BIGINT) AS n_true,
+            CASE WHEN coalesce(agg.n_candidates, 0) = 0 THEN 0.0
+                 ELSE round(agg.n_true::DOUBLE / agg.n_candidates, 6) END AS precision,
+            CASE WHEN nt.n_truth = 0 THEN 0.0
+                 ELSE round(coalesce(agg.n_true, 0)::DOUBLE / nt.n_truth, 6) END AS recall,
+            CAST(coalesce(cs.capped_buckets, 0) AS BIGINT) AS capped_buckets,
+            CAST(coalesce(cs.dropped_candidates, 0) AS BIGINT) AS dropped_candidates
+          FROM cfg
+          LEFT JOIN agg ON agg.b = cfg.b AND agg.r = cfg.r
+          LEFT JOIN capstat cs ON cs.b = cfg.b AND cs.r = cfg.r, nt""") { (s, d) =>
       val toks = OpsQueries.tokens(col("text"))
       val s0 = graft.util.PersistScope.track(
         t(s, d, "documents").filter(size(toks) >= 3)
@@ -266,8 +317,9 @@ object CurationQueries {
           .withColumn("sh", array_distinct(OpsQueries.shingles(toks)))
           .select("doc_id", "sig", "sh")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // persisted: BOTH sides of the self-join read it (without the persist
-      // each side re-derives the 4-config union — 8 passes of band hashing)
+      // persisted: the bucket-size agg AND both sides of the self-join read
+      // it (without the persist each consumer re-derives the 4-config union
+      // — 8+ passes of band hashing)
       val bands = graft.util.PersistScope.track(
         Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) =>
           s0.select(lit(b).as("b"), lit(r).as("r"), col("doc_id"),
@@ -276,9 +328,21 @@ object CurationQueries {
               .as(Seq("band", "bh")))
         }.reduce(_ union _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // Hot buckets are the fingerprints MORE common than the cap — tiny by
+      // construction, so they broadcast into the anti-join (x40's shape);
+      // the C(m,2) sum makes the dropped coverage auditable per config.
+      val hot = graft.util.PersistScope.track(
+        bands.groupBy("b", "r", "band", "bh").agg(count(lit(1)).as("m"))
+          .filter(col("m") > 128)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val capstat = hot.groupBy("b", "r")
+        .agg(count(lit(1)).as("capped_buckets"),
+          sum(expr("m * (m - 1) div 2")).as("dropped_candidates"))
+      val bk = bands.join(broadcast(hot.select("b", "r", "band", "bh")),
+        Seq("b", "r", "band", "bh"), "left_anti")
       val cand = graft.util.PersistScope.track(
-        bands.select(col("b"), col("r"), col("band"), col("bh"), col("doc_id").as("id1"))
-          .join(bands.select(col("b"), col("r"), col("band"), col("bh"),
+        bk.select(col("b"), col("r"), col("band"), col("bh"), col("doc_id").as("id1"))
+          .join(bk.select(col("b"), col("r"), col("band"), col("bh"),
             col("doc_id").as("id2")), Seq("b", "r", "band", "bh"))
           .filter(col("id1") < col("id2"))
           .select("b", "r", "id1", "id2").distinct()
@@ -292,14 +356,23 @@ object CurationQueries {
           .select("id1", "id2")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nt = truth.agg(count(lit(1)).as("n_truth"))
-      cand.join(truth.withColumn("tr", lit(1)), Seq("id1", "id2"), "left")
+      val agg = cand.join(truth.withColumn("tr", lit(1)), Seq("id1", "id2"), "left")
         .groupBy("b", "r").agg(count(lit(1)).as("n_candidates"), count(col("tr")).as("n_true"))
+      val cfg = s.createDataFrame(Seq((8, 1), (4, 2), (2, 4), (1, 8))).toDF("b", "r")
+      cfg.join(agg, Seq("b", "r"), "left")
+        .join(capstat, Seq("b", "r"), "left")
         .crossJoin(broadcast(nt))
         .select(col("b").as("bands"), col("r").as("rows_per_band"),
-          col("n_candidates").cast("long").as("n_candidates"),
-          col("n_true").cast("long").as("n_true"),
-          round(col("n_true").cast("double") / col("n_candidates"), 6).as("precision"),
-          round(col("n_true").cast("double") / col("n_truth"), 6).as("recall"))
+          coalesce(col("n_candidates"), lit(0L)).cast("long").as("n_candidates"),
+          coalesce(col("n_true"), lit(0L)).cast("long").as("n_true"),
+          when(coalesce(col("n_candidates"), lit(0L)) === 0, lit(0.0))
+            .otherwise(round(col("n_true").cast("double") / col("n_candidates"), 6))
+            .as("precision"),
+          when(col("n_truth") === 0, lit(0.0))
+            .otherwise(round(coalesce(col("n_true"), lit(0L)).cast("double")
+              / col("n_truth"), 6)).as("recall"),
+          coalesce(col("capped_buckets"), lit(0L)).cast("long").as("capped_buckets"),
+          coalesce(col("dropped_candidates"), lit(0L)).cast("long").as("dropped_candidates"))
     },
 
     // Quality-route × duplication cross-tab — the audit that tells a

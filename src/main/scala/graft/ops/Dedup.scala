@@ -637,10 +637,24 @@ object Dedup {
     * never the reverse). Denominators count fingerprints AFTER the
     * hot-fingerprint drop, so boilerplate-heavy docs can still reach
     * containment 1.0 on their informative remainder — and both sides of
-    * the ratio see the identical fingerprint universe. */
+    * the ratio see the identical fingerprint universe.
+    *
+    * `topNPerDoc > 0` bounds the OUTPUT per inner doc: only the N
+    * strongest containing candidates (containment desc, outer_id asc as
+    * the tie-break), each with its 1-based rank. This is the default a
+    * production pass wants — on a clone-heavy corpus every member of an
+    * m-clone group mutually contains every other, so the full ordered
+    * pair set grows Θ(m²) PER GROUP (the 10× ScaleUp stress measured
+    * ~300× output growth) while the curation decision ("is this doc
+    * subsumed, and by whom") needs only the best few witnesses per doc.
+    * The roll-up is a bounded-heap [[TopKMinExpr]] aggregate — O(N) state
+    * per doc, N rows per (map partition, doc) shuffled, no per-doc sort —
+    * so output AND shuffle become linear in docs at fixed N. The pair
+    * JOIN still enumerates the candidates (that cost is the posting-cap's
+    * job to bound); `topNPerDoc = 0` returns the full pair set. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        window: Int = 4, minContain: Double = 0.5,
-                       maxPosting: Int = 128): DataFrame = {
+                       maxPosting: Int = 128, topNPerDoc: Int = 0): DataFrame = {
     val p0 = graft.util.PersistScope.track(
       winnowFingerprints(docs, idCol, textCol, window)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -650,17 +664,33 @@ object Dedup {
       p0.join(broadcast(hot), Seq("fp"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nf = p.groupBy(col(idCol).as("inner_id")).agg(count(lit(1)).as("n_fp"))
-    p.as("a").join(p.as("b"),
+    val pairs = p.as("a").join(p.as("b"),
         col("a.fp") === col("b.fp") && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("inner_id"), col(s"b.$idCol").as("outer_id"))
       .agg(count(lit(1)).as("shared_fps"))
       .join(nf, "inner_id")
       .withColumn("__cont", col("shared_fps").cast("double") / col("n_fp"))
       .filter(col("__cont") >= minContain)
-      .select(col("inner_id"), col("outer_id"), col("shared_fps"),
+    if (topNPerDoc <= 0)
+      pairs.select(col("inner_id"), col("outer_id"), col("shared_fps"),
         col("n_fp").cast("long").as("n_fp_inner"),
         round(col("__cont"), 6).as("containment"),
         (col("__cont") >= 0.8).as("near_contained"))
+    else
+      // Bounded-heap top-N per inner doc: struct ordering is lexicographic,
+      // so (-containment, outer_id) ascending = containment desc with the
+      // id tie-break; the negation of a positive double is exact, so the
+      // order (and the recovered value) is bit-identical to the full form's.
+      pairs.groupBy(col("inner_id"), col("n_fp"))
+        .agg(TopK.topk_min(struct((-col("__cont")).as("nc"),
+          col("outer_id"), col("shared_fps")), topNPerDoc).as("top"))
+        .select(col("inner_id"), col("n_fp"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("inner_id"), col("t.outer_id").as("outer_id"),
+          col("t.shared_fps").as("shared_fps"),
+          col("n_fp").cast("long").as("n_fp_inner"),
+          round(-col("t.nc"), 6).as("containment"),
+          (-col("t.nc") >= 0.8).as("near_contained"),
+          (col("i") + 1).as("rank"))
   }
 
   /** Exact dedup: one representative (min id) per identical text. */

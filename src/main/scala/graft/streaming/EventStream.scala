@@ -26,6 +26,18 @@ object EventStream {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
 
+  /** Default per-source token budget for the quota gates (s15/s16): the
+    * test corpus's srcN tier formula, TOTAL over arbitrary source names —
+    * anything that doesn't parse as srcN falls to the smallest tier
+    * instead of throwing NumberFormatException inside
+    * flatMapGroupsWithState (which would kill the whole streaming query).
+    * Production callers pass their own `budgetOf`. */
+  def defaultSourceBudget(source: String): Long = {
+    val n = source.drop(3)
+    val idx = if (n.nonEmpty && n.length <= 18 && n.forall(_.isDigit)) n.toLong else 0L
+    (1L + idx % 3) * 3000L
+  }
+
   /** Streaming schema mirrors the batch events table, with `ts` normalized
     * to a Spark TIMESTAMP adaptively (nanos-as-long, TIMESTAMP_NTZ, or
     * TIMESTAMP — see [[graft.queries.QueryDef.normalizedTs]]); the cached
@@ -550,11 +562,17 @@ object EventStream {
     * Same batch-order contract as [[runPackingMaintain]]: groups sort by
     * doc_id within a micro-batch, so the single-batch replay reproduces
     * the doc_id-ordered oracle exactly; multi-batch arrival degrades to
-    * arrival-order admission — the honest streaming semantics. */
+    * arrival-order admission — the honest streaming semantics.
+    *
+    * `budgetOf` maps a source name to its token budget; the default is the
+    * test corpus's srcN tier formula with a safe floor for names that
+    * don't parse (a throw inside flatMapGroupsWithState kills the whole
+    * streaming query, so the budget function must be total). */
   def runQuotaMaintain(spark: SparkSession, dir: String, queryName: String,
                        glob: String = "documents.parquet",
                        statePartitions: Option[Int] = Some(4),
-                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                       maxFilesPerTrigger: Option[Int] = None,
+                       budgetOf: String => Long = defaultSourceBudget): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
     import session.implicits._
     val schema = schemaCache.computeIfAbsent((dir, glob),
@@ -570,7 +588,7 @@ object EventStream {
       .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
-          val budget = (1L + source.drop(3).toLong % 3) * 3000L
+          val budget = budgetOf(source)
           var before = state.getOption.getOrElse(0L)
           val out = rows.toSeq.sortBy(_._2).map { case (_, docId, nt) =>
             val accepted = before < budget
@@ -601,7 +619,8 @@ object EventStream {
   def runIngestGate(spark: SparkSession, dir: String, queryName: String,
                     glob: String = "documents.parquet",
                     statePartitions: Option[Int] = Some(4),
-                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    budgetOf: String => Long = defaultSourceBudget): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
     import session.implicits._
     val schema = schemaCache.computeIfAbsent((dir, glob),
@@ -619,7 +638,7 @@ object EventStream {
       .flatMapGroupsWithState[Long, (String, Long, Long, String, Boolean)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[(String, Long, Long, Long)], state: GroupState[Long]) =>
-          val budget = (1L + source.drop(3).toLong % 3) * 3000L
+          val budget = budgetOf(source)
           var before = state.getOption.getOrElse(0L)
           val out = rows.toSeq.sortBy(_._2).map { case (_, docId, nt, ns) =>
             val disposition =

@@ -11,20 +11,52 @@ class CorpusCurationSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("x86 containment: bounded, directional, flag consistent") {
+  test("x86 containment: bounded, directional, flag consistent, top-8 ranked") {
     val rows = graft.SparkEntry.queries("x86_containment_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+        r.getLong(3), r.getDouble(4), r.getBoolean(5), r.getInt(6)))
     graft.util.PersistScope.releaseAll()
     assert(rows.nonEmpty)
-    for ((in, out, shared, nfp, cont, flag) <- rows) {
+    for ((in, out, shared, nfp, cont, flag, rank) <- rows) {
       assert(in != out)
       assert(shared >= 1 && shared <= nfp, s"shared $shared vs n_fp $nfp")
       assert(cont >= 0.5 - 1e-9 && cont <= 1.0 + 1e-9)
       // flag computed from the unrounded ratio; tolerate the rounding edge
       assert(flag == (shared.toDouble / nfp >= 0.8))
+      assert(rank >= 1 && rank <= 8)
     }
     assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // bounded output: per inner doc, at most 8 witnesses with dense ranks
+    // and containment non-increasing down the ranking
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val byRank = grp.sortBy(_._7)
+      assert(byRank.map(_._7).sameElements(1 to grp.length) && grp.length <= 8)
+      assert(byRank.map(_._5).sliding(2).forall {
+        case Array(a, b) => a >= b - 1e-9; case _ => true })
+    }
+  }
+
+  test("x86 clone clique: output bounded at 8 witnesses per doc, smallest ids win ties") {
+    import spark.implicits._
+    // 12 identical docs: every ordered pair has containment 1.0 — the full
+    // pair set is 12×11 = 132 rows; the bounded form keeps 8 per inner doc,
+    // tie-broken by outer_id ascending.
+    val text = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = (0 until 12).map(k => (k.toLong, text, "en", "srcA", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("clique").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("x86_containment_pairs")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getInt(6)))
+    graft.util.PersistScope.releaseAll()
+    assert(rows.length == 12 * 8, "every doc keeps exactly 8 of its 11 witnesses")
+    for ((in, grp) <- rows.groupBy(_._1)) {
+      assert(grp.forall(_._3 == 1.0))
+      // equal containment everywhere -> ranking falls to outer_id ascending:
+      // the 8 smallest other ids, in order
+      val expect = (0L until 12L).filter(_ != in).sorted.take(8)
+      assert(grp.sortBy(_._4).map(_._2).sameElements(expect), s"inner $in: ${grp.sortBy(_._4).toSeq}")
+    }
   }
 
   test("x86 planted quote: contained direction flags, reverse direction absent") {
@@ -110,16 +142,39 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows.filter(_._5 == 1).exists(_._6 > 0), "some source takes a partial epoch")
   }
 
+  test("x88 budget arithmetic survives past the int64 product horizon") {
+    import spark.implicits._
+    // 2 · Σtoks · w = 2 · 6e18 · 1e9 ≈ 1.2e28 — far past int64 (the old
+    // `2 * tt * w` product wrapped NEGATIVE here, silently admitting
+    // nothing); the decimal(38,0) path must return the exact quotient.
+    val toks = 3000000000000000000L // 3e18 per source
+    val w = 1000000000L            // 1e9 vocab weight per source
+    val stw = Seq(("a", toks, w), ("b", toks, w)).toDF("source", "toks", "w")
+    val bySrc = CurationQueries.epochBudgets(stw)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("budget"), r.getAs[Long]("full_epochs"), r.getAs[Long]("part_budget")))).toMap
+    val expected = (BigInt(2) * (BigInt(toks) * 2) * w / (BigInt(w) * 2)).toLong // = 2·tt·w/sw
+    assert(bySrc.keySet == Set("a", "b"))
+    for ((src, (budget, fe, pb)) <- bySrc) {
+      assert(budget == expected, s"$src budget $budget != $expected")
+      assert(budget > 0, s"$src wrapped negative")
+      assert(fe == 2 && pb == 0L, s"$src full_epochs $fe part $pb")
+    }
+  }
+
   test("x90 tuning curve: nested candidates, monotone recall, anchored truth") {
     val rows = graft.SparkEntry.queries("x90_lsh_tuning_curve")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5))).sortBy(_._2)
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))).sortBy(_._2)
     graft.util.PersistScope.releaseAll()
     assert(rows.map(t => (t._1, t._2)).sameElements(
       Seq((8, 1), (4, 2), (2, 4), (1, 8))), "all four configs present")
-    for ((_, _, cand, tru, prec, rec) <- rows) {
+    for ((_, _, cand, tru, prec, rec, cb, dc) <- rows) {
       assert(tru <= cand && tru >= 0)
       assert(prec > 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0)
+      // test-SF posting lists top out far below the 128 cap: the cap must
+      // be VISIBLY inert here (the stress corpus is where it bites)
+      assert(cb == 0 && dc == 0, s"cap fired at test SF: $cb buckets / $dc candidates")
     }
     // bandings are nested: fewer, wider bands can only LOSE candidates
     assert(rows.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
@@ -130,6 +185,35 @@ class CorpusCurationSpec extends SparkSpec {
     // the curve must actually trade: the superset is noisier than the
     // narrowest config on this corpus
     assert(rows.head._5 < rows.last._5)
+  }
+
+  test("x90 dup-dense corpus: hot buckets capped, dropped coverage reported, survivors intact") {
+    import spark.implicits._
+    // 130 clones of one text blow past the 128-doc bucket cap in EVERY
+    // config (identical docs share identical signatures, hence every band
+    // bucket); a separate planted near-dup pair sits in its own small
+    // buckets and must survive the cap with full scores.
+    val boiler = (1 to 25).map(i => s"b$i").mkString(" ")
+    val real = (1 to 40).map(i => s"r$i").mkString(" ")
+    val docs = (0 until 130).map(k => (k.toLong, boiler, "en", "srcA", 0L)) ++
+      Seq((200L, real, "en", "srcB", 0L), (201L, real, "en", "srcB", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("x90cap").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("x90_lsh_tuning_curve")(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))).sortBy(-_._1)
+    graft.util.PersistScope.releaseAll()
+    assert(rows.map(t => (t._1, t._2)).sameElements(
+      Seq((8, 1), (4, 2), (2, 4), (1, 8))), "all four config rows survive the cap")
+    for ((b, _, cand, tru, prec, rec, cb, dc) <- rows) {
+      // the clone cluster is fully capped; only the planted pair remains
+      assert(cand == 1L && tru == 1L, s"config $b: cand=$cand true=$tru")
+      assert(prec == 1.0 && rec == 1.0)
+      // every one of the config's b buckets held all 130 clones
+      assert(cb == b.toLong, s"config $b capped_buckets $cb")
+      assert(dc == b.toLong * (130L * 129L / 2L), s"config $b dropped $dc")
+    }
   }
 
   test("x91 cross-tab: partitions the corpus, dup counts bounded and live") {
