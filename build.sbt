@@ -16,6 +16,9 @@ run / fork := true
 // defeats any harness that parses the app's last stdout line as JSON
 // (the bench contract). StdoutOutput passes the child's stdout through.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep sbt's own "[success] Total time ..." epilogue off stdout too,
+// so the LAST line a harness reads is the app's compact JSON summary.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
