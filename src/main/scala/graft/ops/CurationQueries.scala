@@ -311,54 +311,118 @@ object CurationQueries {
           LEFT JOIN agg ON agg.b = cfg.b AND agg.r = cfg.r
           LEFT JOIN capstat cs ON cs.b = cfg.b AND cs.r = cfg.r, nt""") { (s, d) =>
       val toks = OpsQueries.tokens(col("text"))
-      val s0 = graft.util.PersistScope.track(
-        t(s, d, "documents").filter(size(toks) >= 3)
+      // EXACT-CONTENT rep collapse — the group-size-immunity move the
+      // embedding/simhash paths already make (Dedup.embeddingNearDupPairs,
+      // simhashNearDupPairs): candidacy and Jaccard are functions of
+      // (sig, sh) ALONE, so docs with identical token streams collapse to
+      // one representative carrying a multiplicity m, and every count
+      // below re-weights by m — bit-identical to the doc-space counts the
+      // (unchanged) oracle computes, while the join/verify work scales
+      // with DISTINCT content instead of clone count. A pair of groups
+      // (m₁, m₂) sharing an uncapped band contributes m₁·m₂ unordered doc
+      // pairs; a group's own members contribute C(m,2) (identical sigs
+      // share every band, so intra pairs are candidates in every config
+      // the group retains a band in). The 10× clone stress ran the
+      // doc-space form at ~7× (clone-quadratic candidate enumeration);
+      // this form is ~1× in clone count by construction. The collapse keys
+      // on md5(text) — which REFINES (sig, sh) equality, so any group it
+      // splits finer is handled exactly by the ordinary inter-group path —
+      // in ONE corpus shuffle: the group roll-up carries (min id, count,
+      // one copy of the text — min of identical values), and the signature
+      // pass runs on the collapsed frame. Map-side combine already folds
+      // local clones, so the shuffle is bounded by distinct content per
+      // partition.
+      val reps = graft.util.PersistScope.track(
+        t(s, d, "documents")
+          .groupBy(md5(col("text")).as("__h"))
+          .agg(min("doc_id").as("rid"), count(lit(1)).as("m"), min("text").as("text"))
+          .filter(size(toks) >= 3)
           .withColumn("sig", MinHashFromTokensExpr.minhash_from_tokens(toks, 8))
           .withColumn("sh", array_distinct(OpsQueries.shingles(toks)))
-          .select("doc_id", "sig", "sh")
+          .select(col("rid"), col("m"), col("sig"), col("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // persisted: the bucket-size agg AND both sides of the self-join read
       // it (without the persist each consumer re-derives the 4-config union
       // — 8+ passes of band hashing)
       val bands = graft.util.PersistScope.track(
         Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) =>
-          s0.select(lit(b).as("b"), lit(r).as("r"), col("doc_id"),
+          reps.select(lit(b).as("b"), lit(r).as("r"), col("rid"), col("m"),
             posexplode(transform(sequence(lit(0), lit(b - 1)),
               i => md5(concat_ws(",", slice(col("sig"), i * r + 1, lit(r))))))
               .as(Seq("band", "bh")))
         }.reduce(_ union _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // Hot buckets are the fingerprints MORE common than the cap — tiny by
-      // construction, so they broadcast into the anti-join (x40's shape);
-      // the C(m,2) sum makes the dropped coverage auditable per config.
+      // Hot buckets are the fingerprints MORE common than the 128-DOC cap
+      // (bucket size = Σm over its reps) — tiny by construction, so they
+      // broadcast into the anti-join (x40's shape); the C(docs,2) sum
+      // makes the dropped coverage auditable per config.
       val hot = graft.util.PersistScope.track(
-        bands.groupBy("b", "r", "band", "bh").agg(count(lit(1)).as("m"))
-          .filter(col("m") > 128)
+        bands.groupBy("b", "r", "band", "bh").agg(sum("m").as("docs"))
+          .filter(col("docs") > 128)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val capstat = hot.groupBy("b", "r")
         .agg(count(lit(1)).as("capped_buckets"),
-          sum(expr("m * (m - 1) div 2")).as("dropped_candidates"))
+          sum(expr("docs * (docs - 1) div 2")).as("dropped_candidates"))
       val bk = bands.join(broadcast(hot.select("b", "r", "band", "bh")),
         Seq("b", "r", "band", "bh"), "left_anti")
+      // Inter-group candidate pairs (rep space, weight m₁·m₂)...
       val cand = graft.util.PersistScope.track(
-        bk.select(col("b"), col("r"), col("band"), col("bh"), col("doc_id").as("id1"))
+        bk.select(col("b"), col("r"), col("band"), col("bh"),
+            col("rid").as("r1"), col("m").as("m1"))
           .join(bk.select(col("b"), col("r"), col("band"), col("bh"),
-            col("doc_id").as("id2")), Seq("b", "r", "band", "bh"))
-          .filter(col("id1") < col("id2"))
-          .select("b", "r", "id1", "id2").distinct()
+            col("rid").as("r2"), col("m").as("m2")), Seq("b", "r", "band", "bh"))
+          .filter(col("r1") < col("r2"))
+          .select("b", "r", "r1", "r2", "m1", "m2").distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val truth = graft.util.PersistScope.track(
-        cand.filter(col("b") === 8).select("id1", "id2")
-          .join(s0.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-          .join(s0.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      // ...and intra-group pairs: C(m,2) for every multi-doc group that
+      // retains at least one uncapped band in the config. Presence is
+      // computed from its COMPLEMENT — a group is absent from config c iff
+      // ALL c.b of its bands were capped — because the complement derives
+      // from the tiny hot set (a broadcast semi-join over cached bands +
+      // a small-group count), where the direct form pays a full
+      // bands-sized distinct.
+      val cfg = s.createDataFrame(Seq((8, 1), (4, 2), (2, 4), (1, 8))).toDF("b", "r")
+      val fullyCapped = bands
+        .join(broadcast(hot.select("b", "r", "band", "bh")),
+          Seq("b", "r", "band", "bh"), "left_semi")
+        .groupBy("b", "r", "rid").agg(count(lit(1)).as("__nhot"))
+        .filter(col("__nhot") === col("b"))
+        .select("b", "r", "rid")
+      val intra = reps.filter(col("m") >= 2).select(col("rid"), col("m"))
+        .crossJoin(broadcast(cfg))
+        .join(fullyCapped, Seq("b", "r", "rid"), "left_anti")
+      // Weighted candidate contributions per config; intra rows key as
+      // (rid, rid), disjoint from inter keys (strictly r1 < r2).
+      val candW = cand
+        .select(col("b"), col("r"), col("r1"), col("r2"),
+          (col("m1") * col("m2")).as("w"))
+        .unionByName(intra
+          .select(col("b"), col("r"), col("rid").as("r1"), col("rid").as("r2"),
+            expr("m * (m - 1) div 2").as("w")))
+      // Truth on the b=8 superset: inter pairs verify exact Jaccard once
+      // per REP pair; intra pairs have Jaccard 1 by construction (identical
+      // shingle sets), so every b=8-present multi-doc group is truth.
+      val shp = reps.select(col("rid"), col("sh"))
+      // single consumer — no persist: the join below materializes it once
+      val truthKeys =
+        cand.filter(col("b") === 8).select("r1", "r2")
+          .join(shp.select(col("rid").as("r1"), col("sh").as("sh1")), "r1")
+          .join(shp.select(col("rid").as("r2"), col("sh").as("sh2")), "r2")
           .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("double")
             / size(array_union(col("sh1"), col("sh2"))) >= 0.8)
-          .select("id1", "id2")
+          .select("r1", "r2")
+          .unionByName(intra.filter(col("b") === 8)
+            .select(col("rid").as("r1"), col("rid").as("r2")))
+      val agg = graft.util.PersistScope.track(
+        candW.join(truthKeys.withColumn("tr", lit(1)), Seq("r1", "r2"), "left")
+          .groupBy("b", "r")
+          .agg(sum("w").as("n_candidates"),
+            sum(when(col("tr").isNotNull, col("w")).otherwise(0L)).as("n_true"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nt = truth.agg(count(lit(1)).as("n_truth"))
-      val agg = cand.join(truth.withColumn("tr", lit(1)), Seq("id1", "id2"), "left")
-        .groupBy("b", "r").agg(count(lit(1)).as("n_candidates"), count(col("tr")).as("n_true"))
-      val cfg = s.createDataFrame(Seq((8, 1), (4, 2), (2, 4), (1, 8))).toDF("b", "r")
+      // n_truth = the b=8 superset's true-pair mass (recall anchor = 1 by
+      // construction); the agg form keeps one row even when b=8 is empty.
+      val nt = agg.filter(col("b") === 8)
+        .agg(coalesce(sum("n_true"), lit(0L)).as("n_truth"))
       cfg.join(agg, Seq("b", "r"), "left")
         .join(capstat, Seq("b", "r"), "left")
         .crossJoin(broadcast(nt))
@@ -545,6 +609,64 @@ object CurationQueries {
           round(p, 6).as("share"),
           round(col("w").cast("double") / col("tw"), 6).as("temp_share"),
           (round(col("w").cast("double") / col("tw"), 6) > round(p, 6)).as("upsampled"))
+    },
+
+    // SPAN-level benchmark decontamination — the report the doc-level
+    // contamination ops (x23/x42/x54/x60) cannot produce: WHICH benchmark
+    // item leaks into WHICH corpus doc, through how many 5-gram positions,
+    // and — the decisive number — the LONGEST CONSECUTIVE run of shared
+    // grams, i.e. the longest verbatim span (run + 4 tokens). A doc
+    // quoting one benchmark answer verbatim flags here (long run) while a
+    // doc that merely shares topical vocabulary does not (many scattered
+    // single-gram hits, short runs) — the distinction doc-level overlap
+    // fractions blur. Flag at span ≥ 13 tokens (the Dolma/GPT-3
+    // decontamination convention). Shape: positional 5-grams shuffle as
+    // md5 keys; the benchmark gram set is EVAL-sized so it broadcasts into
+    // the hit join (a benchmark too large to broadcast degrades to the
+    // gram-keyed equi-join, same plan minus the hint); runs come from the
+    // gaps-and-islands trick (i − row_number per pair) with every window
+    // partitioned by (doc, bench) — bounded by doc length, never
+    // corpus-wide. Hit rows are bounded by positions × |bench docs
+    // sharing the gram| ≤ positions × benchmark size.
+    QueryDef("x95_span_contamination",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, i, md5(list_aggregate(tk[i:i+4], 'string_agg', ' ')) AS h
+               FROM tk, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)),
+         bg AS (SELECT DISTINCT doc_id AS bench_id, h FROM g WHERE doc_id < 10),
+         hits AS (SELECT DISTINCT g.doc_id, bg.bench_id, g.i
+                  FROM g JOIN bg USING (h) WHERE g.doc_id >= 10),
+         runs AS (SELECT doc_id, bench_id, i,
+                    i - row_number() OVER (PARTITION BY doc_id, bench_id ORDER BY i) AS grp
+                  FROM hits),
+         rl AS (SELECT doc_id, bench_id, grp, count(*) AS run_len
+                FROM runs GROUP BY 1, 2, 3)
+         SELECT doc_id, bench_id,
+           CAST(sum(run_len) AS BIGINT) AS n_hit_grams,
+           CAST(max(run_len) AS BIGINT) AS longest_run_grams,
+           CAST(max(run_len) + 4 AS BIGINT) AS max_span_tokens,
+           max(run_len) + 4 >= 13 AS flagged
+         FROM rl GROUP BY 1, 2""") { (s, d) =>
+      val tk = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val gram = transform(sequence(lit(1), size(col("tk")) - 4),
+        i => md5(concat_ws(" ", (0 until 5).map(o => element_at(col("tk"), i + o)): _*)))
+      // persisted: the benchmark side and the corpus side both read it
+      val g = graft.util.PersistScope.track(
+        tk.filter(size(col("tk")) >= 5)
+          .select(col("doc_id"), posexplode(gram).as(Seq("i0", "h")))
+          .select(col("doc_id"), (col("i0") + 1).as("i"), col("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val bg = g.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"), col("h")).distinct()
+      val hits = g.filter(col("doc_id") >= 10).join(broadcast(bg), "h")
+        .select("doc_id", "bench_id", "i").distinct()
+      val runs = hits.withColumn("grp", col("i") -
+        row_number().over(Window.partitionBy("doc_id", "bench_id").orderBy("i")))
+      val rl = runs.groupBy("doc_id", "bench_id", "grp").agg(count(lit(1)).as("run_len"))
+      rl.groupBy("doc_id", "bench_id")
+        .agg(sum("run_len").cast("long").as("n_hit_grams"),
+          max("run_len").cast("long").as("longest_run_grams"),
+          (max("run_len") + 4).cast("long").as("max_span_tokens"),
+          (max("run_len") + 4 >= 13).as("flagged"))
     },
 
     // Composed streaming INGEST GATE (s16) — s10's quality router and

@@ -339,7 +339,6 @@ object ExtraQueries {
       // would still write (and commit) an empty parquet batch — drop it.
       val sess = s.newSession()
       sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val schema = sess.read.parquet(s"$d/customer.parquet").schema
       // The file source splits by FILE, and the sample is one single-row-
       // group parquet file — without a repartition the whole detect
       // expression runs in ONE task per micro-batch (measured 1.9 s of the
@@ -348,7 +347,7 @@ object ExtraQueries {
       // is what keeps a skewed batch (one fat file) from serializing the
       // scan anyway.
       val detected = PiiInputs.fromCustomer(
-          sess.readStream.schema(schema).option("pathGlobFilter", "customer.parquet").parquet(d))
+          EventStream.streamReader(sess, d, "customer.parquet"))
         .repartition(16)
         .select(col("doc_id"),
           graft.functions.pii_candidates_rows(col("text")).as(Seq("candidate_idx", "c")))
@@ -386,7 +385,6 @@ object ExtraQueries {
       // against the corpus id set, not a corpus MinHash pass. (Production
       // stores the band table partitioned by source; the semi-join stands
       // in for that partition filter.)
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
       val corpIds = s.read.parquet(s"$d/documents.parquet")
         .filter(col("source") =!= "src0").select(col("doc_id").as("corp_id"))
       val corpBands = OpsQueries.sharedBandsFor(s, d)
@@ -395,8 +393,7 @@ object ExtraQueries {
       val corpSh = OpsQueries.sharedShinglesFor(s, d)
         .select(col("doc_id").as("corp_id"), col("s").as("corp_s"))
         .join(broadcast(corpIds), Seq("corp_id"), "left_semi")
-      val incoming = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val incoming = graft.streaming.EventStream.streamReader(s, d, "documents.parquet")
         .filter(col("source") === "src0")
       val pairs = OpsQueries.stagedBandsWithShingles(incoming)
         .join(corpBands, Seq("band", "band_hash"))
@@ -444,10 +441,8 @@ object ExtraQueries {
       val child = s.newSession()
       child.conf.set("spark.sql.shuffle.partitions", "4")
       child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val schema = child.read.parquet(s"$d/documents.parquet").schema
       val toks = split(col("text"), " ")
-      val scored = child.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val scored = graft.streaming.EventStream.streamReader(child, d, "documents.parquet")
         .select(col("source"), size(toks).as("nt"),
           size(filter(toks, t => t.isin("the", "a"))).as("ns"))
         .withColumn("disposition",

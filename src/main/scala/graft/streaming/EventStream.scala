@@ -48,14 +48,30 @@ object EventStream {
     * correctness); the default drains everything AvailableNow allows. */
   def readEvents(spark: SparkSession, dir: String, glob: String = "events.parquet",
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val df = streamReader(spark, dir, glob, maxFilesPerTrigger)
+    df.withColumn("ts", graft.queries.QueryDef.normalizedTs(df.schema("ts").dataType))
+  }
+
+  /** Layout-adaptive streaming source for a (dir, glob) table. The harness
+    * testdata keeps each table as a SINGLE parquet FILE named
+    * `<table>.parquet` directly in `dir` — FileStreamSource monitors the
+    * directory and `pathGlobFilter` selects the file. A Spark-written
+    * corpus (cli.ScaleUp, any production lake) instead makes
+    * `<table>.parquet` a DIRECTORY of part files; there the directory
+    * itself is the stream source and a filename glob would match nothing
+    * (the part files are named part-*). The batch schema probe reads
+    * `dir/glob`, which is valid in both layouts. Public: the query-suite
+    * stream runners outside this module source tables the same way. */
+  def streamReader(session: SparkSession, dir: String, glob: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val sub = new java.io.File(dir, glob)
     val schema = schemaCache.computeIfAbsent((dir, glob),
-      _ => spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
-    // FileStreamSource takes a directory; select the events file(s) by glob.
-    val reader = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob)
+      _ => session.read.parquet(sub.getPath).schema)
+    val reader = session.readStream.schema(schema)
+    val path = if (sub.isDirectory) sub.getPath
+      else { reader.option("pathGlobFilter", glob); dir }
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(dir)
-      .withColumn("ts", graft.queries.QueryDef.normalizedTs(schema("ts").dataType))
+    reader.parquet(path)
   }
 
   /** Child session for a finite AvailableNow replay.
@@ -440,16 +456,12 @@ object EventStream {
                      statePartitions: Option[Int] = Some(4),
                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
-    val schema = schemaCache.computeIfAbsent((dir, glob),
-      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
-    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     // The file source splits by FILE and documents.parquet is one
     // single-row-group file — without a repartition the tokenize +
     // depth-way cell explode runs in ONE task per micro-batch (the s06
     // lesson). The shuffle moves only raw doc text; the per-task partial
     // aggregation then caps each task's output at depth*width cells.
-    val cells = reader.parquet(dir)
+    val cells = streamReader(session, dir, glob, maxFilesPerTrigger)
       .repartition(16)
       .select(explode(split(col("text"), " ")).as("token"))
       .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
@@ -475,11 +487,7 @@ object EventStream {
                       statePartitions: Option[Int] = Some(4),
                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
-    val schema = schemaCache.computeIfAbsent((dir, glob),
-      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
-    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val cells = reader.parquet(dir)
+    val cells = streamReader(session, dir, glob, maxFilesPerTrigger)
       .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
       .select(col("source"), size(split(col("text"), " ")).as("nt"))
       .select(col("source"), explode(array(
@@ -518,11 +526,7 @@ object EventStream {
                          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
     import session.implicits._
-    val schema = schemaCache.computeIfAbsent((dir, glob),
-      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
-    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val assigned = reader.parquet(dir)
+    val assigned = streamReader(session, dir, glob, maxFilesPerTrigger)
       .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
       .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
         size(split(col("text"), " ")).cast("long").as("nt"))
@@ -575,11 +579,7 @@ object EventStream {
                        budgetOf: String => Long = defaultSourceBudget): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
     import session.implicits._
-    val schema = schemaCache.computeIfAbsent((dir, glob),
-      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
-    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val gated = reader.parquet(dir)
+    val gated = streamReader(session, dir, glob, maxFilesPerTrigger)
       .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
       .select(col("source"), col("doc_id").cast("long").as("doc_id"),
         size(split(col("text"), " ")).cast("long").as("nt"))
@@ -623,12 +623,8 @@ object EventStream {
                     budgetOf: String => Long = defaultSourceBudget): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
     import session.implicits._
-    val schema = schemaCache.computeIfAbsent((dir, glob),
-      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
-    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val toks = split(col("text"), " ")
-    val gated = reader.parquet(dir)
+    val gated = streamReader(session, dir, glob, maxFilesPerTrigger)
       .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
       .select(col("source"), col("doc_id").cast("long").as("doc_id"),
         size(toks).cast("long").as("nt"),
@@ -676,11 +672,7 @@ object EventStream {
                                 statePartitions: Option[Int] = Some(4),
                                 maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val session = replaySession(spark, statePartitions)
-    val schema = schemaCache.computeIfAbsent((dir, glob),
-      _ => session.read.option("pathGlobFilter", glob).parquet(dir).schema)
-    val reader = session.readStream.schema(schema).option("pathGlobFilter", glob)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val top = reader.parquet(dir)
+    val top = streamReader(session, dir, glob, maxFilesPerTrigger)
       .repartition(16) // single-file source: restore tokenize parallelism (s06 lesson)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("w"),

@@ -216,6 +216,31 @@ class CorpusCurationSpec extends SparkSpec {
     }
   }
 
+  test("x95 span contamination: verbatim spans flag, scattered vocabulary does not") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"b$i").mkString(" ")
+    // doc 10: a verbatim 15-token quote of bench tokens 3..17 -> 11
+    // consecutive shared 5-grams -> span 15 >= 13 -> flagged
+    val quoted = "x1 x2 " + (3 to 17).map(i => s"b$i").mkString(" ") + " y1 y2"
+    // doc 11: two scattered 5-token fragments -> two runs of length 1
+    val scattered = (1 to 5).map(i => s"b$i").mkString(" ") + " z1 z2 z3 z4 " +
+      (10 to 14).map(i => s"b$i").mkString(" ")
+    // doc 12: clean
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((0L, bench, "en", "srcB", 0L), (10L, quoted, "en", "srcA", 0L),
+      (11L, scattered, "en", "srcA", 0L), (12L, clean, "en", "srcA", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("spancontam").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("x95_span_contamination")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    graft.util.PersistScope.releaseAll()
+    assert(rows.keySet == Set((10L, 0L), (11L, 0L)), s"got ${rows.keySet}")
+    assert(rows((10L, 0L)) == ((11L, 11L, 15L, true)), s"quoted: ${rows((10L, 0L))}")
+    assert(rows((11L, 0L)) == ((2L, 1L, 5L, false)), s"scattered: ${rows((11L, 0L))}")
+  }
+
   test("x91 cross-tab: partitions the corpus, dup counts bounded and live") {
     val rows = graft.SparkEntry.queries("x91_quality_vs_dup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
