@@ -669,6 +669,44 @@ object CurationQueries {
           (max("run_len") + 4 >= 13).as("flagged"))
     },
 
+    // x95's span decontamination as a STREAMING admission gate (s17): the
+    // check runs AT ARRIVAL — each incoming doc scored against the
+    // benchmark suite, quarantined when any shared verbatim span reaches
+    // 13 tokens. One stateless map over the stream: the benchmark's
+    // per-item distinct gram sets ride a single broadcast row (eval-sized)
+    // and the longest-run fold happens IN-ROW per (doc, bench item) with a
+    // (current, best) accumulator — no explode, no shuffle, no state, no
+    // watermark; append-mode emission, one decision row per doc. Batch
+    // x95 keeps the per-pair audit detail; this is the decision surface.
+    QueryDef("s17_stream_decontam_gate",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         g AS (SELECT doc_id, i, md5(list_aggregate(tk[i:i+4], 'string_agg', ' ')) AS h
+               FROM tk, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS t(i)),
+         bg AS (SELECT DISTINCT doc_id AS bid, h FROM g WHERE doc_id < 10),
+         hits AS (SELECT DISTINCT g.doc_id, bg.bid, g.i
+                  FROM g JOIN bg USING (h) WHERE g.doc_id >= 10),
+         runs AS (SELECT doc_id, bid, i,
+                    i - row_number() OVER (PARTITION BY doc_id, bid ORDER BY i) AS grp
+                  FROM hits),
+         rl AS (SELECT doc_id, bid, grp, count(*) AS run_len
+                FROM runs GROUP BY 1, 2, 3),
+         agg AS (SELECT doc_id, count(DISTINCT bid) AS nb, max(run_len) AS mr
+                 FROM rl GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bench_hits,
+           CAST(CASE WHEN coalesce(agg.mr, 0) > 0 THEN agg.mr + 4 ELSE 0 END AS BIGINT)
+             AS max_span_tokens,
+           coalesce(agg.mr, 0) >= 9 AS quarantine
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         WHERE d.doc_id >= 10""") { (s, d) =>
+      val name = "s17_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runDecontamGate(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("doc_id"), col("n_bench_hits"),
+          col("max_span_tokens"), col("quarantine"))
+    },
+
     // Composed streaming INGEST GATE (s16) — s10's quality router and
     // s15's token quota fused into the one stateful pass a production
     // ingest runs: every doc is routed, and only keep-routed docs draw

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -683,6 +683,70 @@ object EventStream {
         struct((-col("priority")).as("np"), col("doc_id"), col("w"), col("priority")),
         k).as("top"))
     top.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming span-decontamination gate (s17): x95's longest-verbatim-run
+    * semantics as the admission check a training-data ingest runs AT
+    * ARRIVAL — every incoming doc is scored against the benchmark suite
+    * and quarantined when any shared verbatim span reaches 13 tokens.
+    *
+    * The whole check is ONE stateless map over the stream: the benchmark's
+    * per-item distinct 5-gram sets ride a single broadcast row
+    * (eval-sized, the x23 posture), and per (doc, benchmark item) the hit
+    * bitmap AND its longest consecutive run fold IN-ROW over the doc's
+    * positional grams (`aggregate` with a (current, best) struct
+    * accumulator) — no explode, no shuffle, no state store, no watermark.
+    * Batch x95 keeps the per-pair audit detail; this gate emits the
+    * per-doc DECISION: how many benchmark items it touches, its worst
+    * span, quarantine yes/no — one row per arriving doc, append mode. */
+  def runDecontamGate(spark: SparkSession, dir: String, queryName: String,
+                      glob: String = "documents.parquet",
+                      benchBelow: Long = 10L,
+                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    def gramsOf(tk: Column): Column =
+      when(size(tk) >= 5, transform(sequence(lit(1), size(tk) - 4),
+        i => md5(concat_ws(" ", (0 until 5).map(o => element_at(tk, i + o)): _*))))
+        .otherwise(array().cast("array<string>"))
+    // Static side: the benchmark's (id, distinct gram set) structs as ONE
+    // broadcast row — at real scale this is the eval suite, not the corpus.
+    val bench = session.read.parquet(new java.io.File(dir, glob).getPath)
+      .filter(col("doc_id") < benchBelow)
+      .select(col("doc_id").cast("long").as("bid"),
+        array_distinct(gramsOf(split(col("text"), " "))).as("bset"))
+      .agg(collect_list(struct(col("bid"), col("bset"))).as("bs"))
+    // Longest consecutive run of hit positions, folded in-row: the
+    // (cur, best) accumulator is the streaming-safe gaps-and-islands.
+    def longestRun(bset: Column): Column =
+      aggregate(
+        transform(col("gs"), g => array_contains(bset, g)),
+        struct(lit(0).as("cur"), lit(0).as("best")),
+        (acc, hit) => {
+          val nc = when(hit, acc.getField("cur") + 1).otherwise(lit(0))
+          struct(nc.as("cur"), greatest(acc.getField("best"), nc).as("best"))
+        },
+        acc => acc.getField("best"))
+    val per = transform(col("bs"), b => longestRun(b.getField("bset")))
+    val out = streamReader(session, dir, glob, maxFilesPerTrigger)
+      .filter(col("doc_id") >= benchBelow)
+      .repartition(16) // single-file source: restore scan parallelism (s06 lesson)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        gramsOf(split(col("text"), " ")).as("gs"))
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(filter(per, p => p > 0)).cast("long").as("n_bench_hits"),
+        coalesce(array_max(per), lit(0)).as("__mr"))
+      .select(col("doc_id"), col("n_bench_hits"),
+        when(col("__mr") > 0, col("__mr") + 4).otherwise(lit(0))
+          .cast("long").as("max_span_tokens"),
+        (col("__mr") >= 9).as("quarantine"))
+    out.writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .option("checkpointLocation", Ckpt.fresh(queryName))
       .trigger(Trigger.AvailableNow())

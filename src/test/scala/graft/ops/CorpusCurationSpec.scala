@@ -241,6 +241,36 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows((11L, 0L)) == ((2L, 1L, 5L, false)), s"scattered: ${rows((11L, 0L))}")
   }
 
+  test("s17 gate: decisions match x95 semantics across multiple micro-batches") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"b$i").mkString(" ")
+    val quoted = "x1 x2 " + (3 to 17).map(i => s"b$i").mkString(" ") + " y1 y2"
+    val scattered = (1 to 5).map(i => s"b$i").mkString(" ") + " z1 z2 z3 z4 " +
+      (10 to 14).map(i => s"b$i").mkString(" ")
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((0L, bench, "en", "srcB", 0L), (10L, quoted, "en", "srcA", 0L),
+      (11L, scattered, "en", "srcA", 0L), (12L, clean, "en", "srcA", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("s17gate").toString
+    val inDir = new java.io.File(tmp); // two files -> >= 2 micro-batches
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (i <- 0 to 1) {
+      val part = s"$tmp/stage$i"
+      df.filter($"doc_id" % 2 === i).coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(inDir, s"f$i.parquet").toPath)
+    }
+    val q = graft.streaming.EventStream.runDecontamGate(spark, tmp, "s17_spec_sink",
+      glob = "f*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val rows = q.sparkSession.table("s17_spec_sink")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.keySet == Set(10L, 11L, 12L))
+    assert(rows(10L) == ((1L, 15L, true)), s"quoted: ${rows(10L)}")   // 11-gram run -> span 15
+    assert(rows(11L) == ((1L, 5L, false)), s"scattered: ${rows(11L)}") // runs of 1 -> span 5
+    assert(rows(12L) == ((0L, 0L, false)), s"clean: ${rows(12L)}")
+  }
+
   test("x91 cross-tab: partitions the corpus, dup counts bounded and live") {
     val rows = graft.SparkEntry.queries("x91_quality_vs_dup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
