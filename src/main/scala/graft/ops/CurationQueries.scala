@@ -36,6 +36,39 @@ object CurationQueries {
       .withColumn("part_budget", when(col("full_epochs") >= 2, lit(0L))
         .otherwise(col("budget") - col("full_epochs") * col("toks")))
 
+  /** Per-doc n-gram repetition stats, computed entirely IN-ROW: build the
+    * doc's n-gram array, sort it, and fold adjacent-equal runs with a
+    * (prev, run, dup, max, tot) accumulator — `dup` accumulates the sizes
+    * of completed runs ≥ 2 (the finish lambda flushes the last run), `max`
+    * tracks the longest run (= the most common gram's count). Equivalent
+    * to a per-doc GROUP BY gram without leaving the row: no explode, no
+    * shuffle, O(L log L) per doc. Returns struct(tot, mx, dup). */
+  private def repStats(tk: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val grams = when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    aggregate(
+      array_sort(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("dup"), lit(0L).as("mx"), lit(0L).as("tot")),
+      (acc, e) => {
+        val same = acc.getField("prev") <=> e
+        val run2 = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        struct(e.as("prev"), run2.as("run"),
+          when(!same && acc.getField("run") >= 2,
+            acc.getField("dup") + acc.getField("run"))
+            .otherwise(acc.getField("dup")).as("dup"),
+          greatest(acc.getField("mx"), run2).as("mx"),
+          (acc.getField("tot") + 1).as("tot"))
+      },
+      acc => struct(
+        acc.getField("tot").as("tot"),
+        acc.getField("mx").as("mx"),
+        when(acc.getField("run") >= 2, acc.getField("dup") + acc.getField("run"))
+          .otherwise(acc.getField("dup")).as("dup")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Asymmetric near-containment, top-8 witnesses per doc (Broder's
@@ -705,6 +738,149 @@ object CurationQueries {
       q.sparkSession.table(name)
         .select(col("doc_id"), col("n_bench_hits"),
           col("max_span_tokens"), col("quarantine"))
+    },
+
+    // k-anonymity audit (x96) over the customer quasi-identifiers — the
+    // privacy gate a PII engine runs BEFORE releasing an aggregate view:
+    // every equivalence class on (nation, segment, $1k balance band) is
+    // k-anonymous (n ≥ 5) or climbs a fixed generalization ladder — drop
+    // the band (level 1), then the segment (level 2) — and a class whose
+    // fully generalized release is STILL < k is marked suppressed rather
+    // than silently published. Scale: one map-side-combined groupBy to the
+    // class frame (∝ distinct QI combos, not rows), then two window sums
+    // over that already-tiny frame — the corpus is touched exactly once.
+    QueryDef("x96_k_anonymity",
+      """WITH c0 AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band, count(*) AS n
+             FROM customer GROUP BY 1, 2, 3),
+          c1 AS (SELECT nation, seg, sum(n) AS n1 FROM c0 GROUP BY 1, 2),
+          c2 AS (SELECT nation, sum(n) AS n2 FROM c0 GROUP BY 1)
+          SELECT c0.nation, c0.seg, c0.band, CAST(c0.n AS BIGINT) AS n,
+            CAST(CASE WHEN c0.n >= 5 THEN 0 WHEN c1.n1 >= 5 THEN 1 ELSE 2 END AS BIGINT)
+              AS anon_level,
+            CAST(CASE WHEN c0.n >= 5 THEN c0.n WHEN c1.n1 >= 5 THEN c1.n1 ELSE c2.n2 END
+              AS BIGINT) AS released_n,
+            CAST(CASE WHEN c0.n >= 5 THEN c0.n WHEN c1.n1 >= 5 THEN c1.n1 ELSE c2.n2 END
+              AS BIGINT) < 5 AS suppressed
+          FROM c0 JOIN c1 USING (nation, seg) JOIN c2 USING (nation)""") { (s, d) =>
+      val c0 = t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("n"))
+      val released = when(col("n") >= 5, col("n"))
+        .when(col("n1") >= 5, col("n1")).otherwise(col("n2"))
+      c0.withColumn("n1", sum("n").over(Window.partitionBy("nation", "seg")))
+        .withColumn("n2", sum("n").over(Window.partitionBy("nation")))
+        .select(col("nation"), col("seg"), col("band"), col("n"),
+          when(col("n") >= 5, lit(0L)).when(col("n1") >= 5, lit(1L))
+            .otherwise(lit(2L)).as("anon_level"),
+          released.as("released_n"),
+          (released < 5).as("suppressed"))
+    },
+
+    // Within-doc repetition metrics (x97) — the Gopher/MassiveText
+    // repetition family x28 (CROSS-doc dup grams) does not cover: the
+    // fraction of a doc's 2-grams in its single most-common 2-gram, and
+    // the fraction of its 2-/3-grams that repeat AT ALL inside the doc —
+    // the signals that catch degenerate generator loops and keyboard-mash
+    // pages. The whole computation is IN-ROW (sort the doc's gram array,
+    // fold adjacent-equal runs with one (prev, run, dup, max) accumulator)
+    // so the query is a pure map: zero shuffles, zero joins, per-doc
+    // linearithmic in doc length — the best possible 100-TB shape. The
+    // fold runs once per (doc, n): the two-step select keeps the HOF out
+    // of CollapseProject's inlining (the q17 re-evaluation lesson).
+    QueryDef("x97_doc_repetition",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+                 FROM tk, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS t(i)),
+          c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          a2 AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx,
+                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM c2 GROUP BY 1),
+          g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+                 FROM tk, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS t(i)),
+          c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          a3 AS (SELECT doc_id, sum(c) AS tot,
+                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM c3 GROUP BY 1)
+          SELECT d.doc_id,
+            CAST(coalesce(a2.tot, 0) AS BIGINT) AS n_2grams,
+            round(CASE WHEN coalesce(a2.tot, 0) > 0 THEN a2.mx::DOUBLE / a2.tot ELSE 0 END, 6)
+              AS top_2gram_frac,
+            round(CASE WHEN coalesce(a2.tot, 0) > 0 THEN a2.dup::DOUBLE / a2.tot ELSE 0 END, 6)
+              AS dup_2gram_frac,
+            CAST(coalesce(a3.tot, 0) AS BIGINT) AS n_3grams,
+            round(CASE WHEN coalesce(a3.tot, 0) > 0 THEN a3.dup::DOUBLE / a3.tot ELSE 0 END, 6)
+              AS dup_3gram_frac,
+            (CASE WHEN coalesce(a2.tot, 0) > 0 THEN a2.mx::DOUBLE / a2.tot ELSE 0 END) > 0.2
+              OR (CASE WHEN coalesce(a3.tot, 0) > 0 THEN a3.dup::DOUBLE / a3.tot ELSE 0 END) > 0.18
+              AS flagged
+          FROM documents d
+          LEFT JOIN a2 ON a2.doc_id = d.doc_id
+          LEFT JOIN a3 ON a3.doc_id = d.doc_id""") { (s, d) =>
+      val tk = split(col("text"), " ")
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), repStats(tk, 2).as("r2"), repStats(tk, 3).as("r3"))
+      val top2 = when(col("r2.tot") > 0,
+        col("r2.mx").cast("double") / col("r2.tot")).otherwise(lit(0.0))
+      val dup2 = when(col("r2.tot") > 0,
+        col("r2.dup").cast("double") / col("r2.tot")).otherwise(lit(0.0))
+      val dup3 = when(col("r3.tot") > 0,
+        col("r3.dup").cast("double") / col("r3.tot")).otherwise(lit(0.0))
+      staged.select(col("doc_id"),
+        col("r2.tot").as("n_2grams"),
+        round(top2, 6).as("top_2gram_frac"),
+        round(dup2, 6).as("dup_2gram_frac"),
+        col("r3.tot").as("n_3grams"),
+        round(dup3, 6).as("dup_3gram_frac"),
+        (top2 > 0.2 || dup3 > 0.18).as("flagged"))
+    },
+
+    // Overlapping sliding-window chunking (x98) — the retrieval/context
+    // pre-processing cut x25 (greedy packing) and x72 (truncation audit)
+    // don't produce: each doc becomes windows of 16 tokens at stride 8
+    // (half-overlap), with the chunk's ordinal, 1-based token offset,
+    // actual length, and an md5 of the chunk text (the join key a
+    // downstream embed/index stage uses; the raw slice is one concat_ws
+    // away). Pure map + one generator — output rows ∝ Σ tokens / stride,
+    // linear in corpus, no shuffle anywhere.
+    QueryDef("x98_chunk_overlap",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          st AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 8)) AS st
+                 FROM tk)
+          SELECT doc_id, CAST((st - 1) // 8 AS BIGINT) AS chunk_idx,
+            CAST(st AS BIGINT) AS start_tok,
+            CAST(least(16, len(tk) - st + 1) AS BIGINT) AS n_tokens,
+            md5(list_aggregate(tk[st:st+15], 'string_agg', ' ')) AS chunk_md5
+          FROM st""") { (s, d) =>
+      val tk = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(8))))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").cast("long").as("start_tok"),
+          least(lit(16), size(col("tk")) - col("col") + 1).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("tk"), col("col"), lit(16)))).as("chunk_md5"))
+    },
+
+    // Streaming exact-event dedup (s18): at-least-once ingest collapsed to
+    // effectively-once with dropDuplicatesWithinWatermark — dedup state is
+    // EVICTED once the watermark passes each key's event time, so resident
+    // state ∝ rate × horizon (plain streaming dropDuplicates retains every
+    // key forever — the classic state leak). Redeliveries carry the
+    // original event time, so they land inside the horizon by construction;
+    // the emitted row is the key projection itself, which makes the result
+    // independent of which physical copy wins and the batch DISTINCT the
+    // exact oracle. Runner in EventStream.runEventDedup.
+    QueryDef("s18_stream_event_dedup",
+      "SELECT DISTINCT user_id, event_type, ts FROM events") { (s, d) =>
+      val name = "s18_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runEventDedup(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("user_id"), col("event_type"), col("ts"))
     },
 
     // Composed streaming INGEST GATE (s16) — s10's quality router and

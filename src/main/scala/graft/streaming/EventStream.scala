@@ -110,6 +110,36 @@ object EventStream {
     }
   }
 
+  /** Streaming exact-event dedup (s18): at-least-once delivery made
+    * effectively-once with `dropDuplicatesWithinWatermark` — the one
+    * streaming dedup whose state is BOUNDED: each key's state is evicted
+    * once the watermark passes its event time, so resident state ∝
+    * (arrival rate × watermark horizon), not the stream's lifetime
+    * (plain `dropDuplicates` on a stream grows forever — the classic
+    * production leak). Redelivered events carry the SAME event time as
+    * the original, so every duplicate lands inside the horizon by
+    * construction and collapses regardless of micro-batch boundaries.
+    * The emitted row IS the dedup key (a projection to the key columns),
+    * so which physical copy wins is unobservable — that's what makes the
+    * result batch-deterministic (oracle: SELECT DISTINCT over the same
+    * projection). Append mode: first arrival emits immediately. */
+  def runEventDedup(spark: SparkSession, dir: String, queryName: String,
+                    glob: String = "events.parquet",
+                    watermarkDelay: String = "10 minutes",
+                    maxFilesPerTrigger: Option[Int] = None,
+                    statePartitions: Option[Int] = Some(4)): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    val out = readEvents(session, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+    out.writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked tumbling aggregation: count + sum(value cents) per
     * (1-hour window, event_type) — the streaming twin of q10_events_tumbling. */
   def tumblingAgg(events: DataFrame): DataFrame =

@@ -271,6 +271,111 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows(12L) == ((0L, 0L, false)), s"clean: ${rows(12L)}")
   }
 
+  test("x96 k-anonymity: generalization ladder and suppression on a planted census") {
+    import spark.implicits._
+    // nation 1: one class of 6 (k-anonymous as-is); nation 2: two bands of 3
+    // that merge to 6 at level 1; nation 3: two segments of 2 whose FULL
+    // generalization is still 4 < k -> suppressed.
+    val rows0 =
+      (1 to 6).map(i => (i.toLong, s"c$i", 1, 100.0, "A")) ++
+      (7 to 9).map(i => (i.toLong, s"c$i", 2, 100.0, "B")) ++
+      (10 to 12).map(i => (i.toLong, s"c$i", 2, 1100.0, "B")) ++
+      (13 to 14).map(i => (i.toLong, s"c$i", 3, 100.0, "C")) ++
+      (15 to 16).map(i => (i.toLong, s"c$i", 3, 100.0, "D"))
+    val tmp = java.nio.file.Files.createTempDirectory("kanon").toString
+    rows0.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$tmp/customer.parquet")
+    val got = graft.SparkEntry.queries("x96_k_anonymity")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.size == 5)
+    assert(got((1L, "A", 0L)) == ((6L, 0L, 6L, false)))
+    assert(got((2L, "B", 0L)) == ((3L, 1L, 6L, false)))
+    assert(got((2L, "B", 1L)) == ((3L, 1L, 6L, false)))
+    assert(got((3L, "C", 0L)) == ((2L, 2L, 4L, true)))
+    assert(got((3L, "D", 0L)) == ((2L, 2L, 4L, true)))
+  }
+
+  test("x96 organic: classes partition the table, released_n >= n, level sound") {
+    val rows = graft.SparkEntry.queries("x96_k_anonymity")(spark, sf)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_._1).sum == total, "equivalence classes partition the table")
+    for ((n, level, released, suppressed) <- rows) {
+      assert(level >= 0 && level <= 2)
+      assert(released >= n, "generalizing can only grow the class")
+      if (level == 0) assert(released == n && n >= 5)
+      assert(suppressed == (released < 5))
+    }
+  }
+
+  test("x97 repetition: planted degenerate/looping/clean/single-token docs exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a a a a", "en", "srcA", 0L),                       // pure loop
+      (1L, "x y x y z", "en", "srcA", 0L),                         // repeated bigram
+      (2L, (1 to 30).map(i => s"t$i").mkString(" "), "en", "srcA", 0L), // clean
+      (3L, "w", "en", "srcA", 0L))                                 // no grams at all
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("x97_doc_repetition")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(0L) == ((5L, 1.0, 1.0, 4L, 1.0, true)))
+    assert(got(1L) == ((4L, 0.5, 0.5, 3L, 0.0, true)))
+    assert(got(2L) == ((29L, 0.034483, 0.0, 28L, 0.0, false)))
+    assert(got(3L) == ((0L, 0.0, 0.0, 0L, 0.0, false)))
+  }
+
+  test("x98 chunking: window/stride arithmetic and chunk hashes exact") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val t20 = (1 to 20).map(i => s"t$i")
+    val docs = Seq((0L, t20.mkString(" "), "en", "srcA", 0L),
+      (1L, "u1 u2 u3", "en", "srcA", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("chunk").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("x98_chunk_overlap")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.size == 4)
+    assert(got((0L, 0L)) == ((1L, 16L, md5hex(t20.take(16).mkString(" ")))))
+    assert(got((0L, 1L)) == ((9L, 12L, md5hex(t20.drop(8).mkString(" ")))))
+    assert(got((0L, 2L)) == ((17L, 4L, md5hex(t20.drop(16).mkString(" ")))))
+    assert(got((1L, 0L)) == ((1L, 3L, md5hex("u1 u2 u3"))))
+  }
+
+  test("s18 dedup: redelivered events collapse across micro-batches, state evicted") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // Batch 1: events A, B. Batch 2: A REDELIVERED (new event_id/value, same
+    // logical key — the at-least-once shape) plus new event C.
+    val b1 = Seq((1L, ts(0), 10L, "click", 1.0, "{}"), (2L, ts(1), 20L, "view", 2.0, "{}"))
+    val b2 = Seq((3L, ts(0), 10L, "click", 9.0, "{}"), (4L, ts(2), 30L, "click", 3.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("s18dedup").toString
+    for ((rows, i) <- Seq(b1, b2).zipWithIndex) {
+      val part = s"$tmp/stage$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(tmp, s"f$i.parquet").toPath)
+    }
+    val q = graft.streaming.EventStream.runEventDedup(spark, tmp, "s18_spec_sink",
+      glob = "f*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val rows = q.sparkSession.table("s18_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    assert(rows.length == 3, s"redelivery must collapse: ${rows.toSeq}")
+    assert(rows.toSet == Set((10L, "click", ts(0)), (20L, "view", ts(1)), (30L, "click", ts(2))))
+  }
+
   test("x91 cross-tab: partitions the corpus, dup counts bounded and live") {
     val rows = graft.SparkEntry.queries("x91_quality_vs_dup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
