@@ -740,10 +740,15 @@ object EventStream {
     val session = spark.newSession()
     session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     session.conf.set("spark.sql.adaptive.enabled", "false")
+    // Grams hash to 64-bit xxhash64, not md5 strings: only gram EQUALITY
+    // matters here (the decision columns are counts/runs, so the oracle
+    // pins them regardless of the internal hash), and the per-doc
+    // membership fold compares each doc gram against every benchmark gram
+    // — long compares make that scan ~2x cheaper than 32-char strings.
     def gramsOf(tk: Column): Column =
       when(size(tk) >= 5, transform(sequence(lit(1), size(tk) - 4),
-        i => md5(concat_ws(" ", (0 until 5).map(o => element_at(tk, i + o)): _*))))
-        .otherwise(array().cast("array<string>"))
+        i => xxhash64(concat_ws(" ", (0 until 5).map(o => element_at(tk, i + o)): _*))))
+        .otherwise(array().cast("array<bigint>"))
     // Static side: the benchmark's (id, distinct gram set) structs as ONE
     // broadcast row — at real scale this is the eval suite, not the corpus.
     val bench = session.read.parquet(new java.io.File(dir, glob).getPath)
