@@ -883,6 +883,30 @@ object CurationQueries {
         .select(col("user_id"), col("event_type"), col("ts"))
     },
 
+    // Streaming k-anonymity release gate (s19): x96's equivalence classes
+    // as ingest-time HOLD-AND-RELEASE — the first k−1 members of a class
+    // are buffered in state, the k-th arrival releases the buffer, later
+    // members pass straight through, and never-≥k classes emit nothing
+    // (exactly the rows batch release would suppress). The emitted SET is
+    // order- and batching-independent, so the oracle is the batch
+    // join-on-class-counts. State per class: one count + ≤ k−1 ids,
+    // bounded by construction, monotone ⇒ watermark-free. Runner in
+    // EventStream.runKAnonGate.
+    QueryDef("s19_stream_kanon_gate",
+      """WITH c AS (SELECT c_custkey, c_nationkey::BIGINT AS nation,
+               c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band FROM customer),
+          n AS (SELECT nation, seg, band, count(*) AS cn FROM c GROUP BY 1, 2, 3)
+          SELECT c.c_custkey, c.nation, c.seg, c.band
+          FROM c JOIN n USING (nation, seg, band) WHERE n.cn >= 5""") { (s, d) =>
+      val name = "s19_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runKAnonGate(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("c_custkey"), col("nation"), col("seg"), col("band"))
+    },
+
     // Composed streaming INGEST GATE (s16) — s10's quality router and
     // s15's token quota fused into the one stateful pass a production
     // ingest runs: every doc is routed, and only keep-routed docs draw

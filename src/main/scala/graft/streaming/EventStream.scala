@@ -140,6 +140,60 @@ object EventStream {
       .start()
   }
 
+  /** Streaming k-anonymity release gate (s19): x96's equivalence classes
+    * as an ingest-time HOLD-AND-RELEASE — a record is published only once
+    * its quasi-identifier class (nation, segment, $1k balance band) has
+    * accumulated k members. The first k−1 arrivals of a class are HELD in
+    * state; the k-th arrival releases the whole buffer and every later
+    * member passes straight through. Classes that never reach k emit
+    * nothing — they are exactly the rows a batch release would suppress.
+    *
+    * The emitted SET is therefore order- and batching-independent (every
+    * member of every eventually-≥k class, nothing else), which is what
+    * makes the batch join-on-class-counts oracle exact. State per class is
+    * bounded BY CONSTRUCTION: one count plus at most k−1 buffered ids —
+    * the holding pen never outgrows k−1 no matter how long the stream
+    * runs, and no watermark is needed because the gate is monotone (a
+    * class only ever gains members). */
+  def runKAnonGate(spark: SparkSession, dir: String, queryName: String,
+                   glob: String = "customer.parquet", k: Int = 5,
+                   statePartitions: Option[Int] = Some(4),
+                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val out = streamReader(session, dir, glob, maxFilesPerTrigger)
+      .select(col("c_custkey").cast("long").as("ck"),
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(r => (r._2, r._3, r._4))
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String, Long), rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[(Long, Seq[Long])]) =>
+          val st = state.getOption.getOrElse((0L, Seq.empty[Long]))
+          var n = st._1
+          var pending = st._2
+          val released = scala.collection.mutable.ArrayBuffer[Long]()
+          rows.toSeq.sortBy(_._1).foreach { case (ck, _, _, _) =>
+            n += 1
+            if (n >= k) {
+              if (pending.nonEmpty) { released ++= pending; pending = Seq.empty }
+              released += ck
+            } else pending = pending :+ ck
+          }
+          state.update((n, pending))
+          released.iterator.map(ck => (ck, key._1, key._2, key._3))
+      }
+      .toDF("c_custkey", "nation", "seg", "band")
+    out.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked tumbling aggregation: count + sum(value cents) per
     * (1-hour window, event_type) — the streaming twin of q10_events_tumbling. */
   def tumblingAgg(events: DataFrame): DataFrame =

@@ -376,6 +376,31 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows.toSet == Set((10L, "click", ts(0)), (20L, "view", ts(1)), (30L, "click", ts(2))))
   }
 
+  test("s19 k-anon gate: class held until k-th arrival, released across batches") {
+    import spark.implicits._
+    // Class A (nation 1, seg A, band 0): 3 members in batch 1 + 3 in batch 2
+    // -> held through batch 1, fully released in batch 2 (6 rows out).
+    // Class B (nation 2, seg B, band 0): 4 members total -> never released.
+    val a = (1 to 6).map(i => (i.toLong, s"c$i", 1, 100.0, "A"))
+    val b = (7 to 10).map(i => (i.toLong, s"c$i", 2, 100.0, "B"))
+    val all = a ++ b
+    val tmp = java.nio.file.Files.createTempDirectory("s19kanon").toString
+    for ((rows, i) <- Seq(all.filter(_._1 % 2 == 1), all.filter(_._1 % 2 == 0)).zipWithIndex) {
+      val part = s"$tmp/stage$i"
+      rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(tmp, s"f$i.parquet").toPath)
+    }
+    val q = graft.streaming.EventStream.runKAnonGate(spark, tmp, "s19_spec_sink",
+      glob = "f*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val rows = q.sparkSession.table("s19_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 6L), s"got ${rows.toSeq}")
+    assert(rows.forall(r => r._2 == 1L && r._3 == "A" && r._4 == 0L))
+  }
+
   test("x91 cross-tab: partitions the corpus, dup counts bounded and live") {
     val rows = graft.SparkEntry.queries("x91_quality_vs_dup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
