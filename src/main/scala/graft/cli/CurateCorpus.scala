@@ -12,13 +12,15 @@ import org.apache.spark.sql.SparkSession
   * Stages (each an existing oracle-verified operator, composed here):
   *   1. clean        — x46 text normalization
   *   2. quality      — x09/s10 routing (keep / low_stopword / short)
-  *   3. boilerplate  — x87 span coverage + trim flags
-  *   4. dedup ledger — x83 cascade retention per source
-  *   5. quarantine   — x82-style PII propagation is corpus-derived; here
+  *   3. repetition   — x97 within-doc Gopher repetition flags
+  *   4. boilerplate  — x87 span coverage + trim flags
+  *   5. decontam     — x95 span-level benchmark leak audit
+  *   6. dedup ledger — x83 cascade retention per source
+  *   7. quarantine   — x82-style PII propagation is corpus-derived; here
   *                     the organic-corpus manifest (x77) carries the
   *                     cluster-atomic split + quarantine decisions
-  *   6. schedule     — x88 epoch plan + x31 per-source budget slices
-  *   7. summary      — one JSON line with per-stage row counts
+  *   8. schedule     — x88 epoch plan + x31 per-source budget slices
+  *   9. summary      — one JSON line with per-stage row counts
   *
   * Everything runs through `SparkEntry.queries`, so the CLI can never
   * drift from the verified semantics: it IS the library surface, driven
@@ -32,7 +34,9 @@ object CurateCorpus {
   val stages: Seq[(String, String)] = Seq(
     "clean" -> "x46_clean_text",
     "quality" -> "x91_quality_vs_dup",
+    "repetition" -> "x97_doc_repetition",
     "boilerplate" -> "x87_boilerplate_coverage",
+    "decontam" -> "x95_span_contamination",
     "dedup_ledger" -> "x83_dedup_cascade",
     "manifest" -> "x77_split_manifest",
     "epoch_schedule" -> "x88_epoch_schedule",

@@ -15,7 +15,10 @@ class CurateCorpusSpec extends SparkSpec {
     assert(counts.keySet == CurateCorpus.stages.map(_._1).toSet)
     // per-doc artifacts carry the whole corpus
     assert(counts("clean") == 500)
+    assert(counts("repetition") == 500)
     assert(counts("boilerplate") == 500)
+    // decontam is hit-pair-shaped: only (doc, benchmark item) overlaps
+    assert(counts("decontam") > 0 && counts("decontam") < 500)
     assert(counts("budget_slices") == 500) // mixture budgets exceed sf0.001 sources
     // per-source artifacts carry every source
     assert(counts("dedup_ledger") == 20)
@@ -29,5 +32,9 @@ class CurateCorpusSpec extends SparkSpec {
     assert(manifest.columns.contains("disposition") && manifest.columns.contains("doc_id"))
     val sched = spark.read.parquet(s"$out/epoch_schedule.parquet")
     assert(sched.columns.contains("effective_tokens"))
+    val rep = spark.read.parquet(s"$out/repetition.parquet")
+    assert(rep.columns.contains("flagged") && rep.columns.contains("top_2gram_frac"))
+    val dec = spark.read.parquet(s"$out/decontam.parquet")
+    assert(dec.columns.contains("flagged") && dec.columns.contains("max_span_tokens"))
   }
 }
