@@ -69,6 +69,11 @@ object CurationQueries {
           .otherwise(acc.getField("dup")).as("dup")))
   }
 
+  /** Hex nibble → 0-15 as a long (`conv` base-16; the DuckDB oracle walks
+    * the same lowercase-hex alphabet with strpos − 1 — identical values). */
+  private def hexNibble(nibble: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(nibble, 16, 10).cast("long")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Asymmetric near-containment, top-8 witnesses per doc (Broder's
@@ -881,6 +886,40 @@ object CurationQueries {
       if (q.isActive) q.stop()
       q.sparkSession.table(name)
         .select(col("user_id"), col("event_type"), col("ts"))
+    },
+
+    // Feature hashing (x99) — the hashing-trick featurizer (Weinberger et
+    // al. 2009): every token hashes to one of 16 buckets with a ±1 sign
+    // hash, and the doc's fixed-dimension vector is the signed count sum
+    // per bucket. The POINT of the operator is its scale shape: the output
+    // dimension is CONSTANT regardless of vocabulary size (a 10⁹-term
+    // vocab and a 10³-term vocab both produce 16 columns), so the
+    // downstream model never materializes a vocab index. Both engines
+    // derive bucket and sign from the same md5 hex nibbles (bucket =
+    // nibble 1, sign = parity of nibble 2), so the result is portable
+    // bit-for-bit. Rides the pass-wide shared wordcount stage — no new
+    // corpus tokenization; the (doc, bucket) aggregate is map-side
+    // combined with ≤ 16 output rows per doc.
+    QueryDef("x99_feature_hashing",
+      """WITH wc AS (SELECT doc_id, token, count(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents) GROUP BY 1, 2),
+          h AS (SELECT doc_id,
+                strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1 AS bucket,
+                CAST(1 - 2 * ((strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) % 2)
+                  AS BIGINT) AS sgn, c
+              FROM wc)
+          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+            CAST(sum(sgn * c) AS BIGINT) AS val
+          FROM h GROUP BY 1, 2""") { (s, d) =>
+      OpsQueries.sharedWordCounts(s, d)
+        .select(col("doc_id"),
+          hexNibble(substring(md5(col("token")), 1, 1)).as("bucket"),
+          (lit(1L) - lit(2L) * (hexNibble(substring(md5(col("token")), 2, 1)) % 2))
+            .as("sgn"),
+          col("c"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum(col("sgn") * col("c")).as("val"))
     },
 
     // Streaming k-anonymity release gate (s19): x96's equivalence classes

@@ -401,6 +401,38 @@ class CorpusCurationSpec extends SparkSpec {
     assert(rows.forall(r => r._2 == 1L && r._3 == "A" && r._4 == 0L))
   }
 
+  test("x99 feature hashing: planted doc exact, buckets bounded, mass conserved") {
+    import spark.implicits._
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(t: String): Long = java.lang.Long.parseLong(md5hex(t).substring(0, 1), 16)
+    def sgn(t: String): Long =
+      1L - 2L * (java.lang.Long.parseLong(md5hex(t).substring(1, 2), 16) % 2)
+    val docs = Seq((0L, "alpha beta alpha", "en", "srcA", 0L),
+      (1L, "gamma gamma gamma gamma", "en", "srcA", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("feathash").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("x99_feature_hashing")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.util.SharedStages.releaseAll()
+    // doc 0: alpha x2 + beta x1 — same bucket collides additively, else two rows
+    val expect0 = Map(bucket("alpha") -> 2L * sgn("alpha"))
+      .foldLeft(Map(bucket("beta") -> sgn("beta"))) { case (m, (b, v)) =>
+        m.updated(b, m.getOrElse(b, 0L) + v) }
+    for ((b, v) <- expect0) assert(got((0L, b)) == v, s"doc0 bucket $b")
+    assert(got((1L, bucket("gamma"))) == 4L * sgn("gamma"))
+    // mass conservation: |val| per bucket can never exceed the token count
+    assert(got.collect { case ((d, _), v) if d == 1L => math.abs(v) }.sum == 4L)
+    // organic: buckets in range, vector width <= 16 per doc
+    val organic = graft.SparkEntry.queries("x99_feature_hashing")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.util.SharedStages.releaseAll()
+    assert(organic.forall(r => r._2 >= 0 && r._2 <= 15))
+    assert(organic.groupBy(_._1).forall(_._2.length <= 16))
+  }
+
   test("x91 cross-tab: partitions the corpus, dup counts bounded and live") {
     val rows = graft.SparkEntry.queries("x91_quality_vs_dup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
