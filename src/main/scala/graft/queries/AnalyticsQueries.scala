@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef.t
+
+/** Behavioral / privacy analytics the reference's findings-store consumers
+  * run downstream of the scan (reference `store/db.py` exposes the raw
+  * frames; these are the standard release-side reads): an l-diversity audit
+  * (the homogeneity-attack complement of x96's k-anonymity size check), an
+  * ordered event funnel, and a cohort retention matrix. All three reduce the
+  * corpus to a tiny keyed frame in a single pass and do every ratio on that
+  * frame — the canonical 100-TB shape for release analytics.
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // l-diversity audit (x100) — the privacy check x96 does NOT make:
+    // a class can be k-anonymous (n ≥ 5) and still leak its sensitive
+    // attribute when every member shares one value (the homogeneity
+    // attack, Machanavajjhala et al. 2007). Classes are x96's coarser
+    // (nation, segment) release; the sensitive attribute is the $1k
+    // balance band. Two gates per class: distinct l-diversity (≥ 3
+    // distinct bands) and entropy l-diversity (H(band | class) ≥ ln 3 —
+    // strictly stronger; a 98/1/1 split passes distinct but fails
+    // entropy). The entropy cross-row sum is the x69 fixed-point idiom —
+    // per-band term c·⌊ln(N/c)·1e9+0.5⌋ summed as exact int64, so the
+    // value never depends on partial-aggregation order. Scale: one
+    // map-side-combined groupBy to the (class, band) frame (∝ distinct
+    // combos, not rows), windows over that tiny frame; the corpus is
+    // touched exactly once.
+    QueryDef("x100_l_diversity",
+      """WITH cb AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band, count(*) AS c
+             FROM customer GROUP BY 1, 2, 3),
+          ns AS (SELECT nation, seg, sum(c) AS n, count(*) AS l FROM cb GROUP BY 1, 2),
+          tm AS (SELECT cb.nation, cb.seg,
+               sum(cb.c * CAST(floor(ln(ns.n::DOUBLE / cb.c) * 1000000000 + 0.5) AS BIGINT))
+                 AS tm
+             FROM cb JOIN ns USING (nation, seg) GROUP BY 1, 2)
+          SELECT ns.nation, ns.seg, CAST(ns.n AS BIGINT) AS n_members,
+            CAST(ns.l AS BIGINT) AS l_distinct,
+            round(tm.tm / (ns.n * 1000000000.0), 6) AS entropy,
+            ns.l >= 3 AS distinct_ok,
+            tm.tm >= 1098612289 * ns.n AS entropy_ok,
+            NOT (ns.l >= 3 AND tm.tm >= 1098612289 * ns.n) AS flagged
+          FROM tm JOIN ns USING (nation, seg)""") { (s, d) =>
+      val cb = t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("c"))
+      val ns = cb.groupBy("nation", "seg").agg(sum("c").as("n"), count(lit(1)).as("l"))
+      val tm = cb.join(broadcast(ns), Seq("nation", "seg"))
+        .select(col("nation"), col("seg"),
+          (col("c") * floor(log(col("n").cast("double") / col("c")) * 1000000000L + 0.5)
+            .cast("long")).as("tm_row"))
+        .groupBy("nation", "seg").agg(sum("tm_row").as("tm"))
+      // Entropy gate in exact fixed-point: H ≥ ln 3 ⇔ tm ≥ ⌊ln(3)·1e9+0.5⌋·n
+      // (= 1098612289·n) — an integer comparison, immune to ULP drift between
+      // the engines' ln implementations at the threshold.
+      val entOk = col("tm") >= lit(1098612289L) * col("n")
+      tm.join(broadcast(ns), Seq("nation", "seg"))
+        .select(col("nation"), col("seg"),
+          col("n").cast("long").as("n_members"),
+          col("l").cast("long").as("l_distinct"),
+          round(col("tm") / (col("n") * 1000000000.0), 6).as("entropy"),
+          (col("l") >= 3).as("distinct_ok"),
+          entOk.as("entropy_ok"),
+          (!(col("l") >= 3 && entOk)).as("flagged"))
+    },
+
+    // Ordered event funnel (x101) — the multi-stage conversion read every
+    // event warehouse serves: per user, the earliest view, the earliest
+    // click STRICTLY AFTER that view, the earliest purchase strictly after
+    // that click; the funnel row reports users reaching each stage, the
+    // step conversion, and mean seconds-to-advance (exact integer sums).
+    // Scale shape: ONE shuffle total — three whole-partition conditional
+    // mins over the same user partitioning (consecutive Window operators
+    // with identical partitioning plan with a single Exchange+Sort), then
+    // a user-level dedup on that partitioning and a scalar fold to three
+    // rows. No self-join, no per-stage corpus rescans.
+    QueryDef("x101_event_funnel",
+      """WITH x AS (SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'view' THEN e.ts END) AS t1
+             FROM events e GROUP BY 1),
+          y AS (SELECT x.user_id, x.t1, min(e.ts) AS t2
+             FROM x LEFT JOIN events e
+               ON e.user_id = x.user_id AND e.event_type = 'click' AND e.ts > x.t1
+             GROUP BY 1, 2),
+          z AS (SELECT y.user_id, y.t1, y.t2, min(e.ts) AS t3
+             FROM y LEFT JOIN events e
+               ON e.user_id = y.user_id AND e.event_type = 'purchase' AND e.ts > y.t2
+             GROUP BY 1, 2, 3),
+          agg AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3,
+               sum(CASE WHEN t2 IS NOT NULL
+                   THEN CAST(date_diff('second', t1, t2) AS BIGINT) END) AS s12,
+               sum(CASE WHEN t3 IS NOT NULL
+                   THEN CAST(date_diff('second', t2, t3) AS BIGINT) END) AS s23
+             FROM z)
+          SELECT stage, n_users, conv_from_prev, mean_advance_sec FROM (
+            SELECT 1 AS ord, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+              1.0 AS conv_from_prev, CAST(NULL AS DOUBLE) AS mean_advance_sec FROM agg
+            UNION ALL
+            SELECT 2, 'click_after_view', CAST(n2 AS BIGINT),
+              round(CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 ELSE 0 END, 6),
+              CASE WHEN n2 > 0 THEN round(s12::DOUBLE / n2, 6) END FROM agg
+            UNION ALL
+            SELECT 3, 'purchase_after_click', CAST(n3 AS BIGINT),
+              round(CASE WHEN n2 > 0 THEN n3::DOUBLE / n2 ELSE 0 END, 6),
+              CASE WHEN n3 > 0 THEN round(s23::DOUBLE / n3, 6) END FROM agg)
+          ORDER BY ord""") { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      val perUser = QueryDef.events(s, d)
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+        .select("user_id", "t1", "t2", "t3").distinct()
+      val agg = perUser.agg(
+        count("t1").as("n1"), count("t2").as("n2"), count("t3").as("n3"),
+        sum(when(col("t2").isNotNull,
+          unix_timestamp(col("t2")) - unix_timestamp(col("t1")))).as("s12"),
+        sum(when(col("t3").isNotNull,
+          unix_timestamp(col("t3")) - unix_timestamp(col("t2")))).as("s23"))
+      agg.select(explode(array(
+        struct(lit("view").as("stage"), col("n1").cast("long").as("n_users"),
+          lit(1.0).as("conv_from_prev"),
+          lit(null).cast("double").as("mean_advance_sec")),
+        struct(lit("click_after_view").as("stage"), col("n2").cast("long").as("n_users"),
+          round(when(col("n1") > 0, col("n2").cast("double") / col("n1")).otherwise(0.0), 6)
+            .as("conv_from_prev"),
+          when(col("n2") > 0, round(col("s12").cast("double") / col("n2"), 6))
+            .as("mean_advance_sec")),
+        struct(lit("purchase_after_click").as("stage"), col("n3").cast("long").as("n_users"),
+          round(when(col("n2") > 0, col("n3").cast("double") / col("n2")).otherwise(0.0), 6)
+            .as("conv_from_prev"),
+          when(col("n3") > 0, round(col("s23").cast("double") / col("n3"), 6))
+            .as("mean_advance_sec")))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"),
+          col("r.conv_from_prev").as("conv_from_prev"),
+          col("r.mean_advance_sec").as("mean_advance_sec"))
+    },
+
+    // Cohort retention matrix (x102) — users cohorted by the ISO week of
+    // their FIRST event; each later active week becomes a (cohort_week,
+    // week_offset) cell with the user count and the retention fraction vs
+    // the cohort's size (its offset-0 count — every user is active in
+    // their own first week by construction, so that cell IS the cohort).
+    // Scale shape: first-event frame and the distinct (user, week)
+    // activity frame both hash-partition on user_id, so the join is
+    // co-partitioned off one logical shuffle; the matrix aggregation and
+    // the cohort-size window then run on a weeks×weeks-sized frame. The
+    // week offset is exact integer epoch arithmetic (no interval math).
+    QueryDef("x102_cohort_retention",
+      """WITH f AS (SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+             FROM events GROUP BY 1),
+          a AS (SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+             FROM events),
+          m AS (SELECT f.cohort_week,
+               (epoch(a.act_week)::BIGINT - epoch(f.cohort_week)::BIGINT) // 604800
+                 AS week_offset,
+               count(*) AS n_users
+             FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+          SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+            CAST(n_users AS BIGINT) AS n_users,
+            round(n_users::DOUBLE /
+              max(CASE WHEN week_offset = 0 THEN n_users END)
+                OVER (PARTITION BY cohort_week), 6) AS retention
+          FROM m""") { (s, d) =>
+      val ev = QueryDef.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val a = ev.select(col("user_id"), date_trunc("week", col("ts")).as("act_week")).distinct()
+      val m = a.join(f, "user_id")
+        .groupBy(col("cohort_week"),
+          ((unix_timestamp(col("act_week")) - unix_timestamp(col("cohort_week")))
+            / 604800L).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val wc = Window.partitionBy("cohort_week")
+      m.select(col("cohort_week"), col("week_offset"),
+        col("n_users").cast("long").as("n_users"),
+        round(col("n_users").cast("double") /
+          max(when(col("week_offset") === 0, col("n_users"))).over(wc), 6).as("retention"))
+    },
+
+    // Streaming funnel detector (s20) — x101 evaluated AT ARRIVAL: a
+    // stage-advance row fires in the micro-batch where a user's slot
+    // fills (the "alert when a user converts" trigger read). State is
+    // three timestamps per user, filled at most once each — bounded and
+    // monotone, so no watermark. Single-batch replay (the gate's shape)
+    // reproduces x101's min-over-history semantics exactly; the oracle
+    // is the per-user stage unpivot. Runner in EventStream.runFunnel.
+    QueryDef("s20_stream_funnel",
+      """WITH x AS (SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+             FROM events GROUP BY 1),
+          y AS (SELECT x.user_id, x.t1, min(e.ts) AS t2
+             FROM x LEFT JOIN events e
+               ON e.user_id = x.user_id AND e.event_type = 'click' AND e.ts > x.t1
+             GROUP BY 1, 2),
+          z AS (SELECT y.user_id, y.t1, y.t2, min(e.ts) AS t3
+             FROM y LEFT JOIN events e
+               ON e.user_id = y.user_id AND e.event_type = 'purchase' AND e.ts > y.t2
+             GROUP BY 1, 2, 3)
+          SELECT user_id, 'view' AS stage, t1 AS ts FROM z WHERE t1 IS NOT NULL
+          UNION ALL
+          SELECT user_id, 'click_after_view', t2 FROM z WHERE t2 IS NOT NULL
+          UNION ALL
+          SELECT user_id, 'purchase_after_click', t3 FROM z WHERE t3 IS NOT NULL""") {
+      (s, d) =>
+      val name = "s20_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runFunnel(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("user_id"), col("stage"), col("ts"))
+    }
+  )
+}

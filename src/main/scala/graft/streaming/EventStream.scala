@@ -194,6 +194,65 @@ object EventStream {
       .start()
   }
 
+  /** Streaming ordered-funnel detector (s20): x101's view → click →
+    * purchase progression evaluated AT ARRIVAL — the trigger-style read
+    * ("fire when a user converts") that batch funnels can only deliver
+    * after the fact. Per-user state is exactly THREE slot timestamps
+    * (first view; first click strictly after it; first purchase strictly
+    * after that), each filled at most once — state is 24 bytes per user
+    * forever, monotone (slots only fill), so nothing needs a watermark
+    * and each stage-advance row is emitted exactly once, in the batch
+    * where its slot fills.
+    *
+    * Same batch-order contract as [[runPackingMaintain]]: each user's
+    * micro-batch slice is sorted by (ts, event_id) before folding, so a
+    * single-batch replay (the oracle gate's shape) reproduces x101's
+    * min-over-history semantics exactly — the first view in ts order IS
+    * min(view ts), the first later click IS min(click > t1), and ties
+    * resolve identically (equal-ts clicks fail the strict > in both
+    * engines). Under multi-batch arrival the contract degrades to
+    * arrival-order progression — the honest streaming semantics, proven
+    * to carry slots across batches by the multi-batch spec. */
+  def runFunnel(spark: SparkSession, dir: String, queryName: String,
+                glob: String = "events.parquet",
+                statePartitions: Option[Int] = Some(4),
+                maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val out = readEvents(session, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsm"), col("event_id").cast("long").as("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((0L, 0L, 0L))
+          val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, typ, tsm, _) =>
+            typ match {
+              case "view" if t1 == 0L =>
+                t1 = tsm; fired += ((uid, "view", tsm))
+              case "click" if t1 != 0L && tsm > t1 && t2 == 0L =>
+                t2 = tsm; fired += ((uid, "click_after_view", tsm))
+              case "purchase" if t2 != 0L && tsm > t2 && t3 == 0L =>
+                t3 = tsm; fired += ((uid, "purchase_after_click", tsm))
+              case _ =>
+            }
+          }
+          state.update((t1, t2, t3))
+          fired.iterator
+      }
+      .toDF("user_id", "stage", "tsm")
+      .select(col("user_id"), col("stage"), expr("timestamp_micros(tsm)").as("ts"))
+    out.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked tumbling aggregation: count + sum(value cents) per
     * (1-hour window, event_type) — the streaming twin of q10_events_tumbling. */
   def tumblingAgg(events: DataFrame): DataFrame =

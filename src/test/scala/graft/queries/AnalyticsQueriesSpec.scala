@@ -1,0 +1,139 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Planted-fixture specs for the release-analytics family (x100–x102):
+  * the DuckDB oracle pins organic output bitwise; these pin the SEMANTICS
+  * on constructed corpora where the expected values are hand-computable. */
+class AnalyticsQueriesSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("x100 l-diversity: balanced passes, homogeneous and skewed flag") {
+    import spark.implicits._
+    // class A: 6 members over 3 balanced bands -> distinct_ok AND entropy_ok
+    // class B: 6 members in ONE band -> l=1, H=0, flagged (homogeneity attack)
+    // class C: 10 members 8/1/1 -> l=3 distinct_ok, but H=0.639 < ln 3 -> flagged
+    val rows =
+      Seq((0L, "A", 500.0), (0L, "A", 500.0), (0L, "A", 1500.0),
+        (0L, "A", 1500.0), (0L, "A", 2500.0), (0L, "A", 2500.0)) ++
+        (1 to 6).map(_ => (1L, "B", 500.0)) ++
+        ((1 to 8).map(_ => (2L, "C", 500.0)) ++ Seq((2L, "C", 1500.0), (2L, "C", 2500.0)))
+    val dir = tmpDir("ldiv")
+    rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("x100_l_diversity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6),
+          r.getBoolean(7))).toMap
+    // fixed-point entropy exactly as both engines compute it
+    def h(cs: Seq[Long]): Double = {
+      val n = cs.sum
+      val tm = cs.map(c => c * math.floor(math.log(n.toDouble / c) * 1e9 + 0.5).toLong).sum
+      tm / (n * 1e9)
+    }
+    val (na, la, ha, da, ea, fa) = got((0L, "A"))
+    assert((na, la) == (6L, 3L) && da && ea && !fa)
+    assert(math.abs(ha - math.round(h(Seq(2L, 2L, 2L)) * 1e6) / 1e6) < 1e-9)
+    val (nb, lb, hb, db, eb, fb) = got((1L, "B"))
+    assert((nb, lb, hb) == (6L, 1L, 0.0) && !db && !eb && fb)
+    val (nc, lc, hc, dc, ec, fc) = got((2L, "C"))
+    assert((nc, lc) == (10L, 3L) && dc && !ec && fc)
+    assert(math.abs(hc - math.round(h(Seq(8L, 1L, 1L)) * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("x101 funnel: strict ordering, out-of-order events never count") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}"),
+      (3L, ts(70), 1L, "purchase", 1.0, "{}"),
+      // user 2: click BEFORE the first view + purchase with no click-after -> stage 1 only
+      (4L, ts(-5), 2L, "click", 1.0, "{}"), (5L, ts(0), 2L, "view", 1.0, "{}"),
+      (6L, ts(5), 2L, "purchase", 1.0, "{}"),
+      // user 3: no view at all -> not in the funnel
+      (7L, ts(0), 3L, "click", 1.0, "{}"), (8L, ts(1), 3L, "purchase", 1.0, "{}"),
+      // user 4: view -> click, no purchase
+      (9L, ts(0), 4L, "view", 1.0, "{}"), (10L, ts(20), 4L, "click", 1.0, "{}"))
+    val dir = tmpDir("funnel")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("x101_event_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got("view") == ((3L, 1.0, None)))
+    assert(got("click_after_view") == ((2L, 0.666667, Some(15.0))))
+    assert(got("purchase_after_click") == ((1L, 0.5, Some(60.0))))
+  }
+
+  test("x102 cohort retention: offsets vs first-event week, fraction vs cohort size") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: week boundaries land exactly on fixture days.
+    def ts(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 9), 1L, "view", 1.0, "{}"),   // u1 cohort W0 (Jan 1)
+      (2L, ts(9, 9), 1L, "view", 1.0, "{}"),   // u1 active W1 (Jan 8)
+      (3L, ts(23, 9), 1L, "view", 1.0, "{}"),  // u1 active W3 (Jan 22)
+      (4L, ts(8, 9), 2L, "view", 1.0, "{}"),   // u2 cohort W1, active W1 only
+      (5L, ts(3, 9), 3L, "view", 1.0, "{}"))   // u3 cohort W0, active W0 only
+    val dir = tmpDir("cohort")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("x102_cohort_retention")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val w0 = "2024-01-01 00:00:00.0"
+    val w1 = "2024-01-08 00:00:00.0"
+    assert(got((w0, 0L)) == ((2L, 1.0)))
+    assert(got((w0, 1L)) == ((1L, 0.5)))
+    assert(got((w0, 3L)) == ((1L, 0.5)))
+    assert(got((w1, 0L)) == ((1L, 1.0)))
+    assert(got.size == 4)
+  }
+
+  test("s20 streaming funnel: slots carry across micro-batches, fire exactly once") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new Timestamp(t0.getTime + sec * 1000L)
+    // Batch 1: u1 views then clicks (two slots fill). Batch 2: a second
+    // click (slot already filled -> silent) and the purchase (fires using
+    // the click timestamp carried in state from batch 1).
+    val b1 = Seq((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}"))
+    val b2 = Seq((3L, ts(20), 1L, "click", 1.0, "{}"), (4L, ts(30), 1L, "purchase", 1.0, "{}"))
+    val tmp = tmpDir("s20funnel")
+    for ((rows, i) <- Seq(b1, b2).zipWithIndex) {
+      val part = s"$tmp/stage$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(tmp, s"f$i.parquet").toPath)
+    }
+    val q = graft.streaming.EventStream.runFunnel(spark, tmp, "s20_spec_sink",
+      glob = "f*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val rows = q.sparkSession.table("s20_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    assert(rows.length == 3, s"each slot fires exactly once: ${rows.toSeq}")
+    assert(rows.toSet == Set((1L, "view", ts(0)), (1L, "click_after_view", ts(10)),
+      (1L, "purchase_after_click", ts(30))))
+  }
+
+  test("organic invariants: funnel monotone, retention bounded with unit diagonal") {
+    val funnel = SparkEntry.queries("x101_event_funnel")(spark, sf).collect()
+    assert(funnel.length == 3)
+    val byStage = funnel.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage("view") >= byStage("click_after_view"))
+    assert(byStage("click_after_view") >= byStage("purchase_after_click"))
+    val ret = SparkEntry.queries("x102_cohort_retention")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(ret.forall { case (_, f) => f > 0.0 && f <= 1.0 })
+    assert(ret.filter(_._1 == 0L).forall(_._2 == 1.0))
+  }
+}
