@@ -189,6 +189,40 @@ object AnalyticsQueries {
           max(when(col("week_offset") === 0, col("n_users"))).over(wc), 6).as("retention"))
     },
 
+    // Event-type transition matrix (x103) — the first-order Markov view
+    // of user behavior (the "what happens after an error?" read): for
+    // every consecutive event pair within a user's timeline, count the
+    // (from, to) transition and report its probability conditioned on
+    // the from-state, plus each from-state's terminal (no-successor)
+    // count. Scale shape: ONE shuffle — the lag window partitions by
+    // user_id; the (from, to) aggregation that follows is map-side
+    // combined down to |types|² cells. Ordering ties break on event_id,
+    // so the matrix is deterministic under any physical row order.
+    QueryDef("x103_event_transitions",
+      """WITH seq AS (SELECT user_id, event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+             FROM events),
+          m AS (SELECT f, t, count(*) AS n FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT f, sum(n) AS tn FROM m GROUP BY 1),
+          term AS (SELECT f, count(*) AS terminals FROM seq WHERE t IS NULL GROUP BY 1)
+          SELECT m.f AS from_type, m.t AS to_type, CAST(m.n AS BIGINT) AS n,
+            round(m.n::DOUBLE / tot.tn, 6) AS p,
+            CAST(coalesce(term.terminals, 0) AS BIGINT) AS from_terminals
+          FROM m JOIN tot USING (f) LEFT JOIN term USING (f)""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seq = QueryDef.events(s, d)
+        .select(col("user_id"), col("event_type").as("f"),
+          lead(col("event_type"), 1).over(w).as("t"))
+      val m = seq.filter(col("t").isNotNull).groupBy("f", "t").agg(count(lit(1)).as("n"))
+      val tot = m.groupBy("f").agg(sum("n").as("tn"))
+      val term = seq.filter(col("t").isNull).groupBy("f").agg(count(lit(1)).as("terminals"))
+      m.join(broadcast(tot), "f").join(broadcast(term), Seq("f"), "left")
+        .select(col("f").as("from_type"), col("t").as("to_type"),
+          col("n").cast("long").as("n"),
+          round(col("n").cast("double") / col("tn"), 6).as("p"),
+          coalesce(col("terminals"), lit(0L)).cast("long").as("from_terminals"))
+    },
+
     // Streaming funnel detector (s20) — x101 evaluated AT ARRIVAL: a
     // stage-advance row fires in the micro-batch where a user's slot
     // fills (the "alert when a user converts" trigger read). State is

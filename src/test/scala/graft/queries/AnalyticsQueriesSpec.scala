@@ -98,6 +98,34 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("x103 transitions: counts, row-normalized p, terminals, event_id tie-break") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}"),
+      (3L, ts(20), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "view", 1.0, "{}"), (5L, ts(10), 2L, "click", 1.0, "{}"),
+      // u3: equal-ts pair — order must resolve by event_id (view then error)
+      (7L, ts(5), 3L, "error", 1.0, "{}"), (6L, ts(5), 3L, "view", 1.0, "{}"))
+    val dir = tmpDir("trans")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("x103_event_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got(("view", "click")) == ((2L, 0.666667, 0L)))
+    assert(got(("view", "error")) == ((1L, 0.333333, 0L)))
+    assert(got(("click", "purchase")) == ((1L, 1.0, 1L)))
+    assert(got.size == 3)
+    // organic sanity: per-from probabilities sum to 1 (+-rounding)
+    val organic = SparkEntry.queries("x103_event_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    organic.groupBy(_._1).foreach { case (f, rows) =>
+      assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, s"from=$f")
+    }
+  }
+
   test("s20 streaming funnel: slots carry across micro-batches, fire exactly once") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
