@@ -28,23 +28,37 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
 
-    def scale(table: String, idCol: String): Unit = {
+    def scale(table: String, idCols: Seq[String]): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
-      val stride = df.agg(max(col(idCol))).first().getLong(0) + 1
-      df.select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("__i"))
-        .withColumn(idCol, col(idCol) + col("__i") * stride)
-        .drop("__i")
+      val strides = idCols.map(c =>
+        c -> (df.agg(max(col(c).cast("long"))).first().getLong(0) + 1))
+      val cloned = strides.foldLeft(
+        df.select(col("*"), explode(sequence(lit(0), lit(copies - 1))).as("__i"))) {
+        case (acc, (c, stride)) => acc.withColumn(c, col(c) + col("__i") * stride)
+      }
+      cloned.drop("__i")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
-      println(s"[scaleup] $table: ${df.count()} x $copies rows (stride $stride)")
+      println(s"[scaleup] $table: ${df.count()} x $copies rows " +
+        s"(strides ${strides.map { case (c, v) => s"$c=$v" }.mkString(", ")})")
     }
-    scale("documents", "doc_id")
-    scale("embeddings", "vec_id")
+    scale("documents", Seq("doc_id"))
+    scale("embeddings", Seq("vec_id"))
+    // Events clone with BOTH ids offset: the user population multiplies
+    // (each clone is a full behavioral twin cohort), so sessionize/funnel/
+    // cohort/stream state all carry copies× keys — the per-user-state
+    // stress documents alone can't produce. Customer clones multiply every
+    // (nation, segment, band) equivalence class copies× with the SAME
+    // quasi-identifiers — the k-anonymity/l-diversity release stress.
+    scale("events", Seq("event_id", "user_id"))
+    scale("customer", Seq("c_custkey"))
 
     // Pass the remaining tables through so any query runs against the dir.
+    val scaled = Set("documents.parquet", "embeddings.parquet",
+      "events.parquet", "customer.parquet")
     val passthrough = new java.io.File(src).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet"))
-      .filterNot(n => n == "documents.parquet" || n == "embeddings.parquet")
+      .filterNot(scaled.contains)
     passthrough.foreach { name =>
       spark.read.parquet(s"$src/$name").write.mode("overwrite").parquet(s"$out/$name")
       println(s"[scaleup] $name: passthrough")
