@@ -223,6 +223,157 @@ object AnalyticsQueries {
           coalesce(col("terminals"), lit(0L)).cast("long").as("from_terminals"))
     },
 
+    // RFM segmentation (x104) — the recency/frequency/monetary quintile
+    // scoring every event warehouse runs for lifecycle campaigns. Per
+    // user: days since last event (vs the corpus max — exact integer
+    // seconds/86400), event count, purchase cents. Each metric scores
+    // 1–5 by EXACT quintile thresholds computed on the distinct-VALUE
+    // cumulative frame (the x89/x76 idiom): score(v) = ceil(5·cum≤v/N)
+    // in pure integer arithmetic ((5·cum−1) div N + 1), so ties share a
+    // score and no float ever enters the gate; recency inverts (recent
+    // = 5). Scale shape: one groupBy(user) pass over events; each
+    // cumulative frame is bounded by the metric's DISTINCT values (days
+    // ≤ horizon, counts/cents band-bounded), windows run on those tiny
+    // frames, and the score maps broadcast back. Output ≤ 5³ cells with
+    // the standard lifecycle labels.
+    QueryDef("x104_rfm_segments",
+      """WITH mx AS (SELECT max(ts) AS mts, count(DISTINCT user_id) AS nu FROM events),
+          u AS (SELECT user_id,
+               CAST(date_diff('second', max(ts), (SELECT mts FROM mx)) // 86400 AS BIGINT)
+                 AS r_days,
+               count(*) AS f_cnt,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100) AS BIGINT) END), 0) AS m_cents
+             FROM events GROUP BY 1),
+          rs AS (SELECT r_days, (5 * sum(count(*)) OVER (ORDER BY r_days) - 1)
+                 // (SELECT nu FROM mx) + 1 AS s FROM u GROUP BY 1),
+          fs AS (SELECT f_cnt, (5 * sum(count(*)) OVER (ORDER BY f_cnt) - 1)
+                 // (SELECT nu FROM mx) + 1 AS s FROM u GROUP BY 1),
+          ms AS (SELECT m_cents, (5 * sum(count(*)) OVER (ORDER BY m_cents) - 1)
+                 // (SELECT nu FROM mx) + 1 AS s FROM u GROUP BY 1),
+          sc AS (SELECT u.user_id, 6 - rs.s AS r, fs.s AS f, ms.s AS m
+             FROM u JOIN rs USING (r_days) JOIN fs USING (f_cnt) JOIN ms USING (m_cents))
+          SELECT CAST(r AS BIGINT) AS r_score, CAST(f AS BIGINT) AS f_score,
+            CAST(m AS BIGINT) AS m_score, CAST(count(*) AS BIGINT) AS n_users,
+            CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champions'
+                 WHEN r >= 4 AND f >= 3 THEN 'loyal'
+                 WHEN r >= 4 THEN 'new'
+                 WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+                 WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+                 ELSE 'regular' END AS segment
+          FROM sc GROUP BY 1, 2, 3, 5""") { (s, d) =>
+      val ev = QueryDef.events(s, d)
+      val mx = ev.agg(max("ts").as("mts"),
+        countDistinct(col("user_id")).as("nu"))
+      val u = ev.groupBy("user_id")
+        .agg(max("ts").as("lt"), count(lit(1)).as("f_cnt"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))), lit(0L)).as("m_cents"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          ((unix_timestamp(col("mts")) - unix_timestamp(col("lt"))) / 86400L)
+            .cast("long").as("r_days"),
+          col("f_cnt"), col("m_cents"), col("nu"))
+      // Distinct-value cumulative frames: single-partition windows over
+      // frames bounded by each metric's distinct-value count (x89 idiom).
+      def scores(metric: String): org.apache.spark.sql.DataFrame =
+        u.groupBy(metric, "nu").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(
+            Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col(metric),
+            expr(s"(5 * cum - 1) div nu + 1").as(s"s_$metric"))
+      val sc = u
+        .join(broadcast(scores("r_days")), "r_days")
+        .join(broadcast(scores("f_cnt")), "f_cnt")
+        .join(broadcast(scores("m_cents")), "m_cents")
+        .select(col("user_id"), (lit(6) - col("s_r_days")).as("r"),
+          col("s_f_cnt").as("f"), col("s_m_cents").as("m"))
+      val segment = when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champions")
+        .when(col("r") >= 4 && col("f") >= 3, "loyal")
+        .when(col("r") >= 4, "new")
+        .when(col("r") <= 2 && col("f") >= 4, "at_risk")
+        .when(col("r") <= 2 && col("f") <= 2, "hibernating")
+        .otherwise("regular")
+      sc.groupBy(col("r").cast("long").as("r_score"),
+          col("f").cast("long").as("f_score"),
+          col("m").cast("long").as("m_score"), segment.as("segment"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("r_score"), col("f_score"), col("m_score"),
+          col("n_users"), col("segment"))
+    },
+
+    // Session engagement distribution (x105) — THE engagement read a
+    // product warehouse serves: exact p50/p90 of session duration and
+    // session size over q11's 30-minute-gap sessions, plus the
+    // single-event-session share. Exact quantiles without a global sort:
+    // the distinct-VALUE cumulative frames again (durations are integer
+    // seconds bounded by the session horizon; sizes bounded by burst
+    // length), k-th rank = ceil(q·n) in pure integer arithmetic, answer =
+    // min value whose cumulative count reaches k. Scale shape: one
+    // user-partitioned window pass to label sessions, one groupBy to the
+    // session frame, then everything runs on value-distinct frames.
+    QueryDef("x105_session_stats",
+      """WITH lab AS (SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - lag(epoch(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                 THEN 1 ELSE 0 END AS is_new
+             FROM events),
+          sess AS (SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               ts FROM lab),
+          s AS (SELECT user_id, sid,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur,
+               count(*) AS ne
+             FROM sess GROUP BY 1, 2),
+          n AS (SELECT count(*) AS n, sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS singles
+             FROM s),
+          dv AS (SELECT dur AS v, count(*) AS c FROM s GROUP BY 1),
+          dc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dv),
+          ev AS (SELECT ne AS v, count(*) AS c FROM s GROUP BY 1),
+          ec AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM ev)
+          SELECT CAST(n.n AS BIGINT) AS n_sessions,
+            CAST((SELECT min(v) FROM dc WHERE cum >= (n.n * 50 + 99) // 100) AS BIGINT)
+              AS p50_duration_s,
+            CAST((SELECT min(v) FROM dc WHERE cum >= (n.n * 90 + 99) // 100) AS BIGINT)
+              AS p90_duration_s,
+            CAST((SELECT min(v) FROM ec WHERE cum >= (n.n * 50 + 99) // 100) AS BIGINT)
+              AS p50_events,
+            CAST((SELECT min(v) FROM ec WHERE cum >= (n.n * 90 + 99) // 100) AS BIGINT)
+              AS p90_events,
+            round(n.singles::DOUBLE / n.n, 6) AS single_event_frac
+          FROM n""") { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wCum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val sess = QueryDef.events(s, d)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("is_new",
+          when(col("es") - lag(col("es"), 1).over(wOrd) > 1800, 1).otherwise(0))
+        .withColumn("sid", sum("is_new").over(wCum))
+        .groupBy("user_id", "sid")
+        .agg((max("es") - min("es")).as("dur"), count(lit(1)).as("ne"))
+      val n = sess.agg(count(lit(1)).as("n"),
+        sum(when(col("ne") === 1, 1L).otherwise(0L)).as("singles"))
+      def quant(metric: String, pct: Int): org.apache.spark.sql.DataFrame =
+        sess.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(n.select("n")))
+          .filter(col("cum") >= expr(s"(n * $pct + 99) div 100"))
+          .agg(min("v").as(s"p${pct}_$metric"))
+      n.crossJoin(broadcast(quant("dur", 50)))
+        .crossJoin(broadcast(quant("dur", 90)))
+        .crossJoin(broadcast(quant("ne", 50)))
+        .crossJoin(broadcast(quant("ne", 90)))
+        .select(col("n").cast("long").as("n_sessions"),
+          col("p50_dur").cast("long").as("p50_duration_s"),
+          col("p90_dur").cast("long").as("p90_duration_s"),
+          col("p50_ne").cast("long").as("p50_events"),
+          col("p90_ne").cast("long").as("p90_events"),
+          round(col("singles").cast("double") / col("n"), 6).as("single_event_frac"))
+    },
+
     // Streaming funnel detector (s20) — x101 evaluated AT ARRIVAL: a
     // stage-advance row fires in the micro-batch where a user's slot
     // fills (the "alert when a user converts" trigger read). State is

@@ -126,6 +126,57 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x104 RFM: quintile scores by exact integer thresholds, lifecycle labels") {
+    import spark.implicits._
+    // user k (1..5): last event k-1 days before the corpus max, k events
+    // total, one purchase of k dollars -> every metric scores exactly k
+    // (recency inverted: user 1 most recent -> r=5).
+    val t0 = Timestamp.valueOf("2024-01-31 12:00:00")
+    val ev = (1 to 5).flatMap { k =>
+      val last = new Timestamp(t0.getTime - (k - 1) * 86400000L)
+      val earlier = (1 until k).map(j =>
+        (k * 100L + j, new Timestamp(last.getTime - j * 3600000L),
+          k.toLong, "view", 0.0, "{}"))
+      earlier :+ ((k * 100L, last, k.toLong, "purchase", k.toDouble, "{}"))
+    }
+    val dir = tmpDir("rfm")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("x104_rfm_segments")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getString(4))).toMap
+    assert(got((5L, 1L, 1L)) == ((1L, "new")))
+    assert(got((4L, 2L, 2L)) == ((1L, "new")))
+    assert(got((3L, 3L, 3L)) == ((1L, "regular")))
+    assert(got((2L, 4L, 4L)) == ((1L, "at_risk")))
+    assert(got((1L, 5L, 5L)) == ((1L, "at_risk")))
+    assert(got.size == 5)
+    // organic: scores bounded 1..5, user mass conserved
+    val organic = SparkEntry.queries("x104_rfm_segments")(spark, sf).collect()
+    assert(organic.forall(r => (0 to 2).forall(i => r.getLong(i) >= 1 && r.getLong(i) <= 5)))
+  }
+
+  test("x105 session stats: gap labeling, exact rank quantiles, singleton share") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(min: Long) = new Timestamp(t0.getTime + min * 60000L)
+    // u1: 3 events within 30-min gaps (one 1200 s / 3-event session), then
+    // one event 2 h later (singleton). u2: one event (singleton).
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "view", 1.0, "{}"),
+      (3L, ts(20), 1L, "view", 1.0, "{}"), (4L, ts(140), 1L, "view", 1.0, "{}"),
+      (5L, ts(0), 2L, "view", 1.0, "{}"))
+    val dir = tmpDir("sessstats")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("x105_session_stats")(spark, dir).collect().head
+    // sessions: (1200 s, 3 ev), (0, 1), (0, 1); k50 = 2, k90 = 3
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 1200L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 0.666667)
+  }
+
   test("s20 streaming funnel: slots carry across micro-batches, fire exactly once") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
