@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef.t
+
+/** Model/data-quality metric operators — the evaluation reads a training-data
+  * pipeline runs beside the detector (reference `eval.py` publishes PRF; these
+  * are the standard companions): an embedding-dimension correlation audit
+  * (dead/redundant dims), a distributed exact ROC-AUC (Mann-Whitney rank-sum
+  * with midrank ties — no global sort), and a calibration-error report (the
+  * ECE read that motivates the M7 Platt fit). Every cross-row reduction is an
+  * exact integer/decimal sum, so nothing depends on partial-agg order.
+  */
+object MetricsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Embedding-dimension correlation audit (x106) — the "are my embedding
+    // dims dead or redundant?" pre-training read. Vectors enter as exact
+    // 3dp fixed-point codes (floor(v·1000+0.5) — the x26 explicit-floor
+    // idiom); per dim pair i<j the Pearson correlation comes from six
+    // exact sums (n, Σx, Σy, Σx², Σy², Σxy), floats only at the final
+    // division. Scale shape: per-vector pair contributions are generated
+    // IN-ROW (nested transform over the array, no self-join), the
+    // (i,j)-keyed aggregation map-side combines to d²/2 cells per
+    // partition, and the d-sized per-dim moment frame broadcasts back.
+    // Sums run in decimal(38,0) (HUGEINT in DuckDB): at 10¹² vectors the
+    // int64 Σxy would overflow; the d²/2-per-row generate cost is the
+    // covariance computation itself. Zero-variance dims emit corr = NULL
+    // (documented; the var columns carry the audit signal).
+    QueryDef("x106_dim_correlation",
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+               v -> CAST(floor(v::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q FROM embeddings),
+          idx AS (SELECT unnest(generate_series(1, (SELECT min(len(q)) FROM q))) AS i),
+          dm AS (SELECT i.i AS i, count(*) AS n,
+               sum(q.q[i.i]::HUGEINT) AS sx, sum((q.q[i.i] * q.q[i.i])::HUGEINT) AS sxx
+             FROM q, idx i GROUP BY 1),
+          pr AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE a.i < b.i),
+          sp AS (SELECT p.i, p.j, sum((q.q[p.i] * q.q[p.j])::HUGEINT) AS sxy
+             FROM q, pr p GROUP BY 1, 2)
+          SELECT sp.i AS dim_i, sp.j AS dim_j, CAST(di.n AS BIGINT) AS n,
+            CASE WHEN (di.n * di.sxx - di.sx * di.sx) > 0
+                  AND (dj.n * dj.sxx - dj.sx * dj.sx) > 0
+              THEN round((di.n * sp.sxy - di.sx * dj.sx)::DOUBLE /
+                sqrt((di.n * di.sxx - di.sx * di.sx)::DOUBLE) /
+                sqrt((dj.n * dj.sxx - dj.sx * dj.sx)::DOUBLE), 6) END AS corr,
+            CASE WHEN (di.n * di.sxx - di.sx * di.sx) > 0
+                  AND (dj.n * dj.sxx - dj.sx * dj.sx) > 0
+              THEN abs((di.n * sp.sxy - di.sx * dj.sx)::DOUBLE /
+                sqrt((di.n * di.sxx - di.sx * di.sx)::DOUBLE) /
+                sqrt((dj.n * dj.sxx - dj.sx * dj.sx)::DOUBLE)) >= 0.95
+              ELSE false END AS redundant,
+            round((di.n * di.sxx - di.sx * di.sx)::DOUBLE / (di.n * di.n) / 1000000, 6)
+              AS var_i,
+            round((dj.n * dj.sxx - dj.sx * dj.sx)::DOUBLE / (dj.n * dj.n) / 1000000, 6)
+              AS var_j
+          FROM sp JOIN dm di ON di.i = sp.i JOIN dm dj ON dj.i = sp.j""") { (s, d) =>
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"),
+          v => floor(v.cast("double") * 1000 + 0.5).cast("long")).as("q"))
+      val dec = "decimal(38,0)"
+      // Per-dim moments: d rows, broadcast back to the pair frame.
+      val dm = q.select(posexplode(col("q")).as(Seq("i0", "x")))
+        .groupBy((col("i0") + 1).as("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      // Pair products generated in-row (slice keeps j > i), then one
+      // map-side-combined aggregation to the d²/2-cell frame.
+      val pairs = q.select(explode(flatten(transform(col("q"), (qi, i0) =>
+          transform(slice(col("q"), i0 + 2, lit(100000)), (qj, j0) =>
+            struct((i0 + 1).as("i"), (i0 + 2 + j0).as("j"), (qi * qj).as("xy")))))).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(sum(col("p.xy").cast(dec)).as("sxy"))
+      val di = dm.select(col("i"), col("n"), col("sx").as("sxi"), col("sxx").as("sxxi"))
+      val dj = dm.select(col("i").as("j"), col("n").as("nj"),
+        col("sx").as("sxj"), col("sxx").as("sxxj"))
+      val vnumI = (col("n") * col("sxxi") - col("sxi") * col("sxi")).cast("double")
+      val vnumJ = (col("n") * col("sxxj") - col("sxj") * col("sxj")).cast("double")
+      val corr = (col("n") * col("sxy") - col("sxi") * col("sxj")).cast("double") /
+        sqrt(vnumI) / sqrt(vnumJ)
+      pairs.join(broadcast(di), "i").join(broadcast(dj), "j")
+        .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+          col("n").cast("long").as("n"),
+          when(vnumI > 0 && vnumJ > 0, round(corr, 6)).as("corr"),
+          when(vnumI > 0 && vnumJ > 0, abs(corr) >= 0.95).otherwise(false).as("redundant"),
+          round(vnumI / (col("n") * col("n")).cast("double") / 1000000, 6).as("var_i"),
+          round(vnumJ / (col("n") * col("n")).cast("double") / 1000000, 6).as("var_j"))
+    },
+
+    // Distributed exact ROC-AUC (x107) — the Mann-Whitney rank-sum form
+    // with midrank tie handling, computed WITHOUT a global sort: scores
+    // collapse to a distinct-value count frame (map-side combined), the
+    // cumulative window runs on that bounded frame (the x89/x76 idiom),
+    // and 2·Σ(positive midranks) = Σ_s p(s)·(2·cum_before(s)+c(s)+1) stays
+    // in exact int64 — AUC = (2Σmr − P(P+1)) / (2PN) divides once at the
+    // end. Score = Σ of the vector's 3dp fixed-point codes (an exact-int
+    // linear probe along the all-ones direction); positive class = label 0.
+    // Degenerate corpora (P=0 or N=0) emit auc = NULL, documented.
+    QueryDef("x107_score_auc",
+      """WITH v AS (SELECT vec_id,
+               list_sum(list_transform(embedding,
+                 x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT))) AS s,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+             FROM embeddings),
+          g AS (SELECT s, count(*) AS c, sum(pos) AS p FROM v GROUP BY 1),
+          w AS (SELECT s, c, p,
+               coalesce(sum(c) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             FROM g),
+          a AS (SELECT sum(p * (2 * cb + c + 1)) AS mr2, sum(p) AS np,
+               sum(c - p) AS nn, count(*) AS nd FROM w)
+          SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+            CAST(nd AS BIGINT) AS n_distinct_scores,
+            CASE WHEN np > 0 AND nn > 0
+              THEN round((mr2 - np * (np + 1))::DOUBLE / (2.0 * np * nn), 6) END AS auc
+          FROM a""") { (s, d) =>
+      val v = t(s, d, "embeddings")
+        .select(aggregate(transform(col("embedding"),
+            x => floor(x.cast("double") * 1000 + 0.5).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("s"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+      val g = v.groupBy("s").agg(count(lit(1)).as("c"), sum("pos").as("p"))
+      // Single-partition window over the distinct-score frame: bounded by
+      // the score cardinality, not the corpus (x89 idiom).
+      val w = g.withColumn("cb", coalesce(sum("c").over(
+        Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      w.agg(sum(col("p") * (lit(2) * col("cb") + col("c") + 1)).as("mr2"),
+          sum("p").as("np"), sum(col("c") - col("p")).as("nn"), count(lit(1)).as("nd"))
+        .select(col("np").cast("long").as("n_pos"), col("nn").cast("long").as("n_neg"),
+          col("nd").cast("long").as("n_distinct_scores"),
+          when(col("np") > 0 && col("nn") > 0,
+            round((col("mr2") - col("np") * (col("np") + 1)).cast("double") /
+              (lit(2.0) * col("np") * col("nn")), 6)).as("auc"))
+    },
+
+    // Calibration-error report (x108) — the ECE read that motivates the
+    // M7 Platt fit: detector confidences binned into 10 equal-width bins;
+    // per bin the mean confidence (exact 1e6 fixed-point sums) vs the
+    // empirical gold rate, plus a 'total' row whose gap IS the expected
+    // calibration error Σ(n_b/N)·|acc_b − conf_b|. Gold uses p07's
+    // convention (EMAIL/SSN/MAC_ADDRESS/DATE candidate spans are gold).
+    // Scale shape: the detector is the one corpus pass; everything after
+    // is a ≤10-row frame. Gaps divide exact ints at the end only.
+    QueryDef("x108_calibration_bins",
+      s"""${PiiQueries.candidatesCteSql},
+          b AS (SELECT least(CAST(floor(rule_confidence * 10) AS BIGINT), 9) AS bin,
+               count(*) AS n,
+               sum(CAST(floor(rule_confidence * 1000000 + 0.5) AS BIGINT)) AS sc,
+               sum(CASE WHEN rule_label IN ('EMAIL','SSN','MAC_ADDRESS','DATE')
+                 THEN 1 ELSE 0 END) AS g
+             FROM cands GROUP BY 1),
+          tot AS (SELECT sum(n) AS tn, sum(sc) AS tsc, sum(g) AS tg,
+               sum(n * abs(g::DOUBLE / n - sc::DOUBLE / (n * 1000000.0))) AS wgap
+             FROM b)
+          SELECT 'bin' AS scope, bin, CAST(n AS BIGINT) AS n,
+            round(sc::DOUBLE / (n * 1000000.0), 6) AS mean_conf,
+            round(g::DOUBLE / n, 6) AS frac_gold,
+            round(abs(g::DOUBLE / n - sc::DOUBLE / (n * 1000000.0)), 6) AS gap
+          FROM b
+          UNION ALL
+          SELECT 'total', NULL, CAST(tn AS BIGINT),
+            round(tsc::DOUBLE / (tn * 1000000.0), 6),
+            round(tg::DOUBLE / tn, 6),
+            round(wgap / tn, 6)
+          FROM tot""") { (s, d) =>
+      val cands = PiiInputs.df(s, d)
+        .select(col("doc_id"),
+          graft.functions.pii_candidates_rows(col("text")).as(Seq("candidate_idx", "c")))
+        .select(col("c.rule_label").as("rule_label"),
+          col("c.rule_confidence").as("rule_confidence"))
+      val b = cands.groupBy(
+          least(floor(col("rule_confidence") * 10).cast("long"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("rule_confidence") * 1000000 + 0.5).cast("long")).as("sc"),
+          sum(when(col("rule_label").isin("EMAIL", "SSN", "MAC_ADDRESS", "DATE"), 1L)
+            .otherwise(0L)).as("g"))
+      val acc = col("g").cast("double") / col("n")
+      val mc = col("sc").cast("double") / (col("n") * 1000000.0)
+      val bins = b.select(lit("bin").as("scope"), col("bin"), col("n").cast("long").as("n"),
+        round(mc, 6).as("mean_conf"), round(acc, 6).as("frac_gold"),
+        round(abs(acc - mc), 6).as("gap"))
+      val total = b.agg(sum("n").as("tn"), sum("sc").as("tsc"), sum("g").as("tg"),
+          sum(col("n") * abs(acc - mc)).as("wgap"))
+        .select(lit("total").as("scope"), lit(null).cast("long").as("bin"),
+          col("tn").cast("long").as("n"),
+          round(col("tsc").cast("double") / (col("tn") * 1000000.0), 6).as("mean_conf"),
+          round(col("tg").cast("double") / col("tn"), 6).as("frac_gold"),
+          round(col("wgap") / col("tn"), 6).as("gap"))
+      bins.unionByName(total)
+    }
+  )
+}
