@@ -44,8 +44,8 @@ object OpsQueries {
     """list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"""
 
-  private val NumHashes = 8
-  private val BandSize = 2 // 4 bands x 2 hashes
+  private[ops] val NumHashes = 8
+  private[ops] val BandSize = 2 // 4 bands x 2 hashes
 
   private[ops] val MinhashSigSql =
     s"""list_transform(generate_series(0, ${NumHashes - 1}),

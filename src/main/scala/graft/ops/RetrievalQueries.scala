@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Corpus-retrieval and vocabulary-audit operators: the Heaps-law
+  * vocabulary-growth curve, BM25 keyword search (the lexical retrieval
+  * baseline next to the ANN family x06/x15/x80), and the LSH
+  * candidate-degree histogram (the hot-bucket skew monitor that motivates
+  * x40's posting cap). All three ride the pass-wide shared stages — no new
+  * corpus tokenization or banding pass. */
+object RetrievalQueries {
+
+  private val B = 1000000000.0 // 1e9 fixed-point scale for per-term BM25 scores
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Vocabulary-growth curve (x109) — the Heaps-law audit run before
+    // committing to a tokenizer/vocab budget: distinct-token count as the
+    // corpus grows decile by decile, where "growth order" is the portable
+    // md5 bucket of doc_id (x58 idiom — cluster-size independent, no
+    // global sort over docs). Fully distributed: each token's FIRST bucket
+    // is a min-agg, the per-bucket doc/token totals are map-side combined,
+    // and the cumulative window runs on the fixed 10-row frame. At 100 TB
+    // nothing here materializes an ordering over docs — the only
+    // corpus-sized shuffle is the (token → min bucket) agg, on the already
+    // reduced shared wordcount frame.
+    QueryDef("x109_vocab_growth",
+      s"""WITH d AS (SELECT doc_id, text,
+               ${Sketches.bucketSql("doc_id::VARCHAR", "'growth'", 10)} AS b
+             FROM documents),
+          tok AS (SELECT b, unnest(string_split(text, ' ')) AS token FROM d),
+          tb AS (SELECT token, min(b) AS b FROM tok GROUP BY 1),
+          nv AS (SELECT b, count(*) AS nv FROM tb GROUP BY 1),
+          dc AS (SELECT b, count(*) AS docs FROM d GROUP BY 1),
+          tc AS (SELECT b, count(*) AS toks FROM tok GROUP BY 1),
+          bk AS (SELECT unnest(generate_series(0, 9)) AS b),
+          j AS (SELECT bk.b, coalesce(dc.docs, 0) AS docs, coalesce(tc.toks, 0) AS toks,
+               coalesce(nv.nv, 0) AS nv
+             FROM bk LEFT JOIN dc USING (b) LEFT JOIN tc USING (b) LEFT JOIN nv USING (b))
+          SELECT CAST(b AS BIGINT) AS bucket,
+            CAST(sum(docs) OVER w AS BIGINT) AS docs_cum,
+            CAST(sum(toks) OVER w AS BIGINT) AS tokens_cum,
+            CAST(sum(nv) OVER w AS BIGINT) AS vocab_cum,
+            CAST(nv AS BIGINT) AS new_tokens,
+            CASE WHEN sum(toks) OVER w > 0
+              THEN round((sum(nv) OVER w)::DOUBLE / (sum(toks) OVER w), 6) END
+              AS type_token_ratio
+          FROM j WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""") {
+      (s, d) =>
+      val bkt = Sketches.bucket(col("doc_id").cast("string"), lit("growth"), 10)
+      val wc = OpsQueries.sharedWordCounts(s, d).withColumn("b", bkt)
+      val dc = t(s, d, "documents").select(bkt.as("b"))
+        .groupBy("b").agg(count(lit(1)).as("docs"))
+      val tc = wc.groupBy("b").agg(sum("c").as("toks"))
+      val nv = wc.groupBy("token").agg(min("b").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("nv"))
+      val bk = s.range(1).select(explode(sequence(lit(0), lit(9))).as("b0"))
+        .select(col("b0").cast("int").as("b"))
+      val j = bk.join(broadcast(dc), Seq("b"), "left")
+        .join(broadcast(tc), Seq("b"), "left")
+        .join(broadcast(nv), Seq("b"), "left")
+        .select(col("b"), coalesce(col("docs"), lit(0L)).as("docs"),
+          coalesce(col("toks"), lit(0L)).as("toks"), coalesce(col("nv"), lit(0L)).as("nv"))
+      val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+      j.select(col("b").cast("long").as("bucket"),
+        sum("docs").over(w).cast("long").as("docs_cum"),
+        sum("toks").over(w).cast("long").as("tokens_cum"),
+        sum("nv").over(w).cast("long").as("vocab_cum"),
+        col("nv").cast("long").as("new_tokens"),
+        when(sum("toks").over(w) > 0,
+          round(sum("nv").over(w).cast("double") / sum("toks").over(w), 6))
+          .as("type_token_ratio"))
+    },
+
+    // BM25 keyword retrieval (x110) — the lexical search baseline every
+    // retrieval/dedup pipeline keeps next to its ANN index: Robertson/
+    // Lucene BM25 (k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5))) of
+    // every corpus doc against a derived keyword-query set (each doc_id %
+    // 97 == 0 contributes its top-8 in-doc tokens — a stand-in for the
+    // fixed, small query list a production run supplies). Determinism:
+    // each (query, term, doc) BM25 term is computed in double from EXACT
+    // integers (tf, df, dl, N, T) and immediately snapped to 1e-9
+    // fixed-point, so the cross-term sum is an exact int64 — ranking never
+    // depends on float addition order. Scale shape: query terms and their
+    // df's broadcast (queries are small by construction); the posting join
+    // is token-keyed on the shared wordcount frame; dl joins co-partition
+    // on doc_id; per-query top-10 via window over the candidate frame
+    // (fan-out bounded by Σ df over the ≤8 query terms — the WAND/maxscore
+    // pruning a production engine adds changes cost, not results).
+    QueryDef("x110_bm25_search",
+      """WITH wc AS (SELECT doc_id, token, count(*) AS c
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM wc GROUP BY 1),
+          nt AS (SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT CAST(sum(c) AS BIGINT) FROM wc) AS tt),
+          q AS (SELECT doc_id AS qid, token FROM (
+               SELECT doc_id, token,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, token) AS r
+               FROM wc WHERE doc_id % 97 = 0) WHERE r <= 8),
+          dfq AS (SELECT w.token, CAST(count(*) AS BIGINT) AS df
+             FROM wc w JOIN (SELECT DISTINCT token FROM q) qt USING (token) GROUP BY 1),
+          cand AS (SELECT q.qid, w.doc_id,
+               CAST(floor(ln(1 + (nt.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * (w.c * 2.2) / (w.c + 1.2 * (0.25 + 0.75 * ((dl.dl * nt.n)::DOUBLE / nt.tt)))
+                 * 1000000000.0 + 0.5) AS BIGINT) AS term
+             FROM q JOIN wc w USING (token)
+             JOIN dfq ON dfq.token = w.token
+             JOIN dl ON dl.doc_id = w.doc_id, nt
+             WHERE w.doc_id <> q.qid),
+          sc AS (SELECT qid, doc_id, sum(term) AS s FROM cand GROUP BY 1, 2),
+          rk AS (SELECT qid, doc_id, s,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+             FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+            round(s / 1000000000.0, 6) AS score
+          FROM rk WHERE rank <= 10""") { (s, d) =>
+      val wc = OpsQueries.sharedWordCounts(s, d)
+      val dl = wc.groupBy("doc_id").agg(sum("c").cast("long").as("dl"))
+      val nt = t(s, d, "documents").agg(count(lit(1)).as("n"))
+        .crossJoin(wc.agg(sum("c").cast("long").as("tt")))
+      val rw = Window.partitionBy("doc_id").orderBy(col("c").desc, col("token"))
+      val q = wc.filter(col("doc_id") % 97 === 0)
+        .withColumn("r", row_number().over(rw)).filter(col("r") <= 8)
+        .select(col("doc_id").as("qid"), col("token"))
+      val dfq = wc.join(broadcast(q.select("token").distinct()), "token")
+        .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      val dlr = (col("dl") * col("n")).cast("double") / col("tt")
+      val idf = log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val term = floor(idf * (col("c") * lit(2.2)) /
+        (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * dlr)) * lit(B) + lit(0.5))
+        .cast("long")
+      val sc = wc.join(broadcast(q), "token")
+        .filter(col("doc_id") =!= col("qid"))
+        .join(broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nt))
+        .select(col("qid"), col("doc_id"), term.as("term"))
+        .groupBy("qid", "doc_id").agg(sum("term").as("s"))
+      val rk = Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))
+      sc.withColumn("rank", row_number().over(rk)).filter(col("rank") <= 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("s") / lit(B), 6).as("score"))
+    },
+
+    // LSH candidate-degree histogram (x111) — the hot-bucket skew monitor:
+    // per doc, how many distinct near-dup CANDIDATE partners the band join
+    // proposes (the x03 candidate set), bucketed into a fixed 7-row
+    // histogram. This is the audit that shows, before any pair join runs,
+    // whether a corpus's dup density is about to blow up candidate
+    // generation (the shape x40's >128-doc posting cap defends against).
+    // Scale: rides the shared band frame; the self-join is band-keyed; the
+    // degree agg is map-side combined; output is 7 rows.
+    QueryDef("x111_candidate_degree",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(
+                sig[band*${OpsQueries.BandSize}+1 : band*${OpsQueries.BandSize}+${OpsQueries.BandSize}], ',')) AS band_hash
+            FROM (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${OpsQueries.NumHashes / OpsQueries.BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          deg AS (SELECT doc_id, count(*) AS degree FROM (
+               SELECT d1 AS doc_id FROM cand UNION ALL SELECT d2 FROM cand) GROUP BY 1),
+          ad AS (SELECT d.doc_id, coalesce(g.degree, 0) AS degree
+             FROM documents d LEFT JOIN deg g USING (doc_id)),
+          lab AS (SELECT CASE WHEN degree = 0 THEN 0 WHEN degree = 1 THEN 1
+                 WHEN degree = 2 THEN 2 WHEN degree <= 4 THEN 3
+                 WHEN degree <= 8 THEN 4 WHEN degree <= 16 THEN 5 ELSE 6 END AS ord,
+               degree FROM ad),
+          hist AS (SELECT ord, count(*) AS n_docs, max(degree) AS max_degree
+             FROM lab GROUP BY 1),
+          buckets(ord, bucket) AS (VALUES (0, '0'), (1, '1'), (2, '2'), (3, '3-4'),
+               (4, '5-8'), (5, '9-16'), (6, '17+'))
+          SELECT CAST(b.ord AS BIGINT) AS ord, b.bucket,
+            CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+            CAST(coalesce(h.max_degree, 0) AS BIGINT) AS max_degree
+          FROM buckets b LEFT JOIN hist h USING (ord)""") { (s, d) =>
+      val bands = OpsQueries.sharedBandsFor(s, d)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val deg = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      val ad = t(s, d, "documents").select("doc_id")
+        .join(deg, Seq("doc_id"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      val ord = when(col("degree") === 0, 0).when(col("degree") === 1, 1)
+        .when(col("degree") === 2, 2).when(col("degree") <= 4, 3)
+        .when(col("degree") <= 8, 4).when(col("degree") <= 16, 5).otherwise(6)
+      val hist = ad.groupBy(ord.as("ord"))
+        .agg(count(lit(1)).as("n_docs"), max("degree").as("max_degree"))
+      val buckets = s.range(1)
+        .select(posexplode(array(lit("0"), lit("1"), lit("2"), lit("3-4"),
+          lit("5-8"), lit("9-16"), lit("17+"))).as(Seq("ord", "bucket")))
+      buckets.join(broadcast(hist), Seq("ord"), "left")
+        .select(col("ord").cast("long").as("ord"), col("bucket"),
+          coalesce(col("n_docs"), lit(0L)).cast("long").as("n_docs"),
+          coalesce(col("max_degree"), lit(0L)).cast("long").as("max_degree"))
+    }
+  )
+}
