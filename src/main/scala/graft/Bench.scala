@@ -54,7 +54,8 @@ object Bench {
     // subset (single-query iteration wants the absorbed-build number).
     def stagePass(): Seq[(String, Double)] =
       if (only.isDefined) Seq.empty
-      else (ops.OpsQueries.stageBuilders ++ ops.ClusterQueries.stageBuilders).map {
+      else (ops.OpsQueries.stageBuilders ++ ops.ClusterQueries.stageBuilders ++
+        ops.PqQueries.stageBuilders).map {
         case (name, build) =>
           val t0 = System.nanoTime()
           try build(spark, sfDir).write.format("noop").mode("overwrite").save()

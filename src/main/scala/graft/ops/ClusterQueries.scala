@@ -28,7 +28,7 @@ object ClusterQueries {
     * window; the engine's is an in-row array_min argmin — same (dist², cid)
     * ordering, so identical assignments. */
   /** The x26 int8-quantization chain as DuckDB CTEs (ends at `qb`). */
-  private val QuantCte =
+  private[ops] val QuantCte =
     """e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e FROM embeddings),
  m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS emax FROM e),
  qb AS (SELECT vec_id, list_transform(e, v -> CASE WHEN emax = 0 THEN 0
@@ -93,7 +93,7 @@ object ClusterQueries {
   // rebuild of its blocks must find the upstream codes still cached — a
   // thread-local scope would have released them with the first consuming
   // query. x45's seeding reads the same frame.
-  private def sharedInt8(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[ops] def sharedInt8(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.util.SharedStages.cached(
       s"embeddings-int8|$d|${System.identityHashCode(s)}")(
       KMeans.withInt8Codes(

@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — THE memory-bound ANN scale path the IVF
+  * family (x15/x38/x70/x80) does not cover: a 64-dim vector compresses to
+  * m=4 one-byte codes (16× over int8, 64× over float32), and query-time
+  * distance becomes m table lookups instead of a 64-dim kernel. At 100 TB
+  * this is the difference between an index that fits in cluster RAM and
+  * one that doesn't.
+  *
+  * Determinism posture (same as [[KMeans]]): codebooks train over int8
+  * sub-codes, so every cross-row reduction is an exact integer sum; the
+  * only float folds are per-row in fixed index order, and every
+  * per-row float that later crosses rows (training dist², ADC lookup
+  * entries) snaps to 1e-6 fixed-point int64 first, so no result depends
+  * on partial-agg or aggregation order in either engine.
+  *
+  * Scale shape:
+  *  - training ASSIGN is shuffle-free (the m·k=64 codebook rows collapse
+  *    to a 4-row broadcast, argmin is an in-row array_min fold);
+  *  - training UPDATE shuffles only (sub, cid, pos)-keyed integer sums
+  *    with map-side combine — m·k·16 = 1024 rows out of any corpus;
+  *  - encoding is the final assign pass: corpus-linear, shuffle-free;
+  *  - ADC search broadcasts the |Q|·m·k lookup table (queries are few by
+  *    contract) and joins it to the (vec, sub, cid) code frame — the
+  *    corpus is touched once, with no per-pair vector kernel at all.
+  */
+object PqQueries {
+
+  private val M = 4          // subspaces
+  private val SubDim = 16    // dims per subspace (64 / M)
+  private val K = 16         // centroids per subspace codebook
+  private val QMod = 101     // query set: vec_id % QMod == 0
+  private val TopN = 10
+  private val Fp = 1000000.0 // 1e6 fixed-point scale for sub-distances
+
+  // ---------------------------------------------------------------------
+  // Engine-side shared training/encoding stages
+  // ---------------------------------------------------------------------
+
+  /** (vec_id, sub, sq): int8 sub-codes, one row per (vector, subspace). */
+  private def subCodes(s: SparkSession, d: String): DataFrame =
+    ClusterQueries.sharedInt8(s, d)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("sub"), col("qv"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("qv"), col("sub") * SubDim + 1, lit(SubDim)).as("sq"))
+
+  /** Per-row dist² between an int sub-code array and a double centroid
+    * array — fixed index order, evaluated once per row. */
+  private def d2(sq: org.apache.spark.sql.Column, ce: org.apache.spark.sql.Column) =
+    aggregate(zip_with(sq, ce, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** One assignment pass: `cents` = (sub, cid, ce). Collapses the codebook
+    * to M broadcast rows (sub → array of (cid, ce)) so the argmin is an
+    * in-row fold — no per-vector shuffle, no window over the corpus. */
+  private def assignOnce(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val arr = cents.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cs"))
+    val best = array_min(transform(col("cs"),
+      c => struct(d2(col("sq"), c.getField("ce")).as("dd"),
+        c.getField("cid").as("cid"))))
+    sv.join(broadcast(arr), "sub")
+      .withColumn("__best", best)
+      .select(col("vec_id"), col("sub"), col("sq"),
+        col("__best.cid").as("cid"),
+        floor(col("__best.dd") * Fp + 0.5).cast("long").as("d2i"))
+  }
+
+  /** Codebook update: exact (sub, cid, pos)-keyed integer sums → the
+    * rational mean evaluated once as a double (bit-identical anywhere). */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cid"), posexplode_outer(col("sq")).as(Seq("pos", "v")))
+      .filter(col("pos").isNotNull)
+      .groupBy("sub", "cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .groupBy("sub", "cid").agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / col("n")).as("val")))).as("pv"))
+      .select(col("sub"), col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
+
+  /** Trained codebooks (sub, cid, ce) after 2 Lloyd rounds; init = the
+    * sub-codes of vec_id < K. 64 rows — driver-trivial, broadcast-sized. */
+  private[ops] def sharedCodebooks(s: SparkSession, d: String): DataFrame =
+    graft.util.SharedStages.cached(s"pq-codebooks|$d|${System.identityHashCode(s)}") {
+      val sv = subCodes(s, d)
+      val init = sv.filter(col("vec_id") < K)
+        .select(col("sub"), col("vec_id").as("cid"),
+          transform(col("sq"), v => v.cast("double")).as("ce"))
+      update(assignOnce(sv, init))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Final PQ encoding: (vec_id, sub, sq, cid, d2i) under the trained
+    * codebooks — the corpus's compressed representation, built once per
+    * pass (x112 reports on it, x113 searches it). */
+  private[ops] def sharedPqCodes(s: SparkSession, d: String): DataFrame =
+    graft.util.SharedStages.cached(s"pq-codes|$d|${System.identityHashCode(s)}") {
+      assignOnce(subCodes(s, d), sharedCodebooks(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** PQ shared stages for the bench's pre-build pass. */
+  private[graft] def stageBuilders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "pq" -> (sharedPqCodes(_, _)))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle CTE chain (mirrors the engine exactly)
+  // ---------------------------------------------------------------------
+
+  /** d2 between list slices, as DuckDB SQL (16 dims, fixed order). */
+  private def bD2(a: String, b: String) =
+    s"""list_sum(list_transform(generate_series(1, $SubDim),
+         i -> (($a)[i]::DOUBLE - ($b)[i]) * (($a)[i]::DOUBLE - ($b)[i])))"""
+
+  /** Training + encoding chain, ending at `a2` = (vec_id, sub, sq, cid,
+    * d2i) and `c1` = the trained codebooks. Same init / assign / integer-
+    * sum update / re-assign protocol as the engine; the assignment argmin
+    * is a row_number window with the identical (d2, cid) ordering. */
+  private val PqCte =
+    s"""${ClusterQueries.QuantCte},
+ sv AS (SELECT vec_id, s AS sub, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
+        FROM qb, unnest(generate_series(0, ${M - 1})) AS t(s)),
+ c0 AS (SELECT sub, vec_id AS cid, list_transform(sq, v -> v::DOUBLE) AS ce
+        FROM sv WHERE vec_id < $K),
+ a1 AS (SELECT vec_id, sub, sq, cid FROM (
+    SELECT v.vec_id, v.sub, v.sq, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id, v.sub
+        ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
+    FROM sv v JOIN c0 c ON c.sub = v.sub) WHERE rn = 1),
+ u1 AS (SELECT sub, cid, pos, sum(sq[pos])::DOUBLE / count(*) AS val
+        FROM a1, (SELECT unnest(generate_series(1, $SubDim)) AS pos) GROUP BY 1, 2, 3),
+ c1 AS (SELECT sub, cid, list(val ORDER BY pos) AS ce FROM u1 GROUP BY 1, 2),
+ a2 AS (SELECT vec_id, sub, sq, cid, d2i FROM (
+    SELECT v.vec_id, v.sub, v.sq, c.cid,
+      CAST(floor(${bD2("v.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS d2i,
+      row_number() OVER (PARTITION BY v.vec_id, v.sub
+        ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
+    FROM sv v JOIN c1 c ON c.sub = v.sub) WHERE rn = 1)"""
+
+  // ---------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PQ codebook training report (x112): per (subspace, centroid) cell —
+    // how many vectors encode to it, the mean quantization error, and the
+    // centroid's own norm. The m·k-row view a pipeline inspects before
+    // committing to a PQ deployment (dead cells / error skew mean the
+    // codebook needs more data or better init). Output ≤ m·k = 64 rows.
+    // Both reported doubles are exact-int64 micros divided once by 1e6 —
+    // no float round() anywhere, so no tie-break divergence between the
+    // engines' rounding (a 7th-decimal avg tie at sf0.01 found this).
+    QueryDef("x112_pq_codebooks",
+      s"""WITH $PqCte
+          SELECT sub::BIGINT AS sub, a2.cid::BIGINT AS cid,
+            CAST(count(*) AS BIGINT) AS n_vecs,
+            ((2 * sum(a2.d2i) + count(*)) // (2 * count(*)))::DOUBLE / ${Fp}
+              AS avg_dist2,
+            list_sum(list_transform(any_value(c1.ce),
+              x -> CAST(floor(x * x * ${Fp} + 0.5) AS BIGINT)))::DOUBLE / ${Fp}
+              AS centroid_sq_norm
+          FROM a2 JOIN c1 USING (sub, cid)
+          GROUP BY 1, 2""") { (s, d) =>
+      val codes = sharedPqCodes(s, d)
+      val cents = sharedCodebooks(s, d)
+        .select(col("sub").cast("long").as("sub"), col("cid").cast("long").as("cid"),
+          (aggregate(col("ce"), lit(0L),
+            (acc, x) => acc + floor(x * x * Fp + 0.5).cast("long")).cast("double") / Fp)
+            .as("centroid_sq_norm"))
+      codes.groupBy(col("sub").cast("long").as("sub"), col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("n_vecs"), sum("d2i").as("sd2"))
+        .select(col("sub"), col("cid"), col("n_vecs"),
+          // round-half-up mean in pure integer arithmetic: (2s+n) div (2n)
+          (expr("(2 * sd2 + n_vecs) div (2 * n_vecs)").cast("double") / Fp)
+            .as("avg_dist2"))
+        .join(broadcast(cents), Seq("sub", "cid"))
+        .select(col("sub"), col("cid"), col("n_vecs"), col("avg_dist2"),
+          col("centroid_sq_norm"))
+    },
+
+    // PQ asymmetric-distance top-k search (x113): each query (vec_id %
+    // 101 == 0, its exact sub-codes) scans the COMPRESSED corpus — ADC
+    // dist(q, x) = Σ_sub lut[sub][code_sub(x)] where lut is the per-query
+    // (sub, cid) distance table. The corpus-side work per candidate is m
+    // integer lookups; no 64-dim kernel ever runs against corpus rows.
+    // Lookup entries are 1e-6 fixed-point int64s, so the cross-subspace
+    // sum is exact and ranking is order-independent. The top-10 winners
+    // then get ONE exact int8 dist² each (the standard PQ re-rank step,
+    // |Q|·10 kernel evaluations total) so the result self-reports its
+    // approximation error. Scale: lut is |Q|·m·k rows (broadcast); the
+    // code frame joins it on (sub, cid) — corpus touched once.
+    QueryDef("x113_pq_adc_search",
+      s"""WITH $PqCte,
+          q AS (SELECT vec_id AS qid, sub, sq FROM sv WHERE vec_id % $QMod = 0),
+          lut AS (SELECT q.qid, c.sub, c.cid,
+               CAST(floor(${bD2("q.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS ld
+             FROM q JOIN c1 c USING (sub)),
+          adc AS (SELECT l.qid, a.vec_id, sum(l.ld) AS adc
+             FROM a2 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+             WHERE a.vec_id <> l.qid
+             GROUP BY 1, 2),
+          rk AS (SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+             FROM adc),
+          top AS (SELECT * FROM rk WHERE rank <= $TopN),
+          fq AS (SELECT vec_id, qv FROM qb),
+          ex AS (SELECT t.qid, t.rank, t.vec_id, t.adc,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> (a.qv[i]::BIGINT - b.qv[i]::BIGINT) * (a.qv[i]::BIGINT - b.qv[i]::BIGINT)))
+                 AS BIGINT) AS exact_d2
+             FROM top t JOIN fq a ON a.vec_id = t.qid JOIN fq b ON b.vec_id = t.vec_id)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+            round(adc / ${Fp}, 6) AS adc_dist2, exact_d2
+          FROM ex""") { (s, d) =>
+      val codes = sharedPqCodes(s, d)
+      val q = codes.filter(col("vec_id") % QMod === 0)
+        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+      val lut = q.join(broadcast(sharedCodebooks(s, d)), "sub")
+        .select(col("qid"), col("sub"), col("cid"),
+          floor(d2(col("sq"), col("ce")) * Fp + 0.5).cast("long").as("ld"))
+      val adc = codes.select("vec_id", "sub", "cid")
+        .join(broadcast(lut), Seq("sub", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
+      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+      val top = adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopN)
+      // Exact re-rank kernels: |Q|·10 winner rows vs the corpus code frame —
+      // the winners are the broadcast side, both times.
+      val qb = ClusterQueries.sharedInt8(s, d)
+      qb.select(col("vec_id").as("qid"), col("qv").as("qqv"))
+        .join(broadcast(top), "qid")
+        .join(broadcast(qb.select(col("vec_id"), col("qv").as("dqv"))
+          .join(broadcast(top.select("vec_id").distinct()), "vec_id")), "vec_id")
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("adc") / Fp, 6).as("adc_dist2"),
+          KMeans.int8Dist2(col("qqv"), col("dqv")).as("exact_d2"))
+    }
+  )
+}

@@ -72,6 +72,79 @@ object AnalyticsQueries {
           (!(col("l") >= 3 && entOk)).as("flagged"))
     },
 
+    // t-closeness audit (x114) — the third leg of the release-privacy
+    // trio (x96 k-anonymity: classes big enough; x100 l-diversity: values
+    // varied enough; here: the class's sensitive-value DISTRIBUTION close
+    // enough to the corpus-wide one — Li et al. 2007). A class can pass
+    // both earlier gates and still leak via skew (e.g. a class where 90%
+    // sit in the top balance band when the population has 9%). Distance
+    // is the ordered-attribute Earth Mover's Distance: t = Σ|cum p −
+    // cum q| / (B−1) over the band ladder. Every cumulative is an exact
+    // integer count, and the comparison runs on the exact int64 cross
+    // product |cumn·G − cumg·n| (denominators cleared), so no float
+    // crosses rows and the 0.2 gate is ULP-stable in both engines.
+    // Scale: one map-side-combined groupBy to the (class, band) frame;
+    // everything after runs on classes×bands (~10³ rows) — the corpus is
+    // touched exactly once.
+    QueryDef("x114_t_closeness",
+      """WITH cb AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS band, count(*) AS c
+             FROM customer GROUP BY 1, 2, 3),
+          ns AS (SELECT nation, seg, sum(c) AS n FROM cb GROUP BY 1, 2),
+          g AS (SELECT band, sum(c) AS gb FROM cb GROUP BY 1),
+          gw AS (SELECT band, sum(gb) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg FROM g),
+          tot AS (SELECT sum(c) AS gt, count(DISTINCT band) AS nb FROM cb),
+          cells AS (SELECT gr.nation, gr.seg, gr.n, gr.band, gr.cumg,
+               coalesce(cb.c, 0) AS c
+             FROM (SELECT ns.nation, ns.seg, ns.n, gw.band, gw.cumg
+                   FROM ns CROSS JOIN gw) gr
+             LEFT JOIN cb USING (nation, seg, band)),
+          cum AS (SELECT nation, seg, n, cumg,
+               sum(c) OVER (PARTITION BY nation, seg ORDER BY band
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+             FROM cells),
+          agg AS (SELECT nation, seg, n,
+               sum(abs(cumn * (SELECT gt FROM tot) - cumg * n)) AS tnum
+             FROM cum GROUP BY 1, 2, 3),
+          fin AS (SELECT nation, seg, n,
+               CASE WHEN (SELECT nb FROM tot) > 1
+                 THEN tnum::DOUBLE
+                   / (((SELECT nb FROM tot) - 1) * n * (SELECT gt FROM tot))
+                 ELSE 0.0 END AS traw
+             FROM agg)
+          SELECT nation, seg, CAST(n AS BIGINT) AS n_members,
+            round(traw, 6) AS t_closeness, traw > 0.2 AS flagged
+          FROM fin""") { (s, d) =>
+      val cb = t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        .agg(count(lit(1)).as("c"))
+      val ns = cb.groupBy("nation", "seg").agg(sum("c").as("n"))
+      val gw = cb.groupBy("band").agg(sum("c").as("gb"))
+        .withColumn("cumg", sum("gb").over(
+          Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)))
+        .select("band", "cumg")
+      val tot = cb.agg(sum("c").as("gt"), countDistinct("band").as("nb"))
+      val cells = ns.crossJoin(broadcast(gw))
+        .join(broadcast(cb), Seq("nation", "seg", "band"), "left")
+        .select(col("nation"), col("seg"), col("n"), col("band"), col("cumg"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val cum = cells.withColumn("cumn", sum("c").over(
+        Window.partitionBy("nation", "seg").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val agg = cum.crossJoin(broadcast(tot))
+        .select(col("nation"), col("seg"), col("n"), col("gt"), col("nb"),
+          abs(col("cumn") * col("gt") - col("cumg") * col("n")).as("term"))
+        .groupBy("nation", "seg", "n", "gt", "nb").agg(sum("term").as("tnum"))
+      val traw = when(col("nb") > 1,
+        col("tnum").cast("double") / ((col("nb") - 1) * col("n") * col("gt")))
+        .otherwise(lit(0.0))
+      agg.select(col("nation"), col("seg"), col("n").cast("long").as("n_members"),
+        round(traw, 6).as("t_closeness"), (traw > 0.2).as("flagged"))
+    },
+
     // Ordered event funnel (x101) — the multi-stage conversion read every
     // event warehouse serves: per user, the earliest view, the earliest
     // click STRICTLY AFTER that view, the earliest purchase strictly after
@@ -405,6 +478,32 @@ object AnalyticsQueries {
       if (q.isActive) q.stop()
       q.sparkSession.table(name)
         .select(col("user_id"), col("stage"), col("ts"))
+    },
+
+    // x103's transition matrix maintained AT ARRIVAL (s21) — the live
+    // Markov view behind anomaly dashboards ("click→purchase rate fell
+    // off a cliff this hour"). Per-user state is ONE (last ts, last
+    // event_id, last type) tuple — constant size forever, watermark-free;
+    // each arriving event emits exactly one (from, to) row and replaces
+    // the predecessor. The gate aggregates the emitted pair stream to the
+    // (from, to, n) matrix; with in-order per-key delivery (the Kafka
+    // partition-key contract; in-batch rows sort by (ts, event_id) — the
+    // s13 order contract) that matrix IS the batch lead() matrix, which
+    // is the oracle. Runner in EventStream.runTransitions.
+    QueryDef("s21_stream_transitions",
+      """WITH seq AS (SELECT user_id, event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+             FROM events)
+          SELECT f AS from_type, t AS to_type, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE t IS NOT NULL GROUP BY 1, 2""") { (s, d) =>
+      val name = "s21_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runTransitions(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(col("from_type"), col("to_type"), col("n"))
     }
   )
 }

@@ -194,6 +194,51 @@ object EventStream {
       .start()
   }
 
+  /** Streaming first-order transition tracker (s21): the (from → to)
+    * event-pair emitter behind a live Markov view of user behavior —
+    * x103's matrix maintained AT ARRIVAL instead of recomputed per run.
+    * State per user is ONE tuple (last ts, last event_id, last type):
+    * constant-size forever, no watermark needed. Each arriving event
+    * emits exactly one transition row (from = the stored predecessor),
+    * then replaces it — so the sink's (from, to) counts ARE the lead()
+    * matrix whenever per-user delivery is in order. In-order per-key
+    * delivery is the contract (the Kafka partition-key guarantee);
+    * within a micro-batch, rows sort by (ts, event_id) — the s13 order
+    * contract — so a single-batch replay reproduces the batch lead()
+    * window bitwise, and the multi-batch spec proves the predecessor
+    * carries across batch boundaries. */
+  def runTransitions(spark: SparkSession, dir: String, queryName: String,
+                     glob: String = "events.parquet",
+                     statePartitions: Option[Int] = Some(4),
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val out = readEvents(session, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsm"), col("event_id").cast("long").as("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          var (lastTsm, lastId, lastTyp) = state.getOption.getOrElse((0L, 0L, ""))
+          val fired = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, typ, tsm, eid) =>
+            if (lastTyp.nonEmpty) fired += ((uid, lastTyp, typ))
+            lastTsm = tsm; lastId = eid; lastTyp = typ
+          }
+          state.update((lastTsm, lastId, lastTyp))
+          fired.iterator
+      }
+      .toDF("user_id", "from_type", "to_type")
+    out.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming ordered-funnel detector (s20): x101's view → click →
     * purchase progression evaluated AT ARRIVAL — the trigger-style read
     * ("fire when a user converts") that batch funnels can only deliver

@@ -204,6 +204,54 @@ class AnalyticsQueriesSpec extends SparkSpec {
       (1L, "purchase_after_click", ts(30))))
   }
 
+  test("x114 t-closeness: proportional class reads t=0, skewed classes flag") {
+    import spark.implicits._
+    // Bands 0/1/2. Class C = 4/1/1 is EXACTLY proportional to the global
+    // 12/3/3 -> t = 0, clean. A = 2/2/2 (uniform) and B = 6/0/0 (point
+    // mass) both read t = 54 / (2*6*18) = 0.25 > 0.2 -> flagged.
+    def members(nation: Long, seg: String, perBand: Seq[Int]) =
+      perBand.zipWithIndex.flatMap { case (m, b) =>
+        Seq.fill(m)((nation, seg, b * 1000.0 + 500.0))
+      }
+    val rows = members(0L, "A", Seq(2, 2, 2)) ++ members(1L, "B", Seq(6, 0, 0)) ++
+      members(2L, "C", Seq(4, 1, 1))
+    val dir = tmpDir("tclose")
+    rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val got = SparkEntry.queries("x114_t_closeness")(spark, dir)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got("C") == ((6L, 0.0, false)))
+    assert(got("A") == ((6L, 0.25, true)))
+    assert(got("B") == ((6L, 0.25, true)))
+  }
+
+  test("s21 stream transitions: predecessor carries across micro-batches") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    // batch 1: view(0), click(10); batch 2: click(20) pairs with the
+    // CARRIED click from batch 1, purchase(30) pairs with click(20).
+    val b1 = Seq((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}"))
+    val b2 = Seq((3L, ts(20), 1L, "click", 1.0, "{}"), (4L, ts(30), 1L, "purchase", 1.0, "{}"))
+    val tmp = tmpDir("s21trans")
+    for ((rows, i) <- Seq(b1, b2).zipWithIndex) {
+      val part = s"$tmp/stage$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(part)
+      val f = new java.io.File(part).listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(tmp, s"f$i.parquet").toPath)
+    }
+    val q = graft.streaming.EventStream.runTransitions(spark, tmp, "s21_spec_sink",
+      glob = "f*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val rows = q.sparkSession.table("s21_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 3, s"one transition per post-first event: ${rows.toSeq}")
+    assert(rows.toSet == Set((1L, "view", "click"), (1L, "click", "click"),
+      (1L, "click", "purchase")))
+  }
+
   test("organic invariants: funnel monotone, retention bounded with unit diagonal") {
     val funnel = SparkEntry.queries("x101_event_funnel")(spark, sf).collect()
     assert(funnel.length == 3)
