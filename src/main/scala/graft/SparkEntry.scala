@@ -14,7 +14,7 @@ object SparkEntry {
       graft.ops.SketchQueries.defs ++ graft.ops.CurationQueries.defs ++
       graft.queries.ExtraQueries.defs ++ graft.queries.AnalyticsQueries.defs ++
       graft.queries.MetricsQueries.defs ++ graft.ops.RetrievalQueries.defs ++
-      graft.ops.PqQueries.defs
+      graft.ops.PqQueries.defs ++ graft.ops.GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full offline PII scan (candidates → ensemble → argmax). */

@@ -64,7 +64,7 @@ object ClusterQueries {
                ORDER BY ${bDi("v.qv", "c.ce")}, c.cid) AS rn
            FROM vp v JOIN cc c USING (cell)) WHERE rn = 1)"""
 
-  private def kmeansCte(withD2: Boolean): String = {
+  private[ops] def kmeansCte(withD2: Boolean): String = {
     val d2 = """list_sum(list_transform(generate_series(1, 64),
           i -> (b.qv[i]::DOUBLE - c.ce[i]) * (b.qv[i]::DOUBLE - c.ce[i])))"""
     val d2Col = if (withD2) s", $d2 AS d2" else ""
@@ -101,7 +101,7 @@ object ClusterQueries {
         .select("vec_id", "qv")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def sharedKmeans(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[ops] def sharedKmeans(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.util.SharedStages.cached(s"embeddings-kmeans|$d|${System.identityHashCode(s)}") {
       KMeans.assignments(sharedInt8(s, d), "vec_id", "qv", K, Iters)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -119,30 +119,34 @@ object PqQueries {
     s"""list_sum(list_transform(generate_series(1, $SubDim),
          i -> (($a)[i]::DOUBLE - ($b)[i]) * (($a)[i]::DOUBLE - ($b)[i])))"""
 
-  /** Training + encoding chain, ending at `a2` = (vec_id, sub, sq, cid,
-    * d2i) and `c1` = the trained codebooks. Same init / assign / integer-
-    * sum update / re-assign protocol as the engine; the assignment argmin
-    * is a row_number window with the identical (d2, cid) ordering. */
-  private val PqCte =
-    s"""${ClusterQueries.QuantCte},
- sv AS (SELECT vec_id, s AS sub, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
+  /** Training + encoding chain body (assumes `qb` from QuantCte is in
+    * scope), ending at `<p>a2` = (vec_id, sub, sq, cid, d2i) and `<p>c1`
+    * = the trained codebooks. Same init / assign / integer-sum update /
+    * re-assign protocol as the engine; the assignment argmin is a
+    * row_number window with the identical (d2, cid) ordering. The `p`
+    * prefix keeps the names collision-free when composed with other CTE
+    * chains (x116 combines this with the coarse kmeansCte). */
+  private def pqBody(p: String): String =
+    s"""${p}sv AS (SELECT vec_id, s AS sub, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
         FROM qb, unnest(generate_series(0, ${M - 1})) AS t(s)),
- c0 AS (SELECT sub, vec_id AS cid, list_transform(sq, v -> v::DOUBLE) AS ce
-        FROM sv WHERE vec_id < $K),
- a1 AS (SELECT vec_id, sub, sq, cid FROM (
+ ${p}c0 AS (SELECT sub, vec_id AS cid, list_transform(sq, v -> v::DOUBLE) AS ce
+        FROM ${p}sv WHERE vec_id < $K),
+ ${p}a1 AS (SELECT vec_id, sub, sq, cid FROM (
     SELECT v.vec_id, v.sub, v.sq, c.cid,
       row_number() OVER (PARTITION BY v.vec_id, v.sub
         ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
-    FROM sv v JOIN c0 c ON c.sub = v.sub) WHERE rn = 1),
- u1 AS (SELECT sub, cid, pos, sum(sq[pos])::DOUBLE / count(*) AS val
-        FROM a1, (SELECT unnest(generate_series(1, $SubDim)) AS pos) GROUP BY 1, 2, 3),
- c1 AS (SELECT sub, cid, list(val ORDER BY pos) AS ce FROM u1 GROUP BY 1, 2),
- a2 AS (SELECT vec_id, sub, sq, cid, d2i FROM (
+    FROM ${p}sv v JOIN ${p}c0 c ON c.sub = v.sub) WHERE rn = 1),
+ ${p}u1 AS (SELECT sub, cid, pos, sum(sq[pos])::DOUBLE / count(*) AS val
+        FROM ${p}a1, (SELECT unnest(generate_series(1, $SubDim)) AS pos) GROUP BY 1, 2, 3),
+ ${p}c1 AS (SELECT sub, cid, list(val ORDER BY pos) AS ce FROM ${p}u1 GROUP BY 1, 2),
+ ${p}a2 AS (SELECT vec_id, sub, sq, cid, d2i FROM (
     SELECT v.vec_id, v.sub, v.sq, c.cid,
       CAST(floor(${bD2("v.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS d2i,
       row_number() OVER (PARTITION BY v.vec_id, v.sub
         ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
-    FROM sv v JOIN c1 c ON c.sub = v.sub) WHERE rn = 1)"""
+    FROM ${p}sv v JOIN ${p}c1 c ON c.sub = v.sub) WHERE rn = 1)"""
+
+  private val PqCte = s"${ClusterQueries.QuantCte},\n ${pqBody("")}"
 
   // ---------------------------------------------------------------------
   // Queries
@@ -242,6 +246,194 @@ object PqQueries {
         .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
           round(col("adc") / Fp, 6).as("adc_dist2"),
           KMeans.int8Dist2(col("qqv"), col("dqv")).as("exact_d2"))
+    },
+
+    // IVF-PQ composed search (x116) — the FAISS IVFPQ architecture: the
+    // coarse k-means cells (x32's trained index) prune the corpus to
+    // nprobe=2 inverted lists, and PQ ADC scores ONLY the surviving
+    // candidates — the two memory/compute reductions composed the way a
+    // production 100-TB vector store actually deploys them. Per query the
+    // result row self-reports candidate count, the top hit with its exact
+    // distance, and recall@10 against the exact brute-force top-10 (the
+    // in-query audit that catches a mistuned nprobe before it ships).
+    // Scale: probes and the ADC lookup table broadcast (|Q|-sized); the
+    // candidate fan-out is a broadcast join against the cell assignment —
+    // the corpus is touched once for encoding and once for the recall
+    // audit (the audit is the expensive half and exists for the gate; a
+    // production run drops it).
+    QueryDef("x116_ivfpq_search",
+      s"""WITH ${ClusterQueries.kmeansCte(false)},
+          ${pqBody("p")},
+          ccent AS (SELECT cid, list(val ORDER BY pos) AS ce FROM (
+               SELECT cid, pos, sum(qv[pos])::DOUBLE / count(*) AS val
+               FROM a2, (SELECT unnest(generate_series(1, 64)) AS pos)
+               GROUP BY 1, 2) GROUP BY 1),
+          q AS (SELECT vec_id AS qid, qv FROM qb WHERE vec_id % $QMod = 0),
+          probe AS (SELECT qid, cid FROM (
+               SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_sum(list_transform(generate_series(1, 64),
+                     i -> (q.qv[i]::DOUBLE - c.ce[i]) * (q.qv[i]::DOUBLE - c.ce[i]))),
+                   c.cid) AS rn
+               FROM q CROSS JOIN ccent c) WHERE rn <= 2),
+          cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN a2 a ON a.cid = p.cid
+               WHERE a.vec_id <> p.qid),
+          qpq AS (SELECT vec_id AS qid, sub, sq FROM psv WHERE vec_id % $QMod = 0),
+          lut AS (SELECT qpq.qid, c.sub, c.cid,
+               CAST(floor(${bD2("qpq.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS ld
+             FROM qpq JOIN pc1 c USING (sub)),
+          adc AS (SELECT cand.qid, cand.vec_id, sum(l.ld) AS adc
+             FROM cand JOIN pa2 a ON a.vec_id = cand.vec_id
+             JOIN lut l ON l.qid = cand.qid AND l.sub = a.sub AND l.cid = a.cid
+             GROUP BY 1, 2),
+          rk AS (SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+             FROM adc),
+          topk AS (SELECT * FROM rk WHERE rank <= $TopN),
+          exd AS (SELECT q.qid, b.vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> (q.qv[i]::BIGINT - b.qv[i]::BIGINT) * (q.qv[i]::BIGINT - b.qv[i]::BIGINT)))
+                 AS BIGINT) AS d2
+             FROM q JOIN qb b ON b.vec_id <> q.qid),
+          gt AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                   ORDER BY d2, vec_id) AS rn FROM exd) WHERE rn <= $TopN),
+          hits AS (SELECT t.qid, count(*) AS h FROM topk t
+               JOIN gt ON gt.qid = t.qid AND gt.vec_id = t.vec_id GROUP BY 1),
+          nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY 1),
+          t1 AS (SELECT t.qid, t.vec_id AS top1_vec_id, e.d2 AS top1_exact_d2
+             FROM topk t JOIN exd e ON e.qid = t.qid AND e.vec_id = t.vec_id
+             WHERE t.rank = 1)
+          SELECT q.qid, CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+            t1.top1_vec_id, t1.top1_exact_d2,
+            coalesce(hits.h, 0)::DOUBLE / $TopN AS recall_at10
+          FROM q LEFT JOIN nc USING (qid) LEFT JOIN t1 USING (qid)
+          LEFT JOIN hits USING (qid)""") { (s, d) =>
+      val asg = ClusterQueries.sharedKmeans(s, d) // (vec_id, qv, cid, dist2)
+      val ccent = asg
+        .select(col("cid"), posexplode_outer(col("qv")).as(Seq("pos", "v")))
+        .filter(col("pos").isNotNull)
+        .groupBy("cid", "pos").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
+          (col("sv").cast("double") / col("n")).as("val")))).as("pv"))
+        .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
+      val q = ClusterQueries.sharedInt8(s, d).filter(col("vec_id") % QMod === 0)
+        .select(col("vec_id").as("qid"), col("qv"))
+      val d2full = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v)
+      val pw = Window.partitionBy("qid").orderBy(col("pd2"), col("cid"))
+      val probe = q.crossJoin(broadcast(ccent))
+        .withColumn("pd2", d2full(col("qv"), col("ce")))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+        .select("qid", "cid")
+      val cand = asg.select("vec_id", "cid").join(broadcast(probe), "cid")
+        .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
+      val qpq = sharedPqCodes(s, d).filter(col("vec_id") % QMod === 0)
+        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+      val lut = qpq.join(broadcast(sharedCodebooks(s, d)), "sub")
+        .select(col("qid"), col("sub"), col("cid"),
+          floor(d2(col("sq"), col("ce")) * Fp + 0.5).cast("long").as("ld"))
+      val adc = sharedPqCodes(s, d).select("vec_id", "sub", "cid")
+        .join(cand, "vec_id")
+        .join(broadcast(lut), Seq("qid", "sub", "cid"))
+        .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
+      val rw = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+      val topk = adc.withColumn("rank", row_number().over(rw)).filter(col("rank") <= TopN)
+      // Exact brute-force audit: |Q| broadcast over the code frame, one
+      // int8 kernel per (query, vector) — the recall ground truth.
+      val exd = graft.util.PersistScope.track(
+        ClusterQueries.sharedInt8(s, d)
+          .crossJoin(broadcast(q.select(col("qid"), col("qv").as("qqv"))))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), KMeans.int8Dist2(col("qqv"), col("qv")).as("d2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val gw = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+      val gt = exd.withColumn("rn", row_number().over(gw)).filter(col("rn") <= TopN)
+        .select("qid", "vec_id")
+      val hits = topk.join(gt, Seq("qid", "vec_id")).groupBy("qid")
+        .agg(count(lit(1)).as("h"))
+      val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      val t1 = topk.filter(col("rank") === 1)
+        .join(exd.select(col("qid"), col("vec_id"), col("d2")), Seq("qid", "vec_id"))
+        .select(col("qid"), col("vec_id").as("top1_vec_id"), col("d2").as("top1_exact_d2"))
+      q.select("qid")
+        .join(broadcast(nc), Seq("qid"), "left")
+        .join(broadcast(t1), Seq("qid"), "left")
+        .join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_cand"), lit(0L)).cast("long").as("n_cand"),
+          col("top1_vec_id"), col("top1_exact_d2"),
+          (coalesce(col("h"), lit(0L)).cast("double") / TopN).as("recall_at10"))
+    },
+
+    // PQ codebook drift audit (x117) — the embedding-distribution shift
+    // detector an ML-ops pipeline runs before reusing a trained index:
+    // codebooks train on the label-0 slice only (the "yesterday's data"
+    // stand-in; seeds = its K smallest ids), then EVERY vector encodes
+    // under them and the per-label mean quantization error is compared to
+    // the training slice's own. A slice whose error runs >20% above the
+    // training baseline gets flagged — its vectors live where the
+    // codebook has no centroids (distribution drift), and ANN recall on
+    // it will silently degrade. All means are exact-int64 micro averages
+    // ((2s+n) div 2n); the 20% gate compares 10·avg_l > 12·avg_0 in
+    // int64, so the flag is ULP-stable. Output: one row per label.
+    QueryDef("x117_codebook_drift",
+      s"""WITH ${ClusterQueries.QuantCte},
+          lb AS (SELECT vec_id, label FROM embeddings),
+          sv AS (SELECT vec_id, s AS sub, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
+               FROM qb, unnest(generate_series(0, ${M - 1})) AS t(s)),
+          sv0 AS (SELECT sv.* FROM sv JOIN lb USING (vec_id) WHERE lb.label = 0),
+          seeds AS (SELECT DISTINCT vec_id FROM sv0 ORDER BY vec_id LIMIT $K),
+          c0 AS (SELECT sub, vec_id AS cid, list_transform(sq, v -> v::DOUBLE) AS ce
+               FROM sv0 WHERE vec_id IN (SELECT vec_id FROM seeds)),
+          a1 AS (SELECT vec_id, sub, sq, cid FROM (
+             SELECT v.vec_id, v.sub, v.sq, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
+             FROM sv0 v JOIN c0 c ON c.sub = v.sub) WHERE rn = 1),
+          u1 AS (SELECT sub, cid, pos, sum(sq[pos])::DOUBLE / count(*) AS val
+               FROM a1, (SELECT unnest(generate_series(1, $SubDim)) AS pos)
+               GROUP BY 1, 2, 3),
+          c1 AS (SELECT sub, cid, list(val ORDER BY pos) AS ce FROM u1 GROUP BY 1, 2),
+          a2 AS (SELECT vec_id, d2i FROM (
+             SELECT v.vec_id, v.sub,
+               CAST(floor(${bD2("v.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS d2i,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                 ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
+             FROM sv v JOIN c1 c ON c.sub = v.sub) WHERE rn = 1),
+          vd AS (SELECT vec_id, sum(d2i) AS vd2 FROM a2 GROUP BY 1),
+          pl AS (SELECT lb.label, count(*) AS n_vecs, sum(vd.vd2) AS s
+               FROM vd JOIN lb USING (vec_id) GROUP BY 1),
+          am AS (SELECT label, n_vecs, (2 * s + n_vecs) // (2 * n_vecs) AS avg_micro
+               FROM pl),
+          b0 AS (SELECT avg_micro AS base FROM am WHERE label = 0)
+          SELECT label::BIGINT AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+            avg_micro::DOUBLE / ${Fp} AS avg_d2,
+            CASE WHEN (SELECT base FROM b0) > 0
+              THEN avg_micro::DOUBLE / (SELECT base FROM b0) END AS drift_ratio,
+            avg_micro * 10 > (SELECT base FROM b0) * 12 AS flagged
+          FROM am""") { (s, d) =>
+      val lb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val sv = subCodes(s, d)
+      val sv0 = sv.join(lb.filter(col("label") === 0).select("vec_id"), "vec_id")
+      val seeds = sv0.select("vec_id").distinct().orderBy("vec_id").limit(K)
+      val init = sv0.join(broadcast(seeds), "vec_id")
+        .select(col("sub"), col("vec_id").as("cid"),
+          transform(col("sq"), v => v.cast("double")).as("ce"))
+      val c1 = update(assignOnce(sv0, init))
+      val enc = assignOnce(sv, c1)
+      val vd = enc.groupBy("vec_id").agg(sum("d2i").as("vd2"))
+      val pl = vd.join(lb, "vec_id").groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("vd2").as("s"))
+      val am = pl.select(col("label"), col("n_vecs"),
+        expr("(2 * s + n_vecs) div (2 * n_vecs)").as("avg_micro"))
+      val b0 = am.filter(col("label") === 0).select(col("avg_micro").as("base"))
+      am.crossJoin(broadcast(b0))
+        .select(col("label").cast("long").as("label"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          (col("avg_micro").cast("double") / Fp).as("avg_d2"),
+          when(col("base") > 0, col("avg_micro").cast("double") / col("base"))
+            .as("drift_ratio"),
+          (col("avg_micro") * 10 > col("base") * 12).as("flagged"))
     }
   )
 }

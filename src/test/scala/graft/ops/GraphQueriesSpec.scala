@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Planted-fixture specs for the graph family (x115) and the PQ
+  * composition/drift audits (x116/x117). */
+class GraphQueriesSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("x115 pagerank: clone triangle is stationary, isolated doc keeps teleport only") {
+    import spark.implicits._
+    // Three exact clones band-collide into a triangle (each deg 2); doc 4
+    // is isolated. n=4, S=1e12: r0 = S div 4 = 2.5e11. The symmetric
+    // triangle is a fixed point: inflow = 2·(2.5e11 div 2) = 2.5e11, so
+    // r' = (15·2.5e11) div 100 + (85·2.5e11) div 100 = 2.5e11 forever.
+    // The isolated doc drops to teleport-only 3.75e10 and stays.
+    val clone = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(1L -> clone, 2L -> clone, 3L -> clone,
+      4L -> "completely different words about ships and harbors tonight")
+    val dir = tmpDir("pagerank")
+    docs.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x115_dedup_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 250000000000L)))
+    assert(got(2L) == ((2L, 250000000000L)))
+    assert(got(3L) == ((2L, 250000000000L)))
+    assert(got(4L) == ((0L, 37500000000L)))
+  }
+
+  test("x115 organic: teleport floor holds and linked docs outrank isolated ones") {
+    val rows = SparkEntry.queries("x115_dedup_pagerank")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val n = rows.length
+    val tele = 15L * (1000000000000L / n) / 100
+    assert(rows.forall(_.getLong(2) >= tele), "every doc keeps at least teleport mass")
+    val isolated = rows.filter(_.getLong(1) == 0L)
+    assert(isolated.forall(_.getLong(2) == tele), "isolated docs get exactly teleport")
+  }
+
+  test("x116 IVF-PQ: singleton cells make the probe exact; recall self-reported") {
+    import spark.implicits._
+    // Same fixture as the x113 ADC spec: vectors on a line, every vector
+    // its own coarse cell AND its own PQ cell. nprobe=2 reaches the
+    // query's OWN cell (only the excluded self lives there) plus the true
+    // nearest's cell — so n_cand=1, top1 is the true nearest (vec 1,
+    // d2 = 64) and recall@10 = 1/10.
+    val dir = tmpDir("ivfpq")
+    (0L to 5L).map { id =>
+      val v = Array.fill(64)(0f); v(0) = 127f; v(1) = 8f * id
+      (id, v, 0)
+    }.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("x116_ivfpq_search")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 64L)
+    assert(math.abs(r.getDouble(4) - 0.1) < 1e-12)
+  }
+
+  test("x116 organic: recall in [0,1], candidates a strict subset of the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val rows = SparkEntry.queries("x116_ivfpq_search")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(1) < n, "IVF actually prunes")
+      val rec = r.getDouble(4)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("x117 drift: in-distribution slice reads like training, shifted slice flags") {
+    import spark.implicits._
+    // label 0 (training) and label 1: the X pattern — codebooks quantize
+    // them exactly (avg 0, unflagged). label 2: the Y pattern — every
+    // subspace lands 16·127² away from the nearest X centroid -> flagged.
+    // base = 0 makes drift_ratio NULL by the explicit guard.
+    val x = Array.tabulate(64)(i => if (i % 2 == 0) 127f else 0f)
+    val y = Array.tabulate(64)(i => if (i % 2 == 1) 127f else 0f)
+    val dir = tmpDir("pqdrift")
+    ((0L to 7L).map(id => (id, x, 0)) ++ (8L to 11L).map(id => (id, x, 1)) ++
+      (12L to 15L).map(id => (id, y, 2)))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("x117_codebook_drift")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.isNullAt(3), r.getBoolean(4))).toMap
+    assert(got(0L) == ((8L, 0.0, true, false)))
+    assert(got(1L) == ((4L, 0.0, true, false)))
+    val (n2, d2v, nullRatio, fl2) = got(2L)
+    assert(n2 == 4L && nullRatio && fl2)
+    assert(d2v == 4.0 * 16 * 127 * 127, "four subspaces each 16*127^2 off")
+  }
+
+  test("x117 organic: training slice is the baseline with ratio 1") {
+    val rows = SparkEntry.queries("x117_codebook_drift")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val base = rows(0L)
+    assert(!base.isNullAt(3) && math.abs(base.getDouble(3) - 1.0) < 1e-12)
+    assert(!base.getBoolean(4), "the training slice never flags against itself")
+    rows.values.foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+}
