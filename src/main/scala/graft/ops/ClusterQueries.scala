@@ -627,5 +627,49 @@ object ClusterQueries {
           (col("q1") / 1000000.0).as("q1"), (col("q3") / 1000000.0).as("q3"),
           ((col("nfp") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3)
             || (col("nfp") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)).as("is_outlier"))
+    },
+
+    // Cluster-relative semantic outliers (x119) — the "junk embedding"
+    // detector x85's global-norm fences can't see: a vector can have a
+    // perfectly typical norm and still sit far from EVERY centroid (mixed
+    // content, corrupted encode, out-of-domain page). Per k-means cell:
+    // the exact median assignment distance (distinct-value cumulative
+    // frame, integer ceil rank — the x89/x76 idiom, no global sort) and
+    // the count of members sitting beyond 2× that median. Per-cell rows
+    // only (k ≤ 8) — the audit a pipeline reads before trusting the cells
+    // for SemDeDup. Rides the shared assignment stage; the only work
+    // beyond it is a (cid, d2)-keyed count and windows over that frame.
+    QueryDef("x119_semantic_outliers",
+      s"""WITH ${kmeansCte(withD2 = true)},
+          dv AS (SELECT cid, d2, count(*) AS c FROM a2 GROUP BY 1, 2),
+          cum AS (SELECT cid, d2, sum(c) OVER (PARTITION BY cid ORDER BY d2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dv),
+          nn AS (SELECT cid, count(*) AS n FROM a2 GROUP BY 1),
+          med AS (SELECT cum.cid, min(d2) AS med FROM cum JOIN nn USING (cid)
+               WHERE cum >= (nn.n + 1) // 2 GROUP BY 1),
+          outs AS (SELECT a2.cid, count(*) AS n_out
+               FROM a2 JOIN med USING (cid) WHERE a2.d2 > 2 * med.med GROUP BY 1)
+          SELECT CAST(nn.cid AS BIGINT) AS cluster, CAST(nn.n AS BIGINT) AS n_vecs,
+            round(med.med, 4) AS median_d2,
+            CAST(coalesce(outs.n_out, 0) AS BIGINT) AS n_outliers,
+            coalesce(outs.n_out, 0)::DOUBLE / nn.n AS outlier_frac
+          FROM nn JOIN med USING (cid) LEFT JOIN outs USING (cid)""") { (s, d) =>
+      val asg = sharedKmeans(s, d).select("cid", "dist2")
+      val dv = asg.groupBy("cid", "dist2").agg(count(lit(1)).as("c"))
+      val cum = dv.withColumn("cum", sum("c").over(
+        Window.partitionBy("cid").orderBy("dist2")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val nn = asg.groupBy("cid").agg(count(lit(1)).as("n"))
+      val med = cum.join(broadcast(nn), "cid")
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("cid").agg(min("dist2").as("med"))
+      val outs = asg.join(broadcast(med), "cid")
+        .filter(col("dist2") > col("med") * 2)
+        .groupBy("cid").agg(count(lit(1)).as("n_out"))
+      nn.join(broadcast(med), "cid").join(broadcast(outs), Seq("cid"), "left")
+        .select(col("cid").cast("long").as("cluster"), col("n").cast("long").as("n_vecs"),
+          round(col("med"), 4).as("median_d2"),
+          coalesce(col("n_out"), lit(0L)).cast("long").as("n_outliers"),
+          (coalesce(col("n_out"), lit(0L)).cast("double") / col("n")).as("outlier_frac"))
     })
 }

@@ -110,6 +110,51 @@ object PqQueries {
   private[graft] def stageBuilders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "pq" -> (sharedPqCodes(_, _)))
 
+  /** Drift-model training (x117 / s22): codebooks over the label-0 slice
+    * only, seeds = its K smallest ids — "yesterday's data" for the gate. */
+  private[graft] def driftCodebooks(s: SparkSession, d: String): DataFrame = {
+    val lb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val sv0 = subCodes(s, d)
+      .join(lb.filter(col("label") === 0).select("vec_id"), "vec_id")
+    val seeds = sv0.select("vec_id").distinct().orderBy("vec_id").limit(K)
+    val init = sv0.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("vec_id").as("cid"),
+        transform(col("sq"), v => v.cast("double")).as("ce"))
+    update(assignOnce(sv0, init))
+  }
+
+  /** The drift model as ONE broadcastable row for the streaming gate
+    * (s22): `cs` = the trained codebook entries, `base` = the training
+    * slice's exact per-vector mean quantization error in micros, and a
+    * literal join key. Empty when no label-0 slice exists (the stream
+    * gate emits nothing then — matching the batch oracle). */
+  private[graft] def driftModelRow(s: SparkSession, d: String): DataFrame = {
+    val c1 = driftCodebooks(s, d)
+    val lb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val enc0 = assignOnce(
+      subCodes(s, d).join(lb.filter(col("label") === 0).select("vec_id"), "vec_id"), c1)
+    val base = enc0.groupBy("vec_id").agg(sum("d2i").as("vd2"))
+      .agg(expr("(2 * sum(vd2) + count(*)) div (2 * count(*))").as("base"))
+    c1.agg(array_sort(collect_list(struct(col("sub"), col("cid"), col("ce")))).as("cs"))
+      .crossJoin(base)
+      .filter(size(col("cs")) > 0)
+      .select(lit(1).as("k"), col("cs"), col("base"))
+  }
+
+  /** In-row total quantization error (exact 1e-6 micros) of an int8 code
+    * array against the broadcast codebook entries `cs` — the streaming
+    * twin of one [[assignOnce]] pass followed by the per-vector d2i sum:
+    * per subspace, the argmin distance over that subspace's entries,
+    * snapped to micros and summed. Pure per-row fold — no shuffle. */
+  private[graft] def streamQuantError(qv: org.apache.spark.sql.Column,
+                                      cs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, sub) => {
+      val sq = slice(qv, sub * SubDim + 1, lit(SubDim))
+      val dmin = array_min(transform(filter(cs, c => c.getField("sub") === sub),
+        c => d2(sq, c.getField("ce"))))
+      acc + floor(dmin * Fp + 0.5).cast("long")
+    })
+
   // ---------------------------------------------------------------------
   // DuckDB oracle CTE chain (mirrors the engine exactly)
   // ---------------------------------------------------------------------
@@ -147,6 +192,36 @@ object PqQueries {
     FROM ${p}sv v JOIN ${p}c1 c ON c.sub = v.sub) WHERE rn = 1)"""
 
   private val PqCte = s"${ClusterQueries.QuantCte},\n ${pqBody("")}"
+
+  /** The drift-model chain (x117 / s22): codebooks trained on the label-0
+    * slice (seeds = its K smallest ids), every vector encoded under them,
+    * ending at `vd` = (vec_id, vd2 micro quantization error) with `lb`
+    * (labels) in scope. */
+  private val DriftCte =
+    s"""${ClusterQueries.QuantCte},
+ lb AS (SELECT vec_id, label FROM embeddings),
+ sv AS (SELECT vec_id, s AS sub, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
+        FROM qb, unnest(generate_series(0, ${M - 1})) AS t(s)),
+ sv0 AS (SELECT sv.* FROM sv JOIN lb USING (vec_id) WHERE lb.label = 0),
+ seeds AS (SELECT DISTINCT vec_id FROM sv0 ORDER BY vec_id LIMIT $K),
+ c0 AS (SELECT sub, vec_id AS cid, list_transform(sq, v -> v::DOUBLE) AS ce
+        FROM sv0 WHERE vec_id IN (SELECT vec_id FROM seeds)),
+ a1 AS (SELECT vec_id, sub, sq, cid FROM (
+    SELECT v.vec_id, v.sub, v.sq, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id, v.sub
+        ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
+    FROM sv0 v JOIN c0 c ON c.sub = v.sub) WHERE rn = 1),
+ u1 AS (SELECT sub, cid, pos, sum(sq[pos])::DOUBLE / count(*) AS val
+        FROM a1, (SELECT unnest(generate_series(1, $SubDim)) AS pos)
+        GROUP BY 1, 2, 3),
+ c1 AS (SELECT sub, cid, list(val ORDER BY pos) AS ce FROM u1 GROUP BY 1, 2),
+ a2 AS (SELECT vec_id, d2i FROM (
+    SELECT v.vec_id, v.sub,
+      CAST(floor(${bD2("v.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS d2i,
+      row_number() OVER (PARTITION BY v.vec_id, v.sub
+        ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
+    FROM sv v JOIN c1 c ON c.sub = v.sub) WHERE rn = 1),
+ vd AS (SELECT vec_id, sum(d2i) AS vd2 FROM a2 GROUP BY 1)"""
 
   // ---------------------------------------------------------------------
   // Queries
@@ -377,30 +452,7 @@ object PqQueries {
     // ((2s+n) div 2n); the 20% gate compares 10·avg_l > 12·avg_0 in
     // int64, so the flag is ULP-stable. Output: one row per label.
     QueryDef("x117_codebook_drift",
-      s"""WITH ${ClusterQueries.QuantCte},
-          lb AS (SELECT vec_id, label FROM embeddings),
-          sv AS (SELECT vec_id, s AS sub, qv[s*$SubDim+1 : s*$SubDim+$SubDim] AS sq
-               FROM qb, unnest(generate_series(0, ${M - 1})) AS t(s)),
-          sv0 AS (SELECT sv.* FROM sv JOIN lb USING (vec_id) WHERE lb.label = 0),
-          seeds AS (SELECT DISTINCT vec_id FROM sv0 ORDER BY vec_id LIMIT $K),
-          c0 AS (SELECT sub, vec_id AS cid, list_transform(sq, v -> v::DOUBLE) AS ce
-               FROM sv0 WHERE vec_id IN (SELECT vec_id FROM seeds)),
-          a1 AS (SELECT vec_id, sub, sq, cid FROM (
-             SELECT v.vec_id, v.sub, v.sq, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id, v.sub
-                 ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
-             FROM sv0 v JOIN c0 c ON c.sub = v.sub) WHERE rn = 1),
-          u1 AS (SELECT sub, cid, pos, sum(sq[pos])::DOUBLE / count(*) AS val
-               FROM a1, (SELECT unnest(generate_series(1, $SubDim)) AS pos)
-               GROUP BY 1, 2, 3),
-          c1 AS (SELECT sub, cid, list(val ORDER BY pos) AS ce FROM u1 GROUP BY 1, 2),
-          a2 AS (SELECT vec_id, d2i FROM (
-             SELECT v.vec_id, v.sub,
-               CAST(floor(${bD2("v.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS d2i,
-               row_number() OVER (PARTITION BY v.vec_id, v.sub
-                 ORDER BY ${bD2("v.sq", "c.ce")}, c.cid) AS rn
-             FROM sv v JOIN c1 c ON c.sub = v.sub) WHERE rn = 1),
-          vd AS (SELECT vec_id, sum(d2i) AS vd2 FROM a2 GROUP BY 1),
+      s"""WITH $DriftCte,
           pl AS (SELECT lb.label, count(*) AS n_vecs, sum(vd.vd2) AS s
                FROM vd JOIN lb USING (vec_id) GROUP BY 1),
           am AS (SELECT label, n_vecs, (2 * s + n_vecs) // (2 * n_vecs) AS avg_micro
@@ -413,14 +465,7 @@ object PqQueries {
             avg_micro * 10 > (SELECT base FROM b0) * 12 AS flagged
           FROM am""") { (s, d) =>
       val lb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-      val sv = subCodes(s, d)
-      val sv0 = sv.join(lb.filter(col("label") === 0).select("vec_id"), "vec_id")
-      val seeds = sv0.select("vec_id").distinct().orderBy("vec_id").limit(K)
-      val init = sv0.join(broadcast(seeds), "vec_id")
-        .select(col("sub"), col("vec_id").as("cid"),
-          transform(col("sq"), v => v.cast("double")).as("ce"))
-      val c1 = update(assignOnce(sv0, init))
-      val enc = assignOnce(sv, c1)
+      val enc = assignOnce(subCodes(s, d), driftCodebooks(s, d))
       val vd = enc.groupBy("vec_id").agg(sum("d2i").as("vd2"))
       val pl = vd.join(lb, "vec_id").groupBy("label")
         .agg(count(lit(1)).as("n_vecs"), sum("vd2").as("s"))
@@ -434,6 +479,29 @@ object PqQueries {
           when(col("base") > 0, col("avg_micro").cast("double") / col("base"))
             .as("drift_ratio"),
           (col("avg_micro") * 10 > col("base") * 12).as("flagged"))
+    },
+
+    // x117 evaluated AT ARRIVAL (s22): the streaming embedding-drift gate
+    // — each incoming vector scored against the label-0-trained codebooks
+    // and flagged when its quantization error runs >20% above the
+    // training slice's per-vector mean. The model (m·k codebook entries +
+    // the exact int64 baseline) rides one broadcast row; the score is a
+    // pure in-row fold, so the stream is stateless, watermark-free, and
+    // bitwise equal to the batch computation per vector — which IS the
+    // oracle. Runner in EventStream.runDriftGate.
+    QueryDef("s22_stream_drift_gate",
+      s"""WITH $DriftCte,
+          b AS (SELECT (2 * sum(vd.vd2) + count(*)) // (2 * count(*)) AS base
+               FROM vd JOIN lb USING (vec_id) WHERE lb.label = 0)
+          SELECT vec_id, CAST(vd2 AS BIGINT) AS q_err_micro,
+            vd2 * 10 > (SELECT base FROM b) * 12 AS drifted
+          FROM vd""") { (s, d) =>
+      val name = "s22_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runDriftGate(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      q.sparkSession.table(name)
+        .select(col("vec_id"), col("q_err_micro"), col("drifted"))
     }
   )
 }

@@ -218,6 +218,61 @@ object AnalyticsQueries {
           col("r.mean_advance_sec").as("mean_advance_sec"))
     },
 
+    // Last-touch attribution (x118) — the revenue-attribution read every
+    // event warehouse serves next to the funnel (x101): each purchase is
+    // credited to the LATEST preceding view/click by the same user
+    // (strictly earlier in (ts, event_id) order), or to 'none' when no
+    // touch precedes it. One shuffle total: a conditional running-max
+    // window over the user partitioning carries the latest touch as a
+    // (tsm, event_id, type) struct — no self-join, no per-touch rescan.
+    // The seconds-to-convert mean is the exact integer round-half-up
+    // ((2s+n) div 2n) over floor-second gaps from exact micros; revenue
+    // is exact cents. Output: one row per touch class, fixed 3-row shape.
+    QueryDef("x118_last_touch",
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               max(CASE WHEN event_type IN ('view', 'click')
+                   THEN {'tsm': epoch_us(ts), 'eid': event_id, 'typ': event_type} END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+             FROM events),
+          p AS (SELECT coalesce(touch['typ'], 'none') AS touch_type, cents,
+               CASE WHEN touch IS NOT NULL
+                 THEN (epoch_us(ts) - touch['tsm']) // 1000000 END AS gap_s
+             FROM o WHERE event_type = 'purchase'),
+          agg AS (SELECT touch_type, count(*) AS n, sum(cents) AS cents,
+               sum(gap_s) AS sg FROM p GROUP BY 1),
+          shape(touch_type) AS (VALUES ('view'), ('click'), ('none'))
+          SELECT s.touch_type,
+            CAST(coalesce(a.n, 0) AS BIGINT) AS n_purchases,
+            round(coalesce(a.cents, 0) / 100.0, 2) AS revenue,
+            CASE WHEN a.touch_type <> 'none' AND a.n > 0
+              THEN (2 * a.sg + a.n) // (2 * a.n) END AS mean_gap_s
+          FROM shape s LEFT JOIN agg a USING (touch_type)""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = max(when(col("event_type").isin("view", "click"),
+        struct(expr("unix_micros(ts)").as("tsm"), col("event_id"), col("event_type"))))
+        .over(w)
+      val p = QueryDef.events(s, d)
+        .withColumn("touch", touch)
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch.event_type"), lit("none")).as("touch_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          when(col("touch").isNotNull,
+            expr("(unix_micros(ts) - touch.tsm) div 1000000").cast("long")).as("gap_s"))
+      val agg = p.groupBy("touch_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"), sum("gap_s").as("sg"))
+      val shape = s.range(1)
+        .select(explode(array(lit("view"), lit("click"), lit("none"))).as("touch_type"))
+      shape.join(broadcast(agg), Seq("touch_type"), "left")
+        .select(col("touch_type"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_purchases"),
+          round(coalesce(col("cents"), lit(0L)) / 100.0, 2).as("revenue"),
+          when(col("touch_type") =!= "none" && col("n") > 0,
+            expr("(2 * sg + n) div (2 * n)").cast("long")).as("mean_gap_s"))
+    },
+
     // Cohort retention matrix (x102) — users cohorted by the ISO week of
     // their FIRST event; each later active week becomes a (cohort_week,
     // week_offset) cell with the user count and the retention fraction vs

@@ -964,6 +964,41 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming embedding-drift gate (s22): x117's codebook-drift check AT
+    * ARRIVAL — every incoming embedding is scored against the codebooks
+    * trained on the label-0 slice ("yesterday's data"), and flagged when
+    * its quantization error runs >20% above the training slice's own
+    * per-vector mean. One stateless map: the trained codebooks + baseline
+    * ride a single broadcast row (m·k entries — model-sized, not
+    * corpus-sized), the per-subspace argmin folds IN-ROW over that array,
+    * and the error is the same exact 1e-6-micro int64 the batch query
+    * computes — so the emitted decisions equal the batch oracle bitwise.
+    * No shuffle, no state, no watermark; append-mode, one row per vector. */
+  def runDriftGate(spark: SparkSession, dir: String, queryName: String,
+                   glob: String = "embeddings.parquet",
+                   maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    val model = graft.ops.PqQueries.driftModelRow(session, dir)
+    val src = graft.ops.KMeans.withInt8Codes(
+      streamReader(session, dir, glob, maxFilesPerTrigger)
+        .repartition(16), // single-file source: restore scan parallelism (s06 lesson)
+      "embedding", "qv")
+    val out = src
+      .crossJoin(broadcast(model))
+      .select(col("vec_id").cast("long").as("vec_id"),
+        graft.ops.PqQueries.streamQuantError(col("qv"), col("cs")).as("q_err_micro"),
+        col("base"))
+      .select(col("vec_id"), col("q_err_micro"),
+        (col("q_err_micro") * 10 > col("base") * 12).as("drifted"))
+    out.writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
 
 /** Transactional parquet batch sink: the missing piece between Structured

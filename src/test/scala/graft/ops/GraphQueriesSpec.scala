@@ -96,6 +96,53 @@ class GraphQueriesSpec extends SparkSpec {
     assert(d2v == 4.0 * 16 * 127 * 127, "four subspaces each 16*127^2 off")
   }
 
+  test("x119 semantic outliers: minority pattern sits past 2x the cell median") {
+    import spark.implicits._
+    // 16 X-pattern + 4 Y-pattern vectors all collapse into one cell whose
+    // centroid is the 0.8/0.2 blend; X sits at 64·25.4² = 41290.24, Y at
+    // 64·101.6² — beyond 2× the median -> exactly the 4 Y flag.
+    val x = Array.tabulate(64)(i => if (i % 2 == 0) 127f else 0f)
+    val y = Array.tabulate(64)(i => if (i % 2 == 1) 127f else 0f)
+    val dir = tmpDir("semout")
+    ((0L until 16L).map(id => (id, x, 0)) ++ (16L until 20L).map(id => (id, y, 0)))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("x119_semantic_outliers")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 20L)
+    assert(math.abs(r.getDouble(2) - 41290.24) < 1e-6)
+    assert(r.getLong(3) == 4L)
+    assert(math.abs(r.getDouble(4) - 0.2) < 1e-12)
+  }
+
+  test("x119 organic: outlier fraction can never reach half") {
+    val rows = SparkEntry.queries("x119_semantic_outliers")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // at least ceil(n/2) members sit at or below the median < 2x median
+    rows.foreach(r => assert(r.getDouble(4) <= 0.5 && r.getDouble(2) >= 0.0))
+  }
+
+  test("s22 stream drift gate: shifted vectors flag at arrival, in-dist ones pass") {
+    import spark.implicits._
+    // same census as the x117 spec: label-0/1 = X (exactly quantized),
+    // label-2 = Y (every subspace 16·127² off in micros).
+    val x = Array.tabulate(64)(i => if (i % 2 == 0) 127f else 0f)
+    val y = Array.tabulate(64)(i => if (i % 2 == 1) 127f else 0f)
+    val dir = tmpDir("s22drift")
+    ((0L to 7L).map(id => (id, x, 0)) ++ (8L to 11L).map(id => (id, x, 1)) ++
+      (12L to 15L).map(id => (id, y, 2)))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val q = graft.streaming.EventStream.runDriftGate(spark, dir, "s22_spec_sink")
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val got = q.sparkSession.table("s22_spec_sink")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.size == 16)
+    val yErr = 4L * 16 * 127 * 127 * 1000000L
+    (0L to 11L).foreach(id => assert(got(id) == ((0L, false)), s"vec $id clean"))
+    (12L to 15L).foreach(id => assert(got(id) == ((yErr, true)), s"vec $id drifted"))
+  }
+
   test("x117 organic: training slice is the baseline with ratio 1") {
     val rows = SparkEntry.queries("x117_codebook_drift")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r).toMap

@@ -252,6 +252,32 @@ class AnalyticsQueriesSpec extends SparkSpec {
       (1L, "click", "purchase")))
   }
 
+  test("x118 last-touch: latest preceding touch wins, ties by event_id, none bucket") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val ev = Seq(
+      // u1: view then click -> the purchase credits the LATER click, gap 20
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}"),
+      (3L, ts(30), 1L, "purchase", 9.99, "{}"),
+      // u2: untouched purchase -> 'none'
+      (4L, ts(30), 2L, "purchase", 1.0, "{}"),
+      // u3: click and view at the SAME ts -> event_id breaks the tie (view wins)
+      (5L, ts(5), 3L, "click", 1.0, "{}"), (6L, ts(5), 3L, "view", 1.0, "{}"),
+      (7L, ts(10), 3L, "purchase", 2.0, "{}"),
+      // u4: view at the purchase's own ts but a smaller event_id -> attributed, gap 0
+      (8L, ts(0), 4L, "view", 1.0, "{}"), (9L, ts(0), 4L, "purchase", 3.0, "{}"))
+    val dir = tmpDir("lasttouch")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("x118_last_touch")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got("click") == ((1L, 9.99, 20L)))
+    assert(got("view") == ((2L, 5.0, 3L)))  // gaps 5 and 0 -> round-half-up mean 3
+    assert(got("none") == ((1L, 1.0, -1L))) // no touch, no gap
+  }
+
   test("organic invariants: funnel monotone, retention bounded with unit diagonal") {
     val funnel = SparkEntry.queries("x101_event_funnel")(spark, sf).collect()
     assert(funnel.length == 3)
