@@ -80,8 +80,12 @@ object RetrievalQueries {
     // retrieval/dedup pipeline keeps next to its ANN index: Robertson/
     // Lucene BM25 (k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5))) of
     // every corpus doc against a derived keyword-query set (each doc_id %
-    // 97 == 0 contributes its top-8 in-doc tokens — a stand-in for the
-    // fixed, small query list a production run supplies). Determinism:
+    // 97 == 0 with doc_id < 1000 contributes its top-8 in-doc tokens — a
+    // stand-in for the fixed, small query list a production run supplies;
+    // the < 1000 bound keeps the query COUNT constant as the corpus grows,
+    // so total work scales with postings, not postings × corpus — the 10×
+    // stress measured the unbounded form at ~45× from exactly that
+    // queries×postings cross product). Determinism:
     // each (query, term, doc) BM25 term is computed in double from EXACT
     // integers (tf, df, dl, N, T) and immediately snapped to 1e-9
     // fixed-point, so the cross-term sum is an exact int64 — ranking never
@@ -101,7 +105,7 @@ object RetrievalQueries {
           q AS (SELECT doc_id AS qid, token FROM (
                SELECT doc_id, token,
                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, token) AS r
-               FROM wc WHERE doc_id % 97 = 0) WHERE r <= 8),
+               FROM wc WHERE doc_id % 97 = 0 AND doc_id < 1000) WHERE r <= 8),
           dfq AS (SELECT w.token, CAST(count(*) AS BIGINT) AS df
              FROM wc w JOIN (SELECT DISTINCT token FROM q) qt USING (token) GROUP BY 1),
           cand AS (SELECT q.qid, w.doc_id,
@@ -124,7 +128,7 @@ object RetrievalQueries {
       val nt = t(s, d, "documents").agg(count(lit(1)).as("n"))
         .crossJoin(wc.agg(sum("c").cast("long").as("tt")))
       val rw = Window.partitionBy("doc_id").orderBy(col("c").desc, col("token"))
-      val q = wc.filter(col("doc_id") % 97 === 0)
+      val q = wc.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000)
         .withColumn("r", row_number().over(rw)).filter(col("r") <= 8)
         .select(col("doc_id").as("qid"), col("token"))
       val dfq = wc.join(broadcast(q.select("token").distinct()), "token")
