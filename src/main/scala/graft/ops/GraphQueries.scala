@@ -75,42 +75,74 @@ object GraphQueries {
              GROUP BY 1, 2)
           SELECT doc_id, CAST(deg AS BIGINT) AS degree, CAST(r AS BIGINT) AS pr_fp
           FROM i3""") { (s, d) =>
+      // CLONE-COLLAPSED computation of the doc-space semantics above (the
+      // x90 rep-collapse pattern): identical texts have identical bands,
+      // hence identical neighborhoods, hence identical scores — so the
+      // whole iteration runs on exact-text REPRESENTATIVES with integer
+      // multiplicities, immune to dup density (the 10× dense-skew stress
+      // measured the doc-space form at 6-13×: clone groups grow the edge
+      // set quadratically in multiplicity). Every clone of rep r has
+      // degree d_r = Σ_{j∈N(r)} m_j + (m_r − 1 if r has bands), receives
+      // cross-inflow Σ m_j·(s_j div d_j) plus sibling inflow
+      // (m_r−1)·(s_r div d_r) — the identical int64 arithmetic, folded by
+      // group. The UNCHANGED doc-space oracle is the bitwise proof.
+      val rm = OpsQueries.sharedRepMapFor(s, d) // (doc_id, rep)
+      val mult = rm.groupBy("rep").agg(count(lit(1)).as("m"))
       val bands = OpsQueries.sharedBandsFor(s, d)
-      val cand = bands.as("a").join(bands.as("b"),
+      val rb = graft.util.PersistScope.track(
+        bands.join(rm.filter(col("doc_id") === col("rep")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val rcand = rb.as("a").join(rb.as("b"),
           col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      // Edges are read once per iteration (3×) plus the degree pass.
-      val edges = graft.util.PersistScope.track(
-        cand.select(col("d1").as("src"), col("d2").as("dst"))
-          .unionByName(cand.select(col("d2").as("src"), col("d1").as("dst")))
+      // Rep-level symmetric edges, read once per iteration (3×) + degrees.
+      val redges = graft.util.PersistScope.track(
+        rcand.select(col("d1").as("src"), col("d2").as("dst"))
+          .unionByName(rcand.select(col("d2").as("src"), col("d1").as("dst")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val nodes = t(s, d, "documents").select("doc_id")
-        .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      val hasBands = rb.select("doc_id").distinct()
+        .select(col("doc_id").as("rep"), lit(1).as("hb"))
+      val cross = redges
+        .join(mult.select(col("rep").as("src"), col("m").as("ms")), "src")
+        .groupBy(col("dst").as("rep")).agg(sum("ms").as("cd"))
+      val nodes = graft.util.PersistScope.track(mult
+        .join(broadcast(cross), Seq("rep"), "left")
+        .join(broadcast(hasBands), Seq("rep"), "left")
+        .select(col("rep"), col("m"),
+          (coalesce(col("cd"), lit(0L)) +
+            when(col("hb").isNotNull, col("m") - 1).otherwise(lit(0L))).as("deg"),
+          when(col("hb").isNotNull, col("m") - 1).otherwise(lit(0L)).as("sd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nRow = t(s, d, "documents").agg(count(lit(1)).as("n"))
-      // One damped power iteration in exact int64 fixed point: per-edge
-      // share = r div deg (truncating integer division — Spark's `div`,
-      // DuckDB's `//`, identical on non-negatives), dst-keyed integer sum,
-      // then r' = (15·(S div n)) div 100 + (85·in) div 100.
+      // One damped power iteration in exact int64 fixed point over reps:
+      // per-edge share = s div d (truncating integer division — Spark's
+      // `div`, DuckDB's `//`, identical on non-negatives), multiplicity-
+      // weighted dst-keyed integer sum, then
+      // r' = (15·(S div n)) div 100 + (85·in) div 100.
       def step(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val contrib = edges
-          .join(r.select(col("doc_id").as("src"), col("r"), col("deg").as("sdeg")), "src")
-          .select(col("dst").as("doc_id"), expr("r div sdeg").as("share"))
-          .groupBy("doc_id").agg(sum("share").as("inflow"))
-        r.select("doc_id", "deg")
-          .join(contrib, Seq("doc_id"), "left")
+        val shares = r.select(col("rep"), col("m"), col("deg"), col("sd"),
+          when(col("deg") > 0, expr("r div deg")).otherwise(lit(0L)).as("share"))
+        val contrib = redges
+          .join(shares.select(col("rep").as("src"), col("m").as("ms"),
+            col("share").as("sshare")), "src")
+          .select(col("dst").as("rep"), (col("ms") * col("sshare")).as("w"))
+          .groupBy("rep").agg(sum("w").as("cin"))
+        shares
+          .join(contrib, Seq("rep"), "left")
           .crossJoin(broadcast(nRow))
-          .select(col("doc_id"), col("deg"),
+          .select(col("rep"), col("m"), col("deg"), col("sd"),
             expr(s"(15 * ($S div n)) div 100" +
-              s" + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100").as("r"))
+              " + (85 * (coalesce(cin, CAST(0 AS BIGINT)) + sd * share)) div 100")
+              .as("r"))
       }
       val r0 = nodes.crossJoin(broadcast(nRow))
-        .select(col("doc_id"), col("deg"), expr(s"$S div n").as("r"))
+        .select(col("rep"), col("m"), col("deg"), col("sd"), expr(s"$S div n").as("r"))
       val rF = (1 to Iters).foldLeft(r0)((r, _) => step(r))
-      rF.select(col("doc_id"), col("deg").cast("long").as("degree"),
-        col("r").cast("long").as("pr_fp"))
+      rm.join(rF.select("rep", "deg", "r"), "rep")
+        .select(col("doc_id"), col("deg").cast("long").as("degree"),
+          col("r").cast("long").as("pr_fp"))
     }
   )
 }

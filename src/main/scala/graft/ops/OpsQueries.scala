@@ -96,6 +96,8 @@ object OpsQueries {
     * MinHash pass. */
   private[graft] def sharedBandsFor(s: org.apache.spark.sql.SparkSession, d: String) =
     sharedBands(s, d)
+  private[graft] def sharedRepMapFor(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedRepMap(s, d)
   private[graft] def sharedShinglesFor(s: org.apache.spark.sql.SparkSession, d: String) =
     sharedShingles(s, d)
 
