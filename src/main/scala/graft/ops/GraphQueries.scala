@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.QueryDef
@@ -32,6 +34,65 @@ object GraphQueries {
 
   private val S = 1000000000000L // 1e12 fixed-point score scale
   private val Iters = 3
+
+  /** Clone-collapsed PageRank scores (doc_id, degree, pr_fp) — the x115
+    * computation as a reusable stage (x120 composes it with the dup
+    * components for canonical selection). See x115's Scaladoc for the
+    * exactness argument; the doc-space oracle is the bitwise proof. */
+  private[ops] def pagerankScores(s: SparkSession, d: String): DataFrame = {
+    val rm = OpsQueries.sharedRepMapFor(s, d) // (doc_id, rep)
+    val mult = rm.groupBy("rep").agg(count(lit(1)).as("m"))
+    val bands = OpsQueries.sharedBandsFor(s, d)
+    val rb = graft.util.PersistScope.track(
+      bands.join(rm.filter(col("doc_id") === col("rep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rcand = rb.as("a").join(rb.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    // Rep-level symmetric edges, read once per iteration (3×) + degrees.
+    val redges = graft.util.PersistScope.track(
+      rcand.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(rcand.select(col("d2").as("src"), col("d1").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hasBands = rb.select("doc_id").distinct()
+      .select(col("doc_id").as("rep"), lit(1).as("hb"))
+    val cross = redges
+      .join(mult.select(col("rep").as("src"), col("m").as("ms")), "src")
+      .groupBy(col("dst").as("rep")).agg(sum("ms").as("cd"))
+    val nodes = graft.util.PersistScope.track(mult
+      .join(broadcast(cross), Seq("rep"), "left")
+      .join(broadcast(hasBands), Seq("rep"), "left")
+      .select(col("rep"), col("m"),
+        (coalesce(col("cd"), lit(0L)) +
+          when(col("hb").isNotNull, col("m") - 1).otherwise(lit(0L))).as("deg"),
+        when(col("hb").isNotNull, col("m") - 1).otherwise(lit(0L)).as("sd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nRow = t(s, d, "documents").agg(count(lit(1)).as("n"))
+    def step(r: DataFrame): DataFrame = {
+      val shares = r.select(col("rep"), col("m"), col("deg"), col("sd"),
+        when(col("deg") > 0, expr("r div deg")).otherwise(lit(0L)).as("share"))
+      val contrib = redges
+        .join(shares.select(col("rep").as("src"), col("m").as("ms"),
+          col("share").as("sshare")), "src")
+        .select(col("dst").as("rep"), (col("ms") * col("sshare")).as("w"))
+        .groupBy("rep").agg(sum("w").as("cin"))
+      shares
+        .join(contrib, Seq("rep"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("rep"), col("m"), col("deg"), col("sd"),
+          expr(s"(15 * ($S div n)) div 100" +
+            " + (85 * (coalesce(cin, CAST(0 AS BIGINT)) + sd * share)) div 100")
+            .as("r"))
+    }
+    val r0 = nodes.crossJoin(broadcast(nRow))
+      .select(col("rep"), col("m"), col("deg"), col("sd"), expr(s"$S div n").as("r"))
+    val rF = (1 to Iters).foldLeft(r0)((r, _) => step(r))
+    rm.join(rF.select("rep", "deg", "r"), "rep")
+      .select(col("doc_id"), col("deg").cast("long").as("degree"),
+        col("r").cast("long").as("pr_fp"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -81,68 +142,69 @@ object GraphQueries {
       // whole iteration runs on exact-text REPRESENTATIVES with integer
       // multiplicities, immune to dup density (the 10× dense-skew stress
       // measured the doc-space form at 6-13×: clone groups grow the edge
-      // set quadratically in multiplicity). Every clone of rep r has
-      // degree d_r = Σ_{j∈N(r)} m_j + (m_r − 1 if r has bands), receives
-      // cross-inflow Σ m_j·(s_j div d_j) plus sibling inflow
-      // (m_r−1)·(s_r div d_r) — the identical int64 arithmetic, folded by
-      // group. The UNCHANGED doc-space oracle is the bitwise proof.
-      val rm = OpsQueries.sharedRepMapFor(s, d) // (doc_id, rep)
-      val mult = rm.groupBy("rep").agg(count(lit(1)).as("m"))
-      val bands = OpsQueries.sharedBandsFor(s, d)
-      val rb = graft.util.PersistScope.track(
-        bands.join(rm.filter(col("doc_id") === col("rep")).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val rcand = rb.as("a").join(rb.as("b"),
-          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      // Rep-level symmetric edges, read once per iteration (3×) + degrees.
-      val redges = graft.util.PersistScope.track(
-        rcand.select(col("d1").as("src"), col("d2").as("dst"))
-          .unionByName(rcand.select(col("d2").as("src"), col("d1").as("dst")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val hasBands = rb.select("doc_id").distinct()
-        .select(col("doc_id").as("rep"), lit(1).as("hb"))
-      val cross = redges
-        .join(mult.select(col("rep").as("src"), col("m").as("ms")), "src")
-        .groupBy(col("dst").as("rep")).agg(sum("ms").as("cd"))
-      val nodes = graft.util.PersistScope.track(mult
-        .join(broadcast(cross), Seq("rep"), "left")
-        .join(broadcast(hasBands), Seq("rep"), "left")
-        .select(col("rep"), col("m"),
-          (coalesce(col("cd"), lit(0L)) +
-            when(col("hb").isNotNull, col("m") - 1).otherwise(lit(0L))).as("deg"),
-          when(col("hb").isNotNull, col("m") - 1).otherwise(lit(0L)).as("sd"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nRow = t(s, d, "documents").agg(count(lit(1)).as("n"))
-      // One damped power iteration in exact int64 fixed point over reps:
-      // per-edge share = s div d (truncating integer division — Spark's
-      // `div`, DuckDB's `//`, identical on non-negatives), multiplicity-
-      // weighted dst-keyed integer sum, then
-      // r' = (15·(S div n)) div 100 + (85·in) div 100.
-      def step(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val shares = r.select(col("rep"), col("m"), col("deg"), col("sd"),
-          when(col("deg") > 0, expr("r div deg")).otherwise(lit(0L)).as("share"))
-        val contrib = redges
-          .join(shares.select(col("rep").as("src"), col("m").as("ms"),
-            col("share").as("sshare")), "src")
-          .select(col("dst").as("rep"), (col("ms") * col("sshare")).as("w"))
-          .groupBy("rep").agg(sum("w").as("cin"))
-        shares
-          .join(contrib, Seq("rep"), "left")
-          .crossJoin(broadcast(nRow))
-          .select(col("rep"), col("m"), col("deg"), col("sd"),
-            expr(s"(15 * ($S div n)) div 100" +
-              " + (85 * (coalesce(cin, CAST(0 AS BIGINT)) + sd * share)) div 100")
-              .as("r"))
-      }
-      val r0 = nodes.crossJoin(broadcast(nRow))
-        .select(col("rep"), col("m"), col("deg"), col("sd"), expr(s"$S div n").as("r"))
-      val rF = (1 to Iters).foldLeft(r0)((r, _) => step(r))
-      rm.join(rF.select("rep", "deg", "r"), "rep")
-        .select(col("doc_id"), col("deg").cast("long").as("degree"),
-          col("r").cast("long").as("pr_fp"))
+      // set quadratically in multiplicity). The UNCHANGED doc-space
+      // oracle is the bitwise proof. Shared with x120 — see
+      // [[pagerankScores]].
+      pagerankScores(s, d)
+    },
+
+    // Canonical-document selection (x120) — the composition the dedup
+    // pipeline actually ships: per near-dup CLUSTER (the x21 verified
+    // components), keep the member with the highest PageRank authority
+    // (x115) — "the version the most variants derive from" — with a
+    // deterministic (score desc, doc_id) tie-break. Min-id selection
+    // (x53's representative rule) keeps an arbitrary member; this keeps
+    // the hub. Output: one row per cluster with its size, the canonical
+    // doc, and its score. Scale: both inputs are shared/rep-collapsed
+    // stages; the selection itself is one window over cluster-sized
+    // groups of the (doc, score) join.
+    QueryDef("x120_canonical_docs",
+      s"""WITH RECURSIVE ${OpsQueries.componentsCteOver("documents")},
+          psym AS (SELECT d1 AS src, d2 AS dst FROM cand
+                   UNION ALL SELECT d2, d1 FROM cand),
+          pdeg AS (SELECT src, count(*) AS deg FROM psym GROUP BY 1),
+          pnodes AS (SELECT d.doc_id, coalesce(g.deg, 0) AS deg
+                     FROM documents d LEFT JOIN pdeg g ON g.src = d.doc_id),
+          pc AS (SELECT count(*) AS n FROM documents),
+          pr0 AS (SELECT doc_id, deg, $S // (SELECT n FROM pc) AS r FROM pnodes),
+          pi1 AS (SELECT n.doc_id, n.deg,
+               (15 * ($S // (SELECT n FROM pc))) // 100
+                 + (85 * coalesce(sum(p.r // p.deg), 0)) // 100 AS r
+             FROM pr0 n LEFT JOIN psym e ON e.dst = n.doc_id
+             LEFT JOIN pr0 p ON p.doc_id = e.src
+             GROUP BY 1, 2),
+          pi2 AS (SELECT n.doc_id, n.deg,
+               (15 * ($S // (SELECT n FROM pc))) // 100
+                 + (85 * coalesce(sum(p.r // p.deg), 0)) // 100 AS r
+             FROM pi1 n LEFT JOIN psym e ON e.dst = n.doc_id
+             LEFT JOIN pi1 p ON p.doc_id = e.src
+             GROUP BY 1, 2),
+          pi3 AS (SELECT n.doc_id, n.deg,
+               (15 * ($S // (SELECT n FROM pc))) // 100
+                 + (85 * coalesce(sum(p.r // p.deg), 0)) // 100 AS r
+             FROM pi2 n LEFT JOIN psym e ON e.dst = n.doc_id
+             LEFT JOIN pi2 p ON p.doc_id = e.src
+             GROUP BY 1, 2),
+          sized AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+          scored AS (SELECT l.cluster_id, l.doc_id, p.r FROM lab l
+               JOIN pi3 p USING (doc_id)),
+          rep AS (SELECT cluster_id, doc_id AS canonical_doc_id, r AS canonical_pr_fp
+             FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY r DESC, doc_id) AS rn FROM scored) WHERE rn = 1)
+          SELECT r.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+            r.canonical_doc_id, CAST(r.canonical_pr_fp AS BIGINT) AS canonical_pr_fp
+          FROM rep r JOIN sized s USING (cluster_id)""") { (s, d) =>
+      val lab = OpsQueries.sharedComponents(s, d)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val scored = lab.join(pagerankScores(s, d).select("doc_id", "pr_fp"), "doc_id")
+      val rw = Window.partitionBy("cluster_id")
+        .orderBy(col("pr_fp").desc, col("doc_id"))
+      val rep = scored.withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+      val sized = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      rep.join(sized, "cluster_id")
+        .select(col("cluster_id"), col("cluster_size").cast("long").as("cluster_size"),
+          col("doc_id").as("canonical_doc_id"),
+          col("pr_fp").cast("long").as("canonical_pr_fp"))
     }
   )
 }

@@ -209,6 +209,73 @@ object RetrievalQueries {
         .select(col("ord").cast("long").as("ord"), col("bucket"),
           coalesce(col("n_docs"), lit(0L)).cast("long").as("n_docs"),
           coalesce(col("max_degree"), lit(0L)).cast("long").as("max_degree"))
+    },
+
+    // Neyman-optimal stratified allocation (x121) — the statistically
+    // optimal upgrade of x19's proportional split: a fixed sample budget
+    // (B=1000) is allocated across source strata ∝ N_h·S_h (population ×
+    // within-stratum std-dev of doc length), which minimizes the sampling
+    // variance of the corpus-mean estimate (Neyman 1934). Zero-variance
+    // strata correctly get nothing. Determinism: N²·Var = N·Σx²−(Σx)² is
+    // computed in decimal(38,0)/HUGEINT (exact at any corpus scale — the
+    // x88 lesson), its correctly-rounded double sqrt snaps to 1e-3 fixed
+    // point, and the allocation is pure integer floor-division plus
+    // largest-remainder seats with a (remainder desc, source) tie-break —
+    // bitwise identical in both engines. Scale: one map-side-combined
+    // groupBy to the strata frame; everything after runs on |strata| rows.
+    QueryDef("x121_neyman_allocation",
+      """WITH st AS (SELECT source, count(*) AS nh,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+             FROM documents GROUP BY 1),
+          w AS (SELECT source, nh, sx,
+               CAST(floor(sqrt((nh::HUGEINT * sx2::HUGEINT
+                   - sx::HUGEINT * sx::HUGEINT)::DOUBLE) * 1000 + 0.5) AS BIGINT) AS wfp
+             FROM st),
+          tw AS (SELECT sum(wfp) AS totw FROM w),
+          fl AS (SELECT source, nh, sx, wfp,
+               CASE WHEN (SELECT totw FROM tw) > 0
+                 THEN (1000 * wfp) // (SELECT totw FROM tw) END AS fa,
+               CASE WHEN (SELECT totw FROM tw) > 0
+                 THEN (1000 * wfp) % (SELECT totw FROM tw) END AS rem
+             FROM w),
+          sr AS (SELECT sum(fa) AS sfa FROM fl),
+          rk AS (SELECT source, row_number() OVER (ORDER BY rem DESC, source) AS rn
+             FROM fl WHERE rem IS NOT NULL)
+          SELECT f.source, CAST(f.nh AS BIGINT) AS n_docs,
+            (2 * f.sx + f.nh) // (2 * f.nh) AS mean_chars,
+            round(f.wfp / 1000.0, 3) AS neyman_w,
+            CASE WHEN f.fa IS NOT NULL THEN f.fa
+              + CASE WHEN rk.rn <= 1000 - (SELECT sfa FROM sr) THEN 1 ELSE 0 END END
+              AS alloc
+          FROM fl f LEFT JOIN rk USING (source)""") { (s, d) =>
+      val st = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("nh"),
+          sum("n_chars").cast("long").as("sx"),
+          sum(col("n_chars") * col("n_chars")).cast("long").as("sx2"))
+      val dec = "decimal(38,0)"
+      val w = st.select(col("source"), col("nh"), col("sx"),
+        floor(sqrt((col("nh").cast(dec) * col("sx2").cast(dec)
+            - col("sx").cast(dec) * col("sx").cast(dec)).cast("double")) * 1000 + 0.5)
+          .cast("long").as("wfp"))
+      val tw = w.agg(sum("wfp").as("totw"))
+      val fl = w.crossJoin(broadcast(tw))
+        .select(col("source"), col("nh"), col("sx"), col("wfp"),
+          when(col("totw") > 0, expr("(1000 * wfp) div totw")).as("fa"),
+          when(col("totw") > 0, pmod(col("wfp") * 1000, col("totw"))).as("rem"))
+      val sr = fl.agg(sum("fa").as("sfa"))
+      val rk = fl.filter(col("rem").isNotNull)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select("source", "rn")
+      fl.join(broadcast(rk), Seq("source"), "left")
+        .crossJoin(broadcast(sr))
+        .select(col("source"), col("nh").cast("long").as("n_docs"),
+          expr("(2 * sx + nh) div (2 * nh)").as("mean_chars"),
+          round(col("wfp") / 1000.0, 3).as("neyman_w"),
+          when(col("fa").isNotNull,
+            col("fa") + when(col("rn") <= lit(1000) - col("sfa"), 1).otherwise(0))
+            .cast("long").as("alloc"))
     }
   )
 }

@@ -143,6 +143,36 @@ class GraphQueriesSpec extends SparkSpec {
     (12L to 15L).foreach(id => assert(got(id) == ((yErr, true)), s"vec $id drifted"))
   }
 
+  test("x120 canonical docs: equal-score clique tie-breaks to min id; sizes exact") {
+    import spark.implicits._
+    // one exact-clone triple (a verified component via rep stars); all
+    // three share one PageRank score, so the canonical is the min id.
+    val clone = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(1L -> clone, 2L -> clone, 3L -> clone,
+      9L -> "totally unrelated text about lighthouse maintenance schedules")
+    val dir = tmpDir("canonical")
+    docs.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x120_canonical_docs")(spark, dir).collect()
+    assert(got.length == 1) // the loner forms no component
+    val r = got.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 250000000000L) // the stationary clique score
+  }
+
+  test("x120 organic: the canonical is its cluster's PageRank argmax") {
+    val sf = "/root/testdata/sf0.001"
+    val pr = SparkEntry.queries("x115_dedup_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val canon = SparkEntry.queries("x120_canonical_docs")(spark, sf).collect()
+    assert(canon.nonEmpty)
+    canon.foreach { r =>
+      assert(r.getLong(3) == pr(r.getLong(2)),
+        "reported score matches x115 for the canonical doc")
+    }
+  }
+
   test("x117 organic: training slice is the baseline with ratio 1") {
     val rows = SparkEntry.queries("x117_codebook_drift")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r).toMap

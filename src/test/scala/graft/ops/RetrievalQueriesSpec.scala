@@ -59,6 +59,37 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(forQ0.forall(_.getDouble(3) > 0.0))
   }
 
+  test("x121 Neyman: allocation proportional to N·S, zero-variance stratum gets nothing") {
+    import spark.implicits._
+    // A: lengths {10,10,20,20} -> N²Var = 400, N·S = 20 -> w 20.0
+    // B: constant 15        -> N·S = 0  -> alloc 0 (Neyman's point)
+    // C: lengths {0,30}     -> N²Var = 900, N·S = 30 -> w 30.0
+    // budget 1000 splits 400/0/600 with no remainder seats.
+    val rows = Seq(
+      (1L, "a", "A", 10L), (2L, "a", "A", 10L), (3L, "a", "A", 20L), (4L, "a", "A", 20L),
+      (5L, "a", "B", 15L), (6L, "a", "B", 15L), (7L, "a", "B", 15L), (8L, "a", "B", 15L),
+      (9L, "a", "C", 0L), (10L, "a", "C", 30L))
+    val dir = tmpDir("neyman")
+    rows.map { case (id, tx, src, nc) => (id, tx, "en", src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x121_neyman_allocation")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got("A") == ((4L, 15L, 20.0, 400L)))
+    assert(got("B") == ((4L, 15L, 0.0, 0L)))
+    assert(got("C") == ((2L, 15L, 30.0, 600L)))
+  }
+
+  test("x121 organic: allocations are non-negative and sum exactly to the budget") {
+    val rows = SparkEntry.queries("x121_neyman_allocation")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(4) || r.getLong(4) >= 0L))
+    if (rows.forall(!_.isNullAt(4)))
+      assert(rows.map(_.getLong(4)).sum == 1000L, "largest-remainder seats close the budget")
+  }
+
   test("x111 candidate degree: clone triple lands in bucket 2, loner in bucket 0") {
     val clone = "alpha beta gamma delta epsilon zeta eta theta"
     val dir = tmpDir("degree")
