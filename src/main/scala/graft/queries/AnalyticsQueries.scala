@@ -273,6 +273,85 @@ object AnalyticsQueries {
             expr("(2 * sg + n) div (2 * n)").cast("long")).as("mean_gap_s"))
     },
 
+    // JSON-props schema drift (x122) — the ingestion data-quality audit a
+    // changelog consumer runs before trusting event payloads: per (day,
+    // json key): how many events carry the key, the day's event total,
+    // the presence fraction, and whether this is the key's FIRST day (a
+    // new-key alert). Producers add/drop payload fields without notice;
+    // this is the view that catches it. Scale: keys explode from each
+    // event's own payload (no schema registry needed), the (day, key)
+    // aggregate is map-side combined, and the first-day window runs on
+    // the days×keys frame — the corpus is touched once.
+    QueryDef("x122_props_schema_drift",
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, props
+             FROM events),
+          k AS (SELECT day, unnest(json_keys(props)) AS key FROM d),
+          pk AS (SELECT day, key, count(*) AS n FROM k GROUP BY 1, 2),
+          dn AS (SELECT day, count(*) AS nd FROM d GROUP BY 1)
+          SELECT pk.day, pk.key, CAST(pk.n AS BIGINT) AS n_present,
+            CAST(dn.nd AS BIGINT) AS n_events,
+            round(pk.n::DOUBLE / dn.nd, 6) AS presence,
+            min(pk.day) OVER (PARTITION BY pk.key) = pk.day AS first_day
+          FROM pk JOIN dn USING (day)""") { (s, d) =>
+      val ev = QueryDef.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("props"))
+      val k = ev.select(col("day"),
+        explode(map_keys(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))).as("key"))
+      val pk = k.groupBy("day", "key").agg(count(lit(1)).as("n"))
+      val dn = ev.groupBy("day").agg(count(lit(1)).as("nd"))
+      pk.join(broadcast(dn), "day")
+        .withColumn("fd", min("day").over(Window.partitionBy("key")))
+        .select(col("day"), col("key"), col("n").cast("long").as("n_present"),
+          col("nd").cast("long").as("n_events"),
+          round(col("n").cast("double") / col("nd"), 6).as("presence"),
+          (col("fd") === col("day")).as("first_day"))
+    },
+
+    // Event-order audit (x123) — the out-of-order-arrival measurement that
+    // decides streaming watermark horizons (and validates s21's in-order
+    // contract): treating event_id as arrival order, an event is LATE when
+    // its event time precedes the max event time already seen for that
+    // user. One summary row: late count/fraction, the worst lateness in
+    // floor-seconds (exact micros arithmetic), and how many users are
+    // affected. Scale: one user-partitioned running-max window — the same
+    // single exchange every events-family query pays; output is one row.
+    QueryDef("x123_event_order_audit",
+      """WITH o AS (SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             FROM events),
+          l AS (SELECT user_id,
+               CASE WHEN pm IS NOT NULL AND ts < pm THEN 1 ELSE 0 END AS late,
+               CASE WHEN pm IS NOT NULL AND ts < pm
+                 THEN (epoch_us(pm) - epoch_us(ts)) // 1000000 ELSE 0 END AS delay
+             FROM o)
+          SELECT CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(late) AS BIGINT) AS n_late,
+            round(sum(late)::DOUBLE / count(*), 6) AS late_frac,
+            CAST(max(delay) AS BIGINT) AS max_delay_s,
+            CAST(count(DISTINCT CASE WHEN late = 1 THEN user_id END) AS BIGINT)
+              AS n_users_late
+          FROM l""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val o = QueryDef.events(s, d)
+        .withColumn("pm", max("ts").over(w))
+      val late = col("pm").isNotNull && col("ts") < col("pm")
+      val l = o.select(col("user_id"),
+        when(late, 1L).otherwise(0L).as("late"),
+        when(late, expr("(unix_micros(pm) - unix_micros(ts)) div 1000000"))
+          .otherwise(lit(0L)).as("delay"))
+      l.agg(count(lit(1)).cast("long").as("n_events"),
+        sum("late").cast("long").as("n_late"),
+        round(sum("late").cast("double") / count(lit(1)), 6).as("late_frac"),
+        max("delay").cast("long").as("max_delay_s"),
+        countDistinct(when(col("late") === 1, col("user_id"))).cast("long")
+          .as("n_users_late"))
+    },
+
     // Cohort retention matrix (x102) — users cohorted by the ISO week of
     // their FIRST event; each later active week becomes a (cohort_week,
     // week_offset) cell with the user count and the retention fraction vs

@@ -278,6 +278,48 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(got("none") == ((1L, 1.0, -1L))) // no touch, no gap
   }
 
+  test("x122 schema drift: new key flags its first day, dropped key vanishes") {
+    import spark.implicits._
+    val d1 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val d2 = Timestamp.valueOf("2024-01-02 10:00:00")
+    // day 1: keys {a, b}; day 2: key b dropped, key c introduced.
+    val ev = Seq(
+      (1L, d1, 1L, "view", 1.0, """{"a": 1, "b": 2}"""),
+      (2L, d1, 2L, "view", 1.0, """{"a": 3}"""),
+      (3L, d2, 1L, "view", 1.0, """{"a": 4, "c": 5}"""),
+      (4L, d2, 2L, "view", 1.0, """{"c": 6}"""))
+    val dir = tmpDir("drift")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("x122_props_schema_drift")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(("2024-01-01", "a")) == ((2L, 2L, 1.0, true)))
+    assert(got(("2024-01-01", "b")) == ((1L, 2L, 0.5, true)))
+    assert(got(("2024-01-02", "a")) == ((1L, 2L, 0.5, false)))
+    assert(got(("2024-01-02", "c")) == ((2L, 2L, 1.0, true)))
+    assert(!got.contains(("2024-01-02", "b")), "dropped key has no day-2 row")
+  }
+
+  test("x123 order audit: late arrival counted once with exact worst delay") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    // u1 arrives in order; u2's third arrival (event_id 5) carries an event
+    // time 40 s BEFORE the running max -> 1 late event, delay 40.
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(10), 1L, "click", 1.0, "{}"),
+      (3L, ts(0), 2L, "view", 1.0, "{}"), (4L, ts(60), 2L, "click", 1.0, "{}"),
+      (5L, ts(20), 2L, "purchase", 1.0, "{}"))
+    val dir = tmpDir("order")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("x123_event_order_audit")(spark, dir).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 0.2) < 1e-12)
+    assert(r.getLong(3) == 40L && r.getLong(4) == 1L)
+  }
+
   test("organic invariants: funnel monotone, retention bounded with unit diagonal") {
     val funnel = SparkEntry.queries("x101_event_funnel")(spark, sf).collect()
     assert(funnel.length == 3)
