@@ -42,28 +42,27 @@ object GraphQueries {
   private[ops] def pagerankScores(s: SparkSession, d: String): DataFrame = {
     val rm = OpsQueries.sharedRepMapFor(s, d) // (doc_id, rep)
     val mult = rm.groupBy("rep").agg(count(lit(1)).as("m"))
-    val bands = OpsQueries.sharedBandsFor(s, d)
-    val rb = graft.util.PersistScope.track(
-      bands.join(rm.filter(col("doc_id") === col("rep")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val rcand = rb.as("a").join(rb.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    // Shared rep-level band-collision pairs (one band self-join per pass,
+    // shared with x03/x64 and the edge consumers).
+    val rcand = OpsQueries.sharedRepCandsFor(s, d)
     // Rep-level symmetric edges, read once per iteration (3×) + degrees.
     val redges = graft.util.PersistScope.track(
       rcand.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(rcand.select(col("d2").as("src"), col("d1").as("dst")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hasBands = rb.select("doc_id").distinct()
+    val hasBands = OpsQueries.sharedBandsFor(s, d).select("doc_id").distinct()
+      .join(rm.filter(col("doc_id") === col("rep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("rep"), lit(1).as("hb"))
     val cross = redges
       .join(mult.select(col("rep").as("src"), col("m").as("ms")), "src")
       .groupBy(col("dst").as("rep")).agg(sum("ms").as("cd"))
+    // `cross` and `hasBands` are rep-count-sized (≈ the deduped corpus) —
+    // never broadcast them; a plain shuffle join on `rep` is the scale-safe
+    // shape (round-10 verdict: a rep-sized broadcast OOMs at 100×).
     val nodes = graft.util.PersistScope.track(mult
-      .join(broadcast(cross), Seq("rep"), "left")
-      .join(broadcast(hasBands), Seq("rep"), "left")
+      .join(cross, Seq("rep"), "left")
+      .join(hasBands, Seq("rep"), "left")
       .select(col("rep"), col("m"),
         (coalesce(col("cd"), lit(0L)) +
           when(col("hb").isNotNull, col("m") - 1).otherwise(lit(0L))).as("deg"),

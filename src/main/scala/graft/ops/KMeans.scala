@@ -97,7 +97,9 @@ object KMeans {
         graft.util.PersistScope.track(
           qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else qb
-    val init = qbP.filter(col(idCol) < k)
+    // limit(k): no-op on the id-predicate seed set, makes the k-bound
+    // machine-visible (maxRows) to PlanGuard's corpus-lineage check.
+    val init = qbP.filter(col(idCol) < k).limit(k)
       .select(col(idCol).as("cid"), transform(col(qvCol), v => v.cast("double")).as("ce"))
     var assigned = assignOnce(qbP, idCol, qvCol, toArr(init))
     for (_ <- 2 to iters) {
@@ -149,7 +151,9 @@ object KMeans {
         graft.util.PersistScope.track(
           qb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else qb
-    val init = qbP.filter(col(idCol) < k)
+    // limit(k): no-op on the id-predicate seed set, makes the k-bound
+    // machine-visible (maxRows) to PlanGuard's corpus-lineage check.
+    val init = qbP.filter(col(idCol) < k).limit(k)
       .select(col(idCol).as("cid"), transform(col(qvCol), v => v.cast("double")).as("ce"))
     var cents = init
     // Cumulative (cid, pos) -> (Σv, Σ1) exact integer stats across batches;

@@ -37,7 +37,15 @@ object PqQueries {
   private val M = 4          // subspaces
   private val SubDim = 16    // dims per subspace (64 / M)
   private val K = 16         // centroids per subspace codebook
-  private val QMod = 101     // query set: vec_id % QMod == 0
+  private val QMod = 101     // query set: vec_id % QMod == 0 AND vec_id < QCap
+  // Query-set CAP: a production search workload is external and fixed-size —
+  // it does not grow because the indexed corpus grew. Without the cap the
+  // derived query set (and every |Q|-sized broadcast downstream: LUTs, top-k,
+  // probes) scales linearly with the corpus — the class the 10× stress
+  // caught in x110 (r10). 2048 binds at sf0.1 (21 queries vs 50 uncapped),
+  // so the capped path is the tested path.
+  private val QCap = 2048
+  private val QMax = 1 + (QCap - 1) / QMod // |query ids| = 21; limit() carries it into maxRows
   private val TopN = 10
   private val Fp = 1000000.0 // 1e6 fixed-point scale for sub-distances
 
@@ -90,7 +98,9 @@ object PqQueries {
   private[ops] def sharedCodebooks(s: SparkSession, d: String): DataFrame =
     graft.util.SharedStages.cached(s"pq-codebooks|$d|${System.identityHashCode(s)}") {
       val sv = subCodes(s, d)
-      val init = sv.filter(col("vec_id") < K)
+      // limit(K·M): no-op on the id-predicate seed rows (K vec_ids × M
+      // subspaces), makes the bound machine-visible to PlanGuard.
+      val init = sv.filter(col("vec_id") < K).limit(K * M)
         .select(col("sub"), col("vec_id").as("cid"),
           transform(col("sq"), v => v.cast("double")).as("ce"))
       update(assignOnce(sv, init))
@@ -278,7 +288,7 @@ object PqQueries {
     // code frame joins it on (sub, cid) — corpus touched once.
     QueryDef("x113_pq_adc_search",
       s"""WITH $PqCte,
-          q AS (SELECT vec_id AS qid, sub, sq FROM sv WHERE vec_id % $QMod = 0),
+          q AS (SELECT vec_id AS qid, sub, sq FROM sv WHERE vec_id % $QMod = 0 AND vec_id < $QCap),
           lut AS (SELECT q.qid, c.sub, c.cid,
                CAST(floor(${bD2("q.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS ld
              FROM q JOIN c1 c USING (sub)),
@@ -300,7 +310,8 @@ object PqQueries {
             round(adc / ${Fp}, 6) AS adc_dist2, exact_d2
           FROM ex""") { (s, d) =>
       val codes = sharedPqCodes(s, d)
-      val q = codes.filter(col("vec_id") % QMod === 0)
+      val q = codes.filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
+        .limit(QMax * M) // no-op on the predicate rows; PlanGuard-visible bound
         .select(col("vec_id").as("qid"), col("sub"), col("sq"))
       val lut = q.join(broadcast(sharedCodebooks(s, d)), "sub")
         .select(col("qid"), col("sub"), col("cid"),
@@ -343,7 +354,7 @@ object PqQueries {
                SELECT cid, pos, sum(qv[pos])::DOUBLE / count(*) AS val
                FROM a2, (SELECT unnest(generate_series(1, 64)) AS pos)
                GROUP BY 1, 2) GROUP BY 1),
-          q AS (SELECT vec_id AS qid, qv FROM qb WHERE vec_id % $QMod = 0),
+          q AS (SELECT vec_id AS qid, qv FROM qb WHERE vec_id % $QMod = 0 AND vec_id < $QCap),
           probe AS (SELECT qid, cid FROM (
                SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
                    ORDER BY list_sum(list_transform(generate_series(1, 64),
@@ -352,7 +363,7 @@ object PqQueries {
                FROM q CROSS JOIN ccent c) WHERE rn <= 2),
           cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN a2 a ON a.cid = p.cid
                WHERE a.vec_id <> p.qid),
-          qpq AS (SELECT vec_id AS qid, sub, sq FROM psv WHERE vec_id % $QMod = 0),
+          qpq AS (SELECT vec_id AS qid, sub, sq FROM psv WHERE vec_id % $QMod = 0 AND vec_id < $QCap),
           lut AS (SELECT qpq.qid, c.sub, c.cid,
                CAST(floor(${bD2("qpq.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS ld
              FROM qpq JOIN pc1 c USING (sub)),
@@ -391,7 +402,9 @@ object PqQueries {
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
           (col("sv").cast("double") / col("n")).as("val")))).as("pv"))
         .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
-      val q = ClusterQueries.sharedInt8(s, d).filter(col("vec_id") % QMod === 0)
+      val q = ClusterQueries.sharedInt8(s, d)
+        .filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
+        .limit(QMax) // no-op on the predicate rows; PlanGuard-visible bound
         .select(col("vec_id").as("qid"), col("qv"))
       val d2full = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
         aggregate(zip_with(a, b, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
@@ -403,7 +416,9 @@ object PqQueries {
         .select("qid", "cid")
       val cand = asg.select("vec_id", "cid").join(broadcast(probe), "cid")
         .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
-      val qpq = sharedPqCodes(s, d).filter(col("vec_id") % QMod === 0)
+      val qpq = sharedPqCodes(s, d)
+        .filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
+        .limit(QMax * M) // no-op on the predicate rows; PlanGuard-visible bound
         .select(col("vec_id").as("qid"), col("sub"), col("sq"))
       val lut = qpq.join(broadcast(sharedCodebooks(s, d)), "sub")
         .select(col("qid"), col("sub"), col("cid"),

@@ -128,8 +128,11 @@ object RetrievalQueries {
       val nt = t(s, d, "documents").agg(count(lit(1)).as("n"))
         .crossJoin(wc.agg(sum("c").cast("long").as("tt")))
       val rw = Window.partitionBy("doc_id").orderBy(col("c").desc, col("token"))
+      // limit(88): no-op on the ≤11 query docs × 8 tokens the predicates
+      // admit; makes the bound machine-visible to PlanGuard's check.
       val q = wc.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000)
         .withColumn("r", row_number().over(rw)).filter(col("r") <= 8)
+        .limit(88)
         .select(col("doc_id").as("qid"), col("token"))
       val dfq = wc.join(broadcast(q.select("token").distinct()), "token")
         .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
@@ -234,20 +237,20 @@ object RetrievalQueries {
              FROM st),
           tw AS (SELECT sum(wfp) AS totw FROM w),
           fl AS (SELECT source, nh, sx, wfp,
-               CASE WHEN (SELECT totw FROM tw) > 0
-                 THEN (1000 * wfp) // (SELECT totw FROM tw) END AS fa,
-               CASE WHEN (SELECT totw FROM tw) > 0
-                 THEN (1000 * wfp) % (SELECT totw FROM tw) END AS rem
+               CAST(CASE WHEN (SELECT totw FROM tw) > 0
+                 THEN (1000 * wfp) // (SELECT totw FROM tw) END AS BIGINT) AS fa,
+               CAST(CASE WHEN (SELECT totw FROM tw) > 0
+                 THEN (1000 * wfp) % (SELECT totw FROM tw) END AS BIGINT) AS rem
              FROM w),
-          sr AS (SELECT sum(fa) AS sfa FROM fl),
+          sr AS (SELECT CAST(sum(fa) AS BIGINT) AS sfa FROM fl),
           rk AS (SELECT source, row_number() OVER (ORDER BY rem DESC, source) AS rn
              FROM fl WHERE rem IS NOT NULL)
           SELECT f.source, CAST(f.nh AS BIGINT) AS n_docs,
-            (2 * f.sx + f.nh) // (2 * f.nh) AS mean_chars,
+            CAST((2 * f.sx + f.nh) // (2 * f.nh) AS BIGINT) AS mean_chars,
             round(f.wfp / 1000.0, 3) AS neyman_w,
-            CASE WHEN f.fa IS NOT NULL THEN f.fa
+            CAST(CASE WHEN f.fa IS NOT NULL THEN f.fa
               + CASE WHEN rk.rn <= 1000 - (SELECT sfa FROM sr) THEN 1 ELSE 0 END END
-              AS alloc
+              AS BIGINT) AS alloc
           FROM fl f LEFT JOIN rk USING (source)""") { (s, d) =>
       val st = t(s, d, "documents").groupBy("source")
         .agg(count(lit(1)).as("nh"),

@@ -521,8 +521,8 @@ object AnalyticsQueries {
     // session frame, then everything runs on value-distinct frames.
     QueryDef("x105_session_stats",
       """WITH lab AS (SELECT user_id, ts, event_id,
-               CASE WHEN epoch(ts) - lag(epoch(ts))
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                  THEN 1 ELSE 0 END AS is_new
              FROM events),
           sess AS (SELECT user_id,
@@ -553,10 +553,15 @@ object AnalyticsQueries {
       val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val wCum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
+      // Gap test in EXACT MICROS on both sides (oracle epoch_us): fixtures
+      // carry microsecond-precision ts, so a floor-second gap test would
+      // diverge from the oracle on true gaps in (1800, 1801) s. Durations
+      // stay floor-second (matching the oracle's date_diff('second')).
       val sess = QueryDef.events(s, d)
         .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("em", unix_micros(col("ts")))
         .withColumn("is_new",
-          when(col("es") - lag(col("es"), 1).over(wOrd) > 1800, 1).otherwise(0))
+          when(col("em") - lag(col("em"), 1).over(wOrd) > 1800000000L, 1).otherwise(0))
         .withColumn("sid", sum("is_new").over(wCum))
         .groupBy("user_id", "sid")
         .agg((max("es") - min("es")).as("dur"), count(lit(1)).as("ne"))

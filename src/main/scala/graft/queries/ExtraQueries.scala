@@ -211,7 +211,7 @@ object ExtraQueries {
     QueryDef("s02_stream_sessionize",
       """SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
            FROM events) GROUP BY user_id""") { (s, d) =>
       val name = "s02_sink_" + math.abs(d.hashCode).toString

@@ -61,16 +61,17 @@ object RelationalQueries {
          WHERE c.c_mktsegment = 'BUILDING'
          GROUP BY o.o_orderkey, o.o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, d) =>
-      // Only the filtered customer key set is broadcast (a true dimension
-      // reduction); the orders-derived side stays a shuffle equi-join with
-      // lineitem — orders grows with the fact data, so pinning it into a
-      // broadcast would OOM the driver at 100× scale. AQE is free to
-      // broadcast it at small SFs where it measures under the threshold.
+      // No broadcast HINT anywhere: the segment-filtered customer set is a
+      // CONSTANT FRACTION of a corpus-scaling table (~1/5 of all customers),
+      // not a true dimension reduction — pinning it into a broadcast OOMs
+      // at 100× (the r10 pagerankScores lesson, generalized by PlanGuard's
+      // corpus-lineage check). All joins are equi-joins; AQE broadcasts at
+      // runtime wherever the measured build side is actually small.
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
       val l = t(s, d, "lineitem").select(col("l_orderkey"),
         (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_c"))
-      val oFiltered = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val oFiltered = o.join(c, o("o_custkey") === c("c_custkey"))
         .select("o_orderkey", "o_orderpriority")
       l.join(oFiltered, l("l_orderkey") === oFiltered("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
@@ -186,16 +187,19 @@ object RelationalQueries {
     },
 
     // Sessionization: 30-minute inactivity gap, via lag + running sum windows.
+    // The gap compares in EXACT MICROS on both sides (unix_micros vs
+    // epoch_us): fixtures carry microsecond ts, so floor-second diffs would
+    // mislabel true gaps in (1800, 1801) s relative to the oracle.
     QueryDef("q11_sessionize",
       """SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
            SELECT user_id,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
            FROM events) GROUP BY user_id""") { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       QueryDef.events(s, d)
-        .withColumn("gap", unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w))
-        .withColumn("is_new", when(col("gap") > 1800, 1).otherwise(0))
+        .withColumn("gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("is_new", when(col("gap") > 1800000000L, 1).otherwise(0))
         .groupBy("user_id")
         .agg((lit(1) + sum("is_new")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
     },
@@ -302,6 +306,10 @@ object RelationalQueries {
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      // Hints only on the 25-row nation frames: the nation-filtered
+      // supplier/customer sets are constant fractions (2/25) of
+      // corpus-scaling tables — shuffle equi-joins, with AQE free to
+      // broadcast them at runtime when they measure small.
       val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .select("s_suppkey", "supp_nation")
@@ -309,12 +317,12 @@ object RelationalQueries {
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
         .select("c_custkey", "cust_nation")
       val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "cust_nation")
       val l = t(s, d, "lineitem").select(col("l_suppkey"), col("l_orderkey"),
         year(col("l_shipdate")).cast("int").as("l_year"),
         (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("vol_c"))
-      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
           || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))

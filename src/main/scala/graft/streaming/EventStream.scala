@@ -363,8 +363,8 @@ object EventStream {
       if (evictAfterGap) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     // The event-time column must reach the stateful operator with its
     // watermark tag intact (EventTimeTimeout is rejected otherwise), so `ts`
-    // is carried as a timestamp and floored to seconds inside the fold.
-    // State carries a GENERATION key (the first event second the state saw):
+    // is carried as a timestamp and converted to exact micros inside the fold.
+    // State carries a GENERATION key (the first event micros the state saw):
     // eviction removes a user's state, and later events start a FRESH state
     // whose running totals restart from zero — emissions from different
     // generations must never be max-merged, they are partials to SUM (found
@@ -372,7 +372,7 @@ object EventStream {
     // can never span generations: eviction requires the watermark to pass
     // max(end)+gap, so every pre-eviction interval is final and later
     // events open genuinely new sessions. Generation keys are distinct per
-    // user because each new generation starts at an event second strictly
+    // user because each new generation starts at an event time strictly
     // beyond the watermark that killed the previous one.
     src.select(col("user_id").cast("long"), col("ts"), col("event_id").cast("long"))
       .as[(Long, java.sql.Timestamp, Long)]
@@ -391,16 +391,20 @@ object EventStream {
           } else {
             var (ivs, nEv, gen) = state.getOption.getOrElse((Seq.empty[(Long, Long)], 0L, -1L))
             var any = false
+            val gapUs = gapSeconds * 1000000L
             rows.foreach { case (_, ts, _) =>
               any = true
               nEv += 1
-              val sec = Math.floorDiv(ts.getTime, 1000L) // == unix_timestamp(ts)
-              if (gen == -1L) gen = sec
+              // Exact micros (== unix_micros(ts), the batch q11 gap unit):
+              // floor-second state would split/merge differently from the
+              // oracle on true gaps in (gap, gap+1) s with sub-second ts.
+              val us = Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+              if (gen == -1L) gen = us
               val (touch, rest) = ivs.partition { case (s0, e0) =>
-                sec >= s0 - gapSeconds && sec <= e0 + gapSeconds
+                us >= s0 - gapUs && us <= e0 + gapUs
               }
-              val lo = (sec +: touch.map(_._1)).min
-              val hi = (sec +: touch.map(_._2)).max
+              val lo = (us +: touch.map(_._1)).min
+              val hi = (us +: touch.map(_._2)).max
               ivs = (lo, hi) +: rest
             }
             if (!any) Iterator.empty
@@ -408,9 +412,10 @@ object EventStream {
               state.update((ivs, nEv, gen))
               if (evictAfterGap) {
                 // Evict when the watermark proves no event can extend any
-                // interval: max session end + gap. Must stay strictly above
-                // the current watermark or Spark rejects the timestamp.
-                val target = (ivs.map(_._2).max + gapSeconds) * 1000L
+                // interval: max session end + gap (micros → ceil ms, so the
+                // timeout never fires a micro-instant early). Must stay
+                // strictly above the current watermark or Spark rejects it.
+                val target = Math.floorDiv(ivs.map(_._2).max + gapSeconds * 1000000L + 999L, 1000L)
                 state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
               }
               Iterator((user, gen, ivs.size.toLong, nEv))

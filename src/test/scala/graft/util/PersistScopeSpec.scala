@@ -25,11 +25,12 @@ class PersistScopeSpec extends SparkSpec {
       assert(df.count() >= 0)
       PersistScope.releaseAll()
     }
-    // The band/shingle frames are SHARED stages: they deliberately survive
-    // per-query release (x02/x21 reuse them) and x03+x05 register exactly
-    // bands+shingles between them...
-    assert(SharedStages.size == sharedBefore + 2,
-      s"expected bands+shingles as new shared stages, size=${SharedStages.size}")
+    // The band/shingle/rep frames are SHARED stages: they deliberately
+    // survive per-query release (x02/x21/x115 reuse them) and the
+    // rep-collapsed x03+x05 register exactly bands+shingles+repmap+repcands
+    // between them...
+    assert(SharedStages.size == sharedBefore + 4,
+      s"expected bands+shingles+repmap+repcands as new shared stages, size=${SharedStages.size}")
     // ...until the end-of-pass release, which must drop every block.
     SharedStages.releaseAll()
     val leaked = persistedIds -- baseline

@@ -64,6 +64,17 @@ def main():
             if a.dtype.kind in "iu" and b.dtype.kind in "iu":
                 return np.array_equal(a.to_numpy(dtype="int64"), b.to_numpy(dtype="int64"))
             return a.equals(b)
+        # The driver's hash serializes by TYPE, not just value: a DuckDB
+        # HUGEINT (from sum()/`//` promotion, surfacing here as float64 or
+        # object) vs a Spark BIGINT hash-mismatches even when values agree
+        # (round-10 x121 lesson). Flag kind drift as a hard failure.
+        kind_drift = [c for c in g.columns
+                      if (g[c].dtype.kind in "iu") != (x[c].dtype.kind in "iu")
+                      or (g[c].dtype.kind == "f") != (x[c].dtype.kind == "f")]
+        if kind_drift:
+            print(f"FAIL {name}: dtype-kind drift {[(c, str(g[c].dtype), str(x[c].dtype)) for c in kind_drift]}")
+            n_fail += 1
+            continue
         if all(col_eq(g[c], x[c]) for c in g.columns):
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
