@@ -204,6 +204,116 @@ object GraphQueries {
         .select(col("cluster_id"), col("cluster_size").cast("long").as("cluster_size"),
           col("doc_id").as("canonical_doc_id"),
           col("pr_fp").cast("long").as("canonical_pr_fp"))
+    },
+
+    // Near-dup pair EDIT-DISTANCE audit (x124) — the character-level read
+    // the shingle-set jaccard can't give: two near-dups with jaccard 0.85
+    // may differ by a navigation header (fine to dedup) or by scattered
+    // token edits throughout (a template family — maybe worth keeping
+    // both). Levenshtein over the verified REP edges (clone-immune by
+    // construction: the kernel is a function of the two texts), with the
+    // texts CAPPED at 500 chars — the O(n·m) DP cell count is bounded at
+    // 250k per pair regardless of document length, the standard prefix
+    // heuristic for dedup audits. Similarity snaps to 1e-6 fixed point by
+    // integer round-half-up (ratio of exact ints — the x108 idiom), so
+    // the emitted double is bit-identical in both engines. Scale shape:
+    // one kernel per rep edge (the LSH-bounded sparse graph), texts reach
+    // the kernel via two doc-keyed equi-joins; nothing quadratic, nothing
+    // broadcast.
+    QueryDef("x124_edit_distance",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*${OpsQueries.BandSize}+1 : band*${OpsQueries.BandSize}+${OpsQueries.BandSize}], ',')) AS band_hash
+            FROM (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${OpsQueries.NumHashes / OpsQueries.BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct(${OpsQueries.ShinglesSql}) AS s FROM documents),
+          rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+          reps AS (SELECT doc_id FROM rm WHERE doc_id = rep),
+          e AS (SELECT p.d1, p.d2 FROM cand p
+            JOIN reps r1 ON r1.doc_id = p.d1 JOIN reps r2 ON r2.doc_id = p.d2
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          x AS (SELECT e.d1, e.d2,
+              CAST(levenshtein(substr(t1.text, 1, 500), substr(t2.text, 1, 500)) AS BIGINT) AS lev,
+              greatest(least(length(t1.text), 500), least(length(t2.text), 500), 1) AS ml
+            FROM e JOIN documents t1 ON t1.doc_id = e.d1
+            JOIN documents t2 ON t2.doc_id = e.d2)
+          SELECT d1, d2, lev AS edit_distance,
+            CAST((2 * (ml - lev) * 1000000 + ml) // (2 * ml) AS BIGINT) / 1000000.0 AS sim
+          FROM x""") { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 500).as("tx"))
+      OpsQueries.sharedRepEdges(s, d)
+        .join(docs.select(col("doc_id").as("d1"), col("tx").as("t1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("tx").as("t2")), "d2")
+        .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
+        .withColumn("ml", greatest(length(col("t1")), length(col("t2")), lit(1)).cast("long"))
+        .select(col("d1"), col("d2"), col("lev").as("edit_distance"),
+          (expr("(2 * (ml - lev) * 1000000 + ml) div (2 * ml)") / 1000000.0).as("sim"))
+    },
+
+    // Dup-cluster COHESION audit (x125) — "is this cluster one document
+    // family or a chain of unrelated texts glued by weak links?": per
+    // transitive near-dup cluster, its size and the mean/min jaccard over
+    // its REP-level verified edges. LSH + transitive closure can chain A-B
+    // (0.8) and B-C (0.8) into one cluster where A-C is unrelated — a low
+    // MIN flags the chain before a canonical-doc collapse (x120) destroys
+    // distinct content. Determinism: each edge's jaccard snaps to 1e-6
+    // fixed point by integer round-half-up from the exact |∩|/|∪| counts,
+    // the per-cluster mean divides the integer SUM once (decimal(38,0) —
+    // immune to float addition order), and min is order-free. Scale shape:
+    // kernels once per rep edge (clone-immune), one cluster-keyed agg over
+    // the sparse edge set, one over the membership frame.
+    QueryDef("x125_cluster_cohesion",
+      s"""WITH RECURSIVE ${OpsQueries.componentsCteOver("documents")},
+          rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+          reps AS (SELECT doc_id FROM rm WHERE doc_id = rep),
+          rj AS (SELECT p.d1, p.d2,
+              (2 * len(list_filter(s1.s, x -> list_contains(s2.s, x)))::BIGINT * 1000000
+                 + greatest(len(list_distinct(s1.s || s2.s)), 1))
+                // (2 * greatest(len(list_distinct(s1.s || s2.s)), 1)) AS jfp
+            FROM cand p
+            JOIN reps r1 ON r1.doc_id = p.d1 JOIN reps r2 ON r2.doc_id = p.d2
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          el AS (SELECT l.cluster_id, rj.jfp FROM rj JOIN lab l ON l.doc_id = rj.d1),
+          ce AS (SELECT cluster_id, count(*) AS n_edges,
+              CAST(sum(jfp) AS BIGINT) AS sj, min(jfp) AS mj
+            FROM el GROUP BY 1),
+          sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)
+          SELECT sz.cluster_id, CAST(sz.n_docs AS BIGINT) AS n_docs,
+            CAST(coalesce(ce.n_edges, 0) AS BIGINT) AS n_rep_edges,
+            CAST((2 * ce.sj + ce.n_edges) // (2 * ce.n_edges) AS BIGINT) / 1000000.0
+              AS mean_jaccard,
+            CAST(ce.mj AS BIGINT) / 1000000.0 AS min_jaccard
+          FROM sz LEFT JOIN ce USING (cluster_id)""") { (s, d) =>
+      val sh = OpsQueries.sharedShinglesFor(s, d)
+      val inter = size(array_intersect(col("s1.s"), col("s2.s"))).cast("long")
+      val uni = greatest(size(array_union(col("s1.s"), col("s2.s"))), lit(1)).cast("long")
+      val rj = OpsQueries.sharedRepCandsFor(s, d)
+        .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("d2") === col("s2.doc_id"))
+        .filter(inter.cast("double") / uni >= 0.8)
+        .withColumn("i", inter).withColumn("u", uni)
+        .select(col("d1"),
+          expr("(2 * i * 1000000 + u) div (2 * u)").cast("long").as("jfp"))
+      val lab = OpsQueries.sharedComponents(s, d)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val el = rj.join(lab.select(col("doc_id").as("d1"), col("cluster_id")), "d1")
+      val ce = el.groupBy("cluster_id").agg(count(lit(1)).as("n_edges"),
+        sum(col("jfp").cast("decimal(38,0)")).cast("long").as("sj"), min("jfp").as("mj"))
+      val sz = lab.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      sz.join(ce, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_docs").cast("long").as("n_docs"),
+          coalesce(col("n_edges"), lit(0L)).cast("long").as("n_rep_edges"),
+          (expr("(2 * sj + n_edges) div (2 * n_edges)") / 1000000.0).as("mean_jaccard"),
+          (col("mj") / 1000000.0).as("min_jaccard"))
     }
   )
 }

@@ -202,7 +202,7 @@ object OpsQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  private def sharedRepEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[ops] def sharedRepEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.util.SharedStages.cached(s"documents-repedges|$d|${System.identityHashCode(s)}") {
       val sh = sharedShingles(s, d)
       sharedRepCands(s, d).join(sh.as("s1"), col("d1") === col("s1.doc_id"))

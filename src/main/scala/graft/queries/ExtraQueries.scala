@@ -226,6 +226,28 @@ object ExtraQueries {
       graft.streaming.EventStream.sessionTotals(q.sparkSession, name)
     },
 
+    // NATIVE session_window streaming aggregation (s23) — the built-in
+    // operator beside s02's custom-state fold: Spark owns the window-merge
+    // state. Boundary semantics differ from s02/q11 BY THE OPERATOR'S
+    // CONTRACT: session_window merges iff the gap-diff is STRICTLY under
+    // the gap, so an exact-30-min gap opens a new session — the oracle's
+    // lag test uses >= where q11's uses >. Single-batch AvailableNow
+    // replay = complete in-batch merge; totals read back per user.
+    QueryDef("s23_stream_session_window",
+      """SELECT user_id, CAST(1 + sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events) GROUP BY user_id""") { (s, d) =>
+      val name = "s23_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runSessionWindow(s, d, name, statePartitions = Some(4))
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      graft.streaming.EventStream.sessionWindowTotals(q.sparkSession, name)
+        .select(col("user_id"), col("n_sessions").cast("long").as("n_sessions"),
+          col("n_events").cast("long").as("n_events"))
+    },
+
     // The exactly-once foreachBatch sink through the correctness gate: the
     // tumbling aggregation streams into the txn-marker parquet sink, and the
     // COMMITTED contents read back must equal the batch oracle — same SQL

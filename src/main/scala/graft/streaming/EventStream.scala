@@ -461,6 +461,44 @@ object EventStream {
       .start()
   }
 
+  /** NATIVE session-window aggregation (s23) — Spark's built-in
+    * `session_window(ts, gap)` operator, the declarative twin of
+    * [[sessionize]]'s custom flatMapGroupsWithState fold: the engine owns
+    * the window-merge state (two events merge iff the later one starts
+    * STRICTLY before the earlier window's end = ts + gap, i.e. gap-diff
+    * < 30 min; an exact-gap event opens a NEW window — note the boundary
+    * differs from q11/s02's `> gap` split, and the oracle encodes `>=`).
+    * Complete mode (the only unwatermarked mode the operator supports) +
+    * AvailableNow replay is the gate shape: the sink holds the full merged
+    * window set. A production unbounded run adds a watermark and append
+    * mode so the state evicts — same plan, different sink contract. State per user is
+    * one row per OPEN window — bounded by concurrent sessions, not event
+    * volume. */
+  def runSessionWindow(spark: SparkSession, dir: String,
+                       queryName: String = "events_session_window",
+                       statePartitions: Option[Int] = None,
+                       glob: String = "events.parquet",
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    readEvents(session, dir, glob, maxFilesPerTrigger)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("w_start"),
+        col("n_events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Per-user totals from the s23 sink: one row per merged window in the
+    * single-batch replay, so sessions = window count, events = their sum. */
+  def sessionWindowTotals(session: SparkSession, sinkTable: String): DataFrame =
+    session.table(sinkTable)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+
   /** Stream-STREAM interval join (click→purchase attribution): purchases
     * matched to same-user clicks with the purchase inside
     * [click, click + windowSeconds]. Both sides carry watermarks and the

@@ -32,6 +32,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("native session_window stream matches the >=-boundary batch form") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.runSessionWindow(spark, sf, "sw_test", statePartitions = Some(4))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    val streamed = EventStream.sessionWindowTotals(q.sparkSession, "sw_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // session_window merges iff gap-diff < gap (strict) — the >= lag test,
+    // NOT q11's > split; the boundary is the operator's contract.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batch = graft.queries.QueryDef.events(spark, sf)
+      .withColumn("em", unix_micros(col("ts")))
+      .withColumn("is_new",
+        when(col("em") - lag(col("em"), 1).over(w) >= 1800000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg((lit(1) + sum("is_new")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionization is correct across multiple out-of-order micro-batches") {
     // Split the events table into 3 files by event_id % 3 — each file holds a
     // time-interleaved slice, so with maxFilesPerTrigger=1 every micro-batch
