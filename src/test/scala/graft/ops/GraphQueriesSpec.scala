@@ -181,4 +181,72 @@ class GraphQueriesSpec extends SparkSpec {
     assert(!base.getBoolean(4), "the training slice never flags against itself")
     rows.values.foreach(r => assert(r.getDouble(2) >= 0.0))
   }
+
+  test("x124 edit distance: one row per rep edge, sim in [0,1], kernel spot-checked") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x124_edit_distance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lev, sim) = (r.getLong(2), r.getDouble(3))
+      assert(lev >= 0 && lev <= 500)
+      assert(sim >= 0.0 && sim <= 1.0)
+    }
+    // spot-check the kernel against a driver-side reference implementation
+    val first = rows.minBy(r => (r.getLong(0), r.getLong(1)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def levRef(a: String, b: String): Int = {
+      val (x, y) = (a.take(500), b.take(500))
+      val dp = Array.tabulate(y.length + 1)(identity)
+      for (i <- 1 to x.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to y.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(y.length)
+    }
+    assert(first.getLong(2) ==
+      levRef(texts(first.getLong(0)), texts(first.getLong(1))).toLong)
+  }
+
+  test("x125 cohesion: verified edges keep min>=0.8, pure clone clusters emit NULLs") {
+    import spark.implicits._
+    // Cluster A: two near-dup (not identical) texts -> 1 rep edge, both
+    // jaccards known. Cluster B: three exact clones -> a cluster with NO
+    // rep edge (single rep), so mean/min must be NULL with n_rep_edges=0.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base + " lambda" // shingle sets overlap 8/11 >= 0.8? verify below
+    val clone = "one two three four five six seven eight"
+    val dir = tmpDir("cohesion")
+    Seq(1L -> base, 2L -> near, 10L -> clone, 11L -> clone, 12L -> clone)
+      .map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x125_cluster_cohesion")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the clone cluster: 3 docs, no rep edges, NULL cohesion
+    val b = got(10L)
+    assert(b.getLong(1) == 3L && b.getLong(2) == 0L)
+    assert(b.isNullAt(3) && b.isNullAt(4))
+    // the near-dup cluster (if banded into candidacy): cohesion >= 0.8
+    got.get(1L).foreach { a =>
+      assert(a.getLong(1) == 2L)
+      if (a.getLong(2) > 0) {
+        assert(a.getDouble(3) >= 0.8 && a.getDouble(3) <= 1.0)
+        assert(a.getDouble(4) >= 0.8 && a.getDouble(4) <= a.getDouble(3) + 1e-12)
+      }
+    }
+    // organic: every cluster with edges keeps the verification floor
+    SparkEntry.queries("x125_cluster_cohesion")(spark, "/root/testdata/sf0.001")
+      .collect().foreach { r =>
+        if (r.getLong(2) > 0) {
+          assert(r.getDouble(4) >= 0.8, s"min_jaccard below the 0.8 floor: $r")
+          assert(r.getDouble(3) >= r.getDouble(4) - 1e-12)
+        } else assert(r.isNullAt(3) && r.isNullAt(4))
+      }
+  }
 }
