@@ -1027,9 +1027,13 @@ object OpsQueries {
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')) AS BIGINT) AS n_punct
          FROM documents""") { (s, d) =>
+      // regexp_count, not size(regexp_extract_all): counting matches
+      // without materializing the match arrays halves the per-doc
+      // allocation churn in the suite's hottest pure-map query (the 10×
+      // stress's top flag both rounds).
       t(s, d, "documents").select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+', 0)")).cast("long").as("n_words"),
-        size(expr("regexp_extract_all(text, '[^A-Za-z0-9_\\\\s]', 0)")).cast("long").as("n_punct"))
+        expr("regexp_count(text, '[A-Za-z0-9_]+')").cast("long").as("n_words"),
+        expr("regexp_count(text, '[^A-Za-z0-9_\\\\s]')").cast("long").as("n_punct"))
     },
 
     // Symmetric int8 embedding quantization — the storage/memory scale lever

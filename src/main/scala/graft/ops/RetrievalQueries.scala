@@ -279,6 +279,91 @@ object RetrievalQueries {
           when(col("fa").isNotNull,
             col("fa") + when(col("rn") <= lit(1000) - col("sfa"), 1).otherwise(0))
             .cast("long").as("alloc"))
+    },
+
+    // N-gram NOVELTY score (x126) — the boilerplate-vs-original read a
+    // curation pipeline runs beside dedup: per doc, the fraction of its
+    // distinct shingles appearing in NO other document (corpus df = 1).
+    // Exact clones correctly score 0 (nothing a clone carries is unique),
+    // template families score low, original prose scores high — the
+    // complement of x03's pairwise view, computed WITHOUT any pair
+    // generation. Determinism: novelty = unique/total snaps to 1e-6 fixed
+    // point by integer round-half-up (ratio of exact counts, one divide).
+    // Scale shape: one shingle explode (linear), one vocabulary-keyed df
+    // agg with map-side combine (the wordcount shape — the only corpus
+    // shuffle), one doc-keyed re-agg; never any doc×doc structure.
+    QueryDef("x126_ngram_novelty",
+      s"""WITH sh AS (SELECT doc_id, list_distinct(${OpsQueries.ShinglesSql}) AS s FROM documents),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+          df AS (SELECT g, count(*) AS df FROM ex GROUP BY 1),
+          pd AS (SELECT ex.doc_id, count(*) AS n,
+               sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS u
+             FROM ex JOIN df USING (g) GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(pd.n, 0) AS BIGINT) AS n_shingles,
+            CAST(coalesce(pd.u, 0) AS BIGINT) AS n_unique,
+            CASE WHEN pd.n > 0
+              THEN CAST((2 * pd.u * 1000000 + pd.n) // (2 * pd.n) AS BIGINT) / 1000000.0
+            END AS novelty
+          FROM documents d LEFT JOIN pd USING (doc_id)""") { (s, d) =>
+      val ex = OpsQueries.sharedShinglesFor(s, d)
+        .select(col("doc_id"), explode(col("s")).as("g"))
+      val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      val pd = ex.join(df, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("u"))
+      t(s, d, "documents").select("doc_id")
+        .join(pd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_shingles"),
+          coalesce(col("u"), lit(0L)).cast("long").as("n_unique"),
+          when(col("n") > 0,
+            expr("(2 * u * 1000000 + n) div (2 * n)") / 1000000.0).as("novelty"))
+    },
+
+    // Zipf-law OCTAVE slopes (x127) — "does this corpus have a natural
+    // token distribution?": the log-log slope of frequency vs rank,
+    // sampled at octave ranks 1,2,4,…,1024 (natural text reads ≈ −1;
+    // boilerplate-heavy or synthetic corpora bend away). Slopes are
+    // PER-ROW doubles from two exact integer (rank, freq) pairs — no
+    // float ever crosses rows, so the output is bit-identical in both
+    // engines (the repo's float posture; a least-squares fit would sum
+    // logs cross-row and was rejected for exactly that). Scale shape:
+    // the global token count is one map-side-combined agg off the shared
+    // wordcount frame; the top-1024 extraction is TakeOrdered (tree
+    // reduce, no global sort); everything after runs on ≤11 rows. The
+    // two unpartitioned windows are over the 1025-row top-k frame and
+    // the 11-row octave frame — fixed-size by construction (whitelisted
+    // in PlanGuard with that argument).
+    QueryDef("x127_zipf_octaves",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+          gt AS (SELECT token, count(*) AS f FROM tok GROUP BY 1),
+          rk AS (SELECT token, f, row_number() OVER (ORDER BY f DESC, token) AS r
+             FROM gt),
+          oct AS (SELECT r, f FROM rk
+             WHERE r IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)),
+          sl AS (SELECT r, f,
+               lag(r) OVER (ORDER BY r) AS pr, lag(f) OVER (ORDER BY r) AS pf
+             FROM oct)
+          SELECT CAST(r AS BIGINT) AS rank, CAST(f AS BIGINT) AS freq,
+            CASE WHEN pr IS NOT NULL AND f > 0 AND pf > 0
+              THEN round((ln(f::DOUBLE) - ln(pf::DOUBLE))
+                / (ln(r::DOUBLE) - ln(pr::DOUBLE)), 6) END AS slope
+          FROM sl""") { (s, d) =>
+      val octaves = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      val gt = OpsQueries.sharedWordCounts(s, d)
+        .groupBy("token").agg(sum("c").as("f"))
+      // TakeOrderedAndProject keeps the extraction a tree-reduce; the
+      // ranking window then runs on the fixed 1025-row result only.
+      val top = gt.orderBy(col("f").desc, col("token")).limit(1025)
+        .withColumn("r", row_number().over(Window.orderBy(col("f").desc, col("token"))))
+      val oct = top.filter(col("r").isin(octaves: _*))
+        .withColumn("pr", lag("r", 1).over(Window.orderBy("r")))
+        .withColumn("pf", lag("f", 1).over(Window.orderBy("r")))
+      oct.select(col("r").cast("long").as("rank"), col("f").cast("long").as("freq"),
+        when(col("pr").isNotNull && col("f") > 0 && col("pf") > 0,
+          round((log(col("f").cast("double")) - log(col("pf").cast("double")))
+            / (log(col("r").cast("double")) - log(col("pr").cast("double"))), 6))
+          .as("slope"))
     }
   )
 }

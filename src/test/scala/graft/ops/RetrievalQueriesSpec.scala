@@ -90,6 +90,47 @@ class RetrievalQueriesSpec extends SparkSpec {
       assert(rows.map(_.getLong(4)).sum == 1000L, "largest-remainder seats close the budget")
   }
 
+  test("x126 novelty: clones score 0, a fully original doc scores 1") {
+    val clone = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = tmpDir("novelty")
+    writeDocs(dir, Seq(
+      1L -> clone, 2L -> clone, // every shingle shared -> novelty 0
+      3L -> "completely different words about ships and harbors tonight",
+      4L -> "ab")) // < 3 tokens -> no shingles -> NULL novelty
+    val got = SparkEntry.queries("x126_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(3) == 0.0 && got(2L).getDouble(3) == 0.0)
+    assert(got(3L).getDouble(3) == 1.0)
+    assert(got(4L).getLong(1) == 0L && got(4L).isNullAt(3))
+  }
+
+  test("x126 organic: novelty = unique/total at 1e-6 fixed point, bounded [0,1]") {
+    val rows = SparkEntry.queries("x126_ngram_novelty")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u) = (r.getLong(1), r.getLong(2))
+      assert(u >= 0 && u <= n)
+      if (n > 0) {
+        val expected = (2 * u * 1000000 + n) / (2 * n) / 1000000.0
+        assert(r.getDouble(3) == expected)
+      } else assert(r.isNullAt(3))
+    }
+  }
+
+  test("x127 zipf octaves: ranks are octaves, freqs non-increasing, slopes <= 0") {
+    val rows = SparkEntry.queries("x127_zipf_octaves")(spark, "/root/testdata/sf0.001")
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 1L && rows.head.isNullAt(2))
+    rows.foreach(r => assert((r.getLong(0) & (r.getLong(0) - 1)) == 0L, "rank is a power of 2"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1), "freq non-increasing with rank")
+      if (!b.isNullAt(2)) assert(b.getDouble(2) <= 0.0, "log-log slope non-positive")
+    case _ => ()
+    }
+  }
+
   test("x111 candidate degree: clone triple lands in bucket 2, loner in bucket 0") {
     val clone = "alpha beta gamma delta epsilon zeta eta theta"
     val dir = tmpDir("degree")

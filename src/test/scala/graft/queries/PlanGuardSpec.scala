@@ -139,7 +139,10 @@ class PlanGuardSpec extends SparkSpec {
     // distinct sensitive-value frame (attribute domain, not corpus)
     "x114_t_closeness" -> 1,
     // largest-remainder row_number over the strata frame (|sources| rows)
-    "x121_neyman_allocation" -> 1)
+    "x121_neyman_allocation" -> 1,
+    // rank over the fixed 1025-row top-k frame + lag over the 11-row
+    // octave frame (both fixed-size by construction)
+    "x127_zipf_octaves" -> 2)
 
   @annotation.tailrec
   private def stripToSort(p: SparkPlan): SparkPlan = p match {
