@@ -352,6 +352,51 @@ object AnalyticsQueries {
           .as("n_users_late"))
     },
 
+    // Join-key SKEW audit (x128) — the histogram a pipeline reads BEFORE
+    // sizing its salting/AQE knobs on a user-keyed shuffle (sessionize,
+    // funnel, RFM all hash-partition on user_id; one hot key = one
+    // straggler task at 100 TB — the read that pairs with Skew.saltedJoin):
+    // per-key event counts bucketed into exact log2 octaves (ord =
+    // len(bin(cnt))−1 — integer bit-length, never a float log that could
+    // land an exact power on the wrong side), plus a 'total' row whose
+    // skew_factor = round(max_key_rows / avg_key_rows) — the multiplier a
+    // salted repartition needs to flatten the hottest key, computed by
+    // integer round-half-up. Scale shape: ONE map-side-combined user
+    // groupBy (the same shuffle the audited queries pay), then everything
+    // runs on the ≤64-row octave frame.
+    QueryDef("x128_key_skew_audit",
+      """WITH kc AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+          b AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS ord,
+               count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+               max(cnt) AS max_key_rows
+             FROM kc GROUP BY 1),
+          tot AS (SELECT count(*) AS k, CAST(sum(cnt) AS BIGINT) AS t,
+               max(cnt) AS m FROM kc)
+          SELECT 'bucket' AS scope, ord, CAST(n_keys AS BIGINT) AS n_keys,
+            n_rows, CAST(max_key_rows AS BIGINT) AS max_key_rows,
+            CAST(NULL AS BIGINT) AS skew_factor
+          FROM b
+          UNION ALL
+          SELECT 'total', NULL, CAST(k AS BIGINT), t, CAST(m AS BIGINT),
+            CAST((2 * m * k + t) // (2 * t) AS BIGINT)
+          FROM tot""") { (s, d) =>
+      val kc = QueryDef.events(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val b = kc.groupBy((length(bin(col("cnt"))) - 1).cast("long").as("ord"))
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").cast("long").as("n_rows"),
+          max("cnt").as("max_key_rows"))
+      val buckets = b.select(lit("bucket").as("scope"), col("ord"),
+        col("n_keys").cast("long").as("n_keys"), col("n_rows"),
+        col("max_key_rows").cast("long").as("max_key_rows"),
+        lit(null).cast("long").as("skew_factor"))
+      val total = kc.agg(count(lit(1)).as("k"), sum("cnt").cast("long").as("t"),
+          max("cnt").as("m"))
+        .select(lit("total").as("scope"), lit(null).cast("long").as("ord"),
+          col("k").cast("long").as("n_keys"), col("t").as("n_rows"),
+          col("m").cast("long").as("max_key_rows"),
+          expr("(2 * m * k + t) div (2 * t)").cast("long").as("skew_factor"))
+      buckets.unionByName(total)
+    },
+
     // Cohort retention matrix (x102) — users cohorted by the ISO week of
     // their FIRST event; each later active week becomes a (cohort_week,
     // week_offset) cell with the user count and the retention fraction vs

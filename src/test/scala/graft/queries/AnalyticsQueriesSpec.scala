@@ -320,6 +320,27 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(r.getLong(3) == 40L && r.getLong(4) == 1L)
   }
 
+  test("x128 skew audit: hot key lands in its exact octave, skew factor round(max/avg)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    // u1 = 9 events (bin(9)=1001 -> ord 3), u2/u3 = 1 event each (ord 0).
+    // total: 3 keys, 11 rows, max 9 -> skew = round(9*3/11) = round(2.45) = 2.
+    val ev = (1L to 9L).map(i => (i, ts(i), 1L, "view", 1.0, "{}")) ++
+      Seq((10L, ts(10), 2L, "view", 1.0, "{}"), (11L, ts(11), 3L, "view", 1.0, "{}"))
+    val dir = tmpDir("skew")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x128_key_skew_audit")(spark, dir).collect()
+    val buckets = rows.filter(_.getString(0) == "bucket")
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(buckets(0L) == ((2L, 2L, 1L)))
+    assert(buckets(3L) == ((1L, 9L, 9L)))
+    val tot = rows.find(_.getString(0) == "total").get
+    assert(tot.getLong(2) == 3L && tot.getLong(3) == 11L && tot.getLong(4) == 9L)
+    assert(tot.getLong(5) == 2L)
+  }
+
   test("organic invariants: funnel monotone, retention bounded with unit diagonal") {
     val funnel = SparkEntry.queries("x101_event_funnel")(spark, sf).collect()
     assert(funnel.length == 3)
