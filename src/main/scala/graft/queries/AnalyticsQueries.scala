@@ -370,8 +370,8 @@ object AnalyticsQueries {
                count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
                max(cnt) AS max_key_rows
              FROM kc GROUP BY 1),
-          tot AS (SELECT count(*) AS k, CAST(sum(cnt) AS BIGINT) AS t,
-               max(cnt) AS m FROM kc)
+          tot AS (SELECT CAST(sum(n_keys) AS BIGINT) AS k, CAST(sum(n_rows) AS BIGINT) AS t,
+               max(max_key_rows) AS m FROM b)
           SELECT 'bucket' AS scope, ord, CAST(n_keys AS BIGINT) AS n_keys,
             n_rows, CAST(max_key_rows AS BIGINT) AS max_key_rows,
             CAST(NULL AS BIGINT) AS skew_factor
@@ -388,8 +388,10 @@ object AnalyticsQueries {
         col("n_keys").cast("long").as("n_keys"), col("n_rows"),
         col("max_key_rows").cast("long").as("max_key_rows"),
         lit(null).cast("long").as("skew_factor"))
-      val total = kc.agg(count(lit(1)).as("k"), sum("cnt").cast("long").as("t"),
-          max("cnt").as("m"))
+      // the total row folds the ≤64-row octave frame — never a second
+      // corpus scan or user shuffle
+      val total = b.agg(sum("n_keys").cast("long").as("k"),
+          sum("n_rows").cast("long").as("t"), max("max_key_rows").as("m"))
         .select(lit("total").as("scope"), lit(null).cast("long").as("ord"),
           col("k").cast("long").as("n_keys"), col("t").as("n_rows"),
           col("m").cast("long").as("max_key_rows"),
