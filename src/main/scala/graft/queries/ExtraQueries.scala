@@ -248,6 +248,34 @@ object ExtraQueries {
           col("n_events").cast("long").as("n_events"))
     },
 
+    // Streaming lateness audit (s24) — x123 AT ARRIVAL: per-user running
+    // max event time in constant state, late events counted with exact
+    // floor-second worst delay as they arrive (the live watermark-sizing
+    // read). Single-batch replay = the batch window bitwise; oracle = x123's.
+    QueryDef("s24_stream_lateness",
+      """WITH o AS (SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             FROM events),
+          l AS (SELECT user_id,
+               CASE WHEN pm IS NOT NULL AND ts < pm THEN 1 ELSE 0 END AS late,
+               CASE WHEN pm IS NOT NULL AND ts < pm
+                 THEN (epoch_us(pm) - epoch_us(ts)) // 1000000 ELSE 0 END AS delay
+             FROM o)
+          SELECT CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(late) AS BIGINT) AS n_late,
+            round(sum(late)::DOUBLE / count(*), 6) AS late_frac,
+            CAST(max(delay) AS BIGINT) AS max_delay_s,
+            CAST(count(DISTINCT CASE WHEN late = 1 THEN user_id END) AS BIGINT)
+              AS n_users_late
+          FROM l""") { (s, d) =>
+      val name = "s24_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runLatenessAudit(s, d, name)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      graft.streaming.EventStream.latenessTotals(q.sparkSession, name)
+    },
+
     // The exactly-once foreachBatch sink through the correctness gate: the
     // tumbling aggregation streams into the txn-marker parquet sink, and the
     // COMMITTED contents read back must equal the batch oracle — same SQL

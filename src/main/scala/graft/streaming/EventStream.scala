@@ -239,6 +239,73 @@ object EventStream {
       .start()
   }
 
+  /** Streaming LATENESS audit (s24): x123's out-of-order arrival
+    * measurement maintained AT ARRIVAL — the live read that sizes
+    * watermarks while the pipeline runs, instead of after the fact.
+    * State per user is FOUR longs (running max event-time micros, event
+    * count, late count, worst delay): constant-size forever, no watermark
+    * (the audit must SEE late data — that's its subject). An event is
+    * late iff its event time precedes the running max of its user's
+    * PREVIOUS arrivals; delay floors to whole seconds (x123's
+    * `(pm − ts) // 1s`). Arrival order is the per-key delivery order
+    * (the Kafka partition-key contract); within a micro-batch rows sort
+    * by event_id — x123's arrival proxy — so a single-batch replay
+    * reproduces the batch window bitwise and the multi-batch spec
+    * (event_id-RANGE file splits, preserving arrival order) proves the
+    * running max carries across batches. Emits running per-user totals
+    * (Update mode); [[latenessTotals]] folds the latest emission per
+    * user into x123's one-row summary. */
+  def runLatenessAudit(spark: SparkSession, dir: String, queryName: String,
+                       glob: String = "events.parquet",
+                       statePartitions: Option[Int] = Some(4),
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val out = readEvents(session, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(ts)").as("tsm"), col("event_id").cast("long").as("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (maxTsm, nEv, nLate, worst) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_._3).foreach { case (_, tsm, _) =>
+            nEv += 1
+            if (maxTsm != Long.MinValue && tsm < maxTsm) {
+              nLate += 1
+              worst = math.max(worst, Math.floorDiv(maxTsm - tsm, 1000000L))
+            }
+            maxTsm = math.max(maxTsm, tsm)
+          }
+          state.update((maxTsm, nEv, nLate, worst))
+          Iterator((uid, nEv, nLate, worst))
+      }
+      .toDF("user_id", "n_events", "n_late", "worst_delay_s")
+    out.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** x123's one-row summary from the s24 sink: the latest emission per
+    * user (the one with max n_events — totals are monotone) aggregated
+    * once. */
+  def latenessTotals(session: SparkSession, sinkTable: String): DataFrame =
+    session.table(sinkTable)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_late"), col("worst_delay_s"))).as("m"))
+      .agg(sum(col("m.n_events")).cast("long").as("n_events"),
+        sum(col("m.n_late")).cast("long").as("n_late"),
+        round(sum(col("m.n_late")).cast("double") / sum(col("m.n_events")), 6)
+          .as("late_frac"),
+        max(col("m.worst_delay_s")).cast("long").as("max_delay_s"),
+        sum(when(col("m.n_late") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_users_late"))
+
   /** Streaming ordered-funnel detector (s20): x101's view → click →
     * purchase progression evaluated AT ARRIVAL — the trigger-style read
     * ("fire when a user converts") that batch funnels can only deliver

@@ -54,6 +54,45 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("lateness audit carries the running max across arrival-ordered micro-batches") {
+    import org.apache.spark.sql.functions._
+    // Split events into 3 files by event_id RANGE — arrival (event_id)
+    // order is preserved across batches, which is the audit's contract
+    // (lateness is relative to ARRIVAL history; a %-split would reorder it).
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("stream_lateness").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ids = raw.select("event_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids((ids.length / 3).min(ids.length - 1)),
+      ids((2 * ids.length / 3).min(ids.length - 1)))
+    val parts = Seq(
+      raw.filter(col("event_id") <= cuts(0)),
+      raw.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      raw.filter(col("event_id") > cuts(1)))
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val sub = s"$tmp/split_$i"
+      df.coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runLatenessAudit(spark, tmp, "lateness_multibatch",
+      glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected multiple data micro-batches")
+    val streamed = EventStream.latenessTotals(q.sparkSession, "lateness_multibatch")
+      .collect().head
+    val batch = graft.SparkEntry.queries("x123_event_order_audit")(spark, sf)
+      .collect().head
+    assert(streamed.getLong(0) == batch.getLong(0))
+    assert(streamed.getLong(1) == batch.getLong(1))
+    assert(streamed.getDouble(2) == batch.getDouble(2))
+    assert(streamed.getLong(3) == batch.getLong(3))
+    assert(streamed.getLong(4) == batch.getLong(4))
+  }
+
   test("sessionization is correct across multiple out-of-order micro-batches") {
     // Split the events table into 3 files by event_id % 3 — each file holds a
     // time-interleaved slice, so with maxFilesPerTrigger=1 every micro-batch
