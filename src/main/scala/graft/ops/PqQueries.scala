@@ -321,14 +321,19 @@ object PqQueries {
         .filter(col("vec_id") =!= col("qid"))
         .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
       val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
-      val top = adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= TopN)
+      // limit(QMax·TopN): no-op on the rank-filtered winners (≤TopN rows
+      // per capped query id), makes every winner-derived broadcast bound
+      // machine-visible to PlanGuard — no whitelist entry needed.
+      val top = adc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopN).limit(QMax * TopN)
       // Exact re-rank kernels: |Q|·10 winner rows vs the corpus code frame —
       // the winners are the broadcast side, both times.
       val qb = ClusterQueries.sharedInt8(s, d)
       qb.select(col("vec_id").as("qid"), col("qv").as("qqv"))
         .join(broadcast(top), "qid")
         .join(broadcast(qb.select(col("vec_id"), col("qv").as("dqv"))
-          .join(broadcast(top.select("vec_id").distinct()), "vec_id")), "vec_id")
+          .join(broadcast(top.select("vec_id").distinct()), "vec_id")
+          .limit(QMax * TopN)), "vec_id")
         .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
           round(col("adc") / Fp, 6).as("adc_dist2"),
           KMeans.int8Dist2(col("qqv"), col("dqv")).as("exact_d2"))
@@ -443,9 +448,12 @@ object PqQueries {
       val hits = topk.join(gt, Seq("qid", "vec_id")).groupBy("qid")
         .agg(count(lit(1)).as("h"))
       val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      // limit(QMax): no-op on the one rank-1 row per capped query id;
+      // PlanGuard-visible bound for the broadcast below.
       val t1 = topk.filter(col("rank") === 1)
         .join(exd.select(col("qid"), col("vec_id"), col("d2")), Seq("qid", "vec_id"))
         .select(col("qid"), col("vec_id").as("top1_vec_id"), col("d2").as("top1_exact_d2"))
+        .limit(QMax)
       q.select("qid")
         .join(broadcast(nc), Seq("qid"), "left")
         .join(broadcast(t1), Seq("qid"), "left")

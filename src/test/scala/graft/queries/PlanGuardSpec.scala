@@ -102,21 +102,13 @@ class PlanGuardSpec extends SparkSpec {
     case other => other.children.exists(unboundedCorpusLineage)
   }
 
-  /** Author-signed exceptions to the broadcast-lineage check, each with the
-    * boundedness argument. Format: query name -> allowed hit count. Every
-    * other bounded broadcast side either aggregates to a value domain or
-    * carries an explicit limit(k) that makes its bound machine-visible —
-    * prefer those; whitelist ONLY when the bound comes from a window-rank
-    * filter (rank <= k per bounded partition), which static analysis
-    * cannot prove. */
-  private val BroadcastWhitelist: Map[String, Int] = Map(
-    // the ADC `top` frame (rank <= TopN per capped query id, ≤ 21·10 rows)
-    // feeds three broadcasts: the re-rank anchor, the winner-id distinct,
-    // and the winner code join (PqQueries x113 body)
-    "x113_pq_adc_search" -> 3,
-    // `t1` = rank-1 row per capped query id (≤ 21 rows) joined to its
-    // exact distance (PqQueries x116 body)
-    "x116_ivfpq_search" -> 1)
+  /** Author-signed exceptions to the broadcast-lineage check. EMPTY by
+    * design and keep it that way: every bounded broadcast side either
+    * aggregates to a value domain or carries an explicit limit(k) that
+    * makes its bound machine-visible (maxRows) — including the
+    * window-rank-bounded winner frames (x113/x116), whose rank filters
+    * static analysis can't prove but whose no-op limits it can. */
+  private val BroadcastWhitelist: Map[String, Int] = Map.empty
 
   /** Empty-partition-spec WindowExec sites whose frames are genuinely
     * bounded (value-distinct or strata/bucket counts, argued in each
