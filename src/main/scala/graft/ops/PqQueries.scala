@@ -70,8 +70,11 @@ object PqQueries {
     * to M broadcast rows (sub → array of (cid, ce)) so the argmin is an
     * in-row fold — no per-vector shuffle, no window over the corpus. */
   private def assignOnce(sv: DataFrame, cents: DataFrame): DataFrame = {
+    // limit(M): no-op (one row per subspace), makes the M-bound
+    // machine-visible (maxRows) to PlanGuard's corpus-lineage check.
     val arr = cents.groupBy("sub")
       .agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cs"))
+      .limit(M)
     val best = array_min(transform(col("cs"),
       c => struct(d2(col("sq"), c.getField("ce")).as("dd"),
         c.getField("cid").as("cid"))))
@@ -92,6 +95,10 @@ object PqQueries {
       .groupBy("sub", "cid").agg(array_sort(collect_list(struct(col("pos"),
         (col("s").cast("double") / col("n")).as("val")))).as("pv"))
       .select(col("sub"), col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
+      // limit(M·K): no-op — one row per (subspace, codebook entry) —
+      // asserting the m·k codebook bound for PlanGuard (cids come from a
+      // K-row seed set, but the groupBy erases that maxRows).
+      .limit(M * K)
 
   /** Trained codebooks (sub, cid, ce) after 2 Lloyd rounds; init = the
     * sub-codes of vec_id < K. 64 rows — driver-trivial, broadcast-sized. */
@@ -407,6 +414,9 @@ object PqQueries {
         .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
           (col("sv").cast("double") / col("n")).as("val")))).as("pv"))
         .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
+        // limit(64): no-op — one row per coarse k-means cell (k=8 here,
+        // bounded by the index config); machine-visible PlanGuard bound.
+        .limit(64)
       val q = ClusterQueries.sharedInt8(s, d)
         .filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
         .limit(QMax) // no-op on the predicate rows; PlanGuard-visible bound
@@ -445,9 +455,11 @@ object PqQueries {
       val gw = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
       val gt = exd.withColumn("rn", row_number().over(gw)).filter(col("rn") <= TopN)
         .select("qid", "vec_id")
+      // limit(QMax): no-ops — one row per capped query id;
+      // machine-visible PlanGuard bounds.
       val hits = topk.join(gt, Seq("qid", "vec_id")).groupBy("qid")
-        .agg(count(lit(1)).as("h"))
-      val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+        .agg(count(lit(1)).as("h")).limit(QMax)
+      val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_cand")).limit(QMax)
       // limit(QMax): no-op on the one rank-1 row per capped query id;
       // PlanGuard-visible bound for the broadcast below.
       val t1 = topk.filter(col("rank") === 1)
@@ -494,7 +506,9 @@ object PqQueries {
         .agg(count(lit(1)).as("n_vecs"), sum("vd2").as("s"))
       val am = pl.select(col("label"), col("n_vecs"),
         expr("(2 * s + n_vecs) div (2 * n_vecs)").as("avg_micro"))
-      val b0 = am.filter(col("label") === 0).select(col("avg_micro").as("base"))
+      // limit(1): no-op — the single label-0 baseline row;
+      // machine-visible PlanGuard bound.
+      val b0 = am.filter(col("label") === 0).select(col("avg_micro").as("base")).limit(1)
       am.crossJoin(broadcast(b0))
         .select(col("label").cast("long").as("label"),
           col("n_vecs").cast("long").as("n_vecs"),

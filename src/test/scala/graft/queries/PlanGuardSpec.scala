@@ -42,13 +42,16 @@ class PlanGuardSpec extends SparkSpec {
   private val CorpusTables = Seq("documents", "embeddings", "events",
     "customer", "lineitem", "orders", "supplier", "part")
 
-  /** Grouping keys that scale WITH the corpus: an Aggregate keyed by one of
-    * these earns no boundedness credit (groupBy(doc_id)/rep/pair-ids is
-    * still corpus-sized). Value-domain keys (buckets, bins, fixed-point
-    * metrics, cluster ids) pass — the author asserts a bounded domain. */
-  private val IdLikeKey =
-    ("(?i)((^|_)(doc|vec|event|user|sess|row)_?id$)|((^|_)(order|cust|part|supp|nation|region)_?key$)" +
-      "|^(rep|d1|d2|src|dst|id|doc1|doc2|a_id|b_id)$").r
+  /** NO grouping key earns boundedness credit by NAME (r11 hole: the old
+    * id-like-key regex missed `cluster_id` — one row per dup cluster, which
+    * grows linearly with the corpus — so x65/x77's cluster-frame broadcasts
+    * slipped through; `token`/`band_hash`/`fp` are equally corpus-scaling
+    * vocabularies, and any key is one rename away from invisibility).
+    * The ONLY lineage cuts are machine-visible: a scalar aggregate (1 row),
+    * a GlobalLimit (maxRows), or an explicit [[BroadcastWhitelist]] entry
+    * carrying the human boundedness argument. Genuinely k-bounded frames
+    * (k=8 kmeans cells, fixed bucket grids) must say so with a no-op
+    * `limit(k)` at the build site. */
 
   private def isCorpusLeaf(p: LogicalPlan): Boolean = p match {
     case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -71,12 +74,16 @@ class PlanGuardSpec extends SparkSpec {
     * inside cached stages (their logical lineage is gone by cache time). */
   private def unboundedCorpusPhysical(p: SparkPlan): Boolean = p match {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-      val keyRefs = a.groupingExpressions.flatMap(_.references.toSeq.map(_.name)).distinct
-      if (keyRefs.isEmpty) false
-      else if (keyRefs.exists(k => IdLikeKey.findFirstIn(k).isDefined))
-        a.children.exists(unboundedCorpusPhysical)
-      else false
+      // Scalar aggregate (1 row) cuts; ANY keyed aggregate gets no credit —
+      // key cardinality is invisible to static analysis (see header note).
+      if (a.groupingExpressions.isEmpty) false
+      else a.children.exists(unboundedCorpusPhysical)
     case _: GlobalLimitExec => false
+    // A persisted frame whose plan ENDS in limit(k) plans that root-level
+    // limit as CollectLimitExec (GlobalLimitExec only appears mid-plan) —
+    // both are the same machine-visible k-bound. TakeOrdered is top-k.
+    case _: org.apache.spark.sql.execution.CollectLimitExec => false
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => false
     case adaptive: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
       unboundedCorpusPhysical(adaptive.executedPlan)
     case scan: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -88,27 +95,32 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   /** True when `p` can reach a corpus-table leaf without passing through a
-    * bounded-key Aggregate (scalar aggregates and value-domain-keyed
-    * aggregates cut the path; id-keyed aggregates don't). */
+    * scalar Aggregate or a GlobalLimit. Keyed aggregates do NOT cut —
+    * whether a grouping key's domain is bounded is a human argument, and
+    * humans sign it via limit(k) or the whitelist, never a key-name regex. */
   private def unboundedCorpusLineage(p: LogicalPlan): Boolean = p match {
     case a: Aggregate =>
-      val keyRefs = a.groupingExpressions.flatMap(_.references.toSeq.map(_.name)).distinct
-      if (keyRefs.isEmpty) false // scalar aggregate: 1 row
-      else if (keyRefs.exists(k => IdLikeKey.findFirstIn(k).isDefined))
-        a.children.exists(unboundedCorpusLineage) // id-keyed: no credit
-      else false // value-domain keys: author-asserted bounded
+      if (a.groupingExpressions.isEmpty) false // scalar aggregate: 1 row
+      else a.children.exists(unboundedCorpusLineage) // keyed: no credit
     case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => false
     case leaf if leaf.children.isEmpty => isCorpusLeaf(leaf)
     case other => other.children.exists(unboundedCorpusLineage)
   }
 
-  /** Author-signed exceptions to the broadcast-lineage check. EMPTY by
-    * design and keep it that way: every bounded broadcast side either
-    * aggregates to a value domain or carries an explicit limit(k) that
-    * makes its bound machine-visible (maxRows) — including the
+  /** Author-signed exceptions to the broadcast-lineage check, each with
+    * its boundedness argument. Keep this SHORT: every other bounded
+    * broadcast side carries an explicit limit(k) that makes its bound
+    * machine-visible (maxRows / a GlobalLimit lineage cut) — including the
     * window-rank-bounded winner frames (x113/x116), whose rank filters
     * static analysis can't prove but whose no-op limits it can. */
-  private val BroadcastWhitelist: Map[String, Int] = Map.empty
+  private val BroadcastWhitelist: Map[String, Int] = Map(
+    // Benchmark shingle/gram sets (doc_id < 10): EVAL-sized by contract —
+    // the benchmark suite is a fixed external artifact that does not grow
+    // with the corpus. No honest limit(k) exists because gram counts scale
+    // with benchmark doc LENGTH (not corpus size); both Scaladocs document
+    // the hint-free gram-keyed equi-join fallback for oversized benchmarks.
+    "x54_contamination_pairs" -> 1,
+    "x95_span_contamination" -> 1)
 
   /** Empty-partition-spec WindowExec sites whose frames are genuinely
     * bounded (value-distinct or strata/bucket counts, argued in each
@@ -152,6 +164,7 @@ class PlanGuardSpec extends SparkSpec {
       try {
         val qe = q.fn(spark, sf).queryExecution
         var broadcastHits = 0
+        val broadcastDetail = scala.collection.mutable.ArrayBuffer[String]()
         qe.optimizedPlan.foreach {
           case j: Join =>
             if (j.condition.isEmpty) {
@@ -163,22 +176,32 @@ class PlanGuardSpec extends SparkSpec {
                 failures += s"${q.name}: no-condition join, both sides unbounded, no broadcast hint " +
                   s"(${j.left.nodeName} x ${j.right.nodeName})"
             }
-            // A broadcast HINT on a frame whose lineage reaches a corpus
-            // table without a bounded-key reduction is a deferred OOM: it
-            // passes every sf-scale test and dies on the cluster (the r10
-            // pagerankScores class). Scalar/limit sides are exempt.
-            val sides = Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
-            for ((h, side) <- sides) {
-              val isB = h.flatMap(_.strategy)
-                .contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
-              if (isB && !side.maxRows.exists(_ <= 4096) && unboundedCorpusLineage(side))
-                broadcastHits += 1
+          case _ =>
+        }
+        // A broadcast HINT on a frame whose lineage reaches a corpus table
+        // without a machine-visible bound (scalar aggregate / limit) is a
+        // deferred OOM: it passes every sf-scale test and dies on the
+        // cluster (the r10 pagerankScores class). Scanned on the ANALYZED
+        // plan, where ResolvedHint nodes and full lineage are still
+        // visible — the optimized plan hides hints inside persisted stages
+        // behind InMemoryRelation (the r11 blind spot: x90's hot-bucket
+        // hints sat inside a cached subtree and were never seen).
+        qe.analyzed.foreach {
+          case rh: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+              if rh.hints.strategy
+                .contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+            val side = rh.child
+            if (!side.maxRows.exists(_ <= 4096) && unboundedCorpusLineage(side)) {
+              broadcastHits += 1
+              broadcastDetail += s"  ${q.name} hinted side: " +
+                side.treeString.linesIterator.take(6).mkString(" | ").take(400)
             }
           case _ =>
         }
         if (broadcastHits > BroadcastWhitelist.getOrElse(q.name, 0))
           failures += s"${q.name}: $broadcastHits broadcast hint(s) over unreduced corpus lineage " +
-            s"(whitelisted: ${BroadcastWhitelist.getOrElse(q.name, 0)})"
+            s"(whitelisted: ${BroadcastWhitelist.getOrElse(q.name, 0)})\n" +
+            broadcastDetail.mkString("\n")
         var windowHits = 0
         qe.sparkPlan.foreach {
           case _: CartesianProductExec => failures += s"${q.name}: CartesianProductExec"
