@@ -749,6 +749,59 @@ object CurationQueries {
           col("max_span_tokens"), col("quarantine"))
     },
 
+    // Streaming MinHash-LSH near-dup ADMISSION gate (s25) — the
+    // self-feeding composition the suite's dedup family bracketed but
+    // lacked: s08 checks arrivals against a STATIC stored corpus, s18
+    // dedups EXACT keys; here the reference set is what the gate itself
+    // has seen — the first arrival of each band hash owns it, and a doc is
+    // admitted iff every one of its bands is unowned at arrival (near-dups
+    // share ≥1 band w.h.p., so an admitted doc is near-dup-free against
+    // the whole arrival history, transitively — see
+    // EventStream.runLshAdmission for why ownership-by-seen beats
+    // ownership-by-admitted at scale: it shards by band key with no
+    // cross-band coordination). State: ONE write-once long per distinct
+    // band hash. The per-(doc, band) verdicts fold to per-doc admission
+    // here (bands are conjunctive; the blocker reported is the earliest
+    // owner among blocked bands). Oracle = the doc_id-ordered batch
+    // replay: owner(band) = min doc_id, blocked iff owner < doc.
+    // Docs that produce no bands (< 3 tokens) are vacuously admitted.
+    QueryDef("s25_stream_lsh_admission",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(
+                sig[band*${OpsQueries.BandSize}+1 : band*${OpsQueries.BandSize}+${OpsQueries.BandSize}], ',')) AS band_hash
+            FROM (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${OpsQueries.NumHashes / OpsQueries.BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          fb AS (SELECT band, band_hash, min(doc_id) AS owner
+                 FROM bands GROUP BY 1, 2),
+          pb AS (SELECT b.doc_id, count(*) AS nb,
+                   sum(CASE WHEN fb.owner < b.doc_id THEN 1 ELSE 0 END) AS nblk,
+                   min(CASE WHEN fb.owner < b.doc_id THEN fb.owner END) AS blocker
+                 FROM bands b JOIN fb USING (band, band_hash) GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(pb.nb, 0) AS BIGINT) AS n_bands,
+            CAST(coalesce(pb.nblk, 0) AS BIGINT) AS n_blocked_bands,
+            coalesce(pb.nblk, 0) = 0 AS admitted,
+            CAST(pb.blocker AS BIGINT) AS first_blocker
+          FROM documents d LEFT JOIN pb USING (doc_id)""") { (s, d) =>
+      val name = "s25_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runLshAdmission(
+        s, d, name, OpsQueries.stagedBands)
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      val sess = q.sparkSession
+      val pb = sess.table(name).groupBy("doc_id").agg(
+        count(lit(1)).as("nb"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("nblk"),
+        min(when(col("blocked"), col("blocker"))).as("blocker"))
+      sess.read.parquet(s"$d/documents.parquet").select(col("doc_id"))
+        .join(pb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).cast("long").as("n_bands"),
+          coalesce(col("nblk"), lit(0L)).cast("long").as("n_blocked_bands"),
+          (coalesce(col("nblk"), lit(0L)) === 0).as("admitted"),
+          col("blocker").cast("long").as("first_blocker"))
+    },
+
     // k-anonymity audit (x96) over the customer quasi-identifiers — the
     // privacy gate a PII engine runs BEFORE releasing an aggregate view:
     // every equivalence class on (nation, segment, $1k balance band) is

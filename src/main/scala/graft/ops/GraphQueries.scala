@@ -46,6 +46,11 @@ object GraphQueries {
     // shared with x03/x64 and the edge consumers).
     val rcand = OpsQueries.sharedRepCandsFor(s, d)
     // Rep-level symmetric edges, read once per iteration (3×) + degrees.
+    // NOT pre-partitioned on src: measured at sf0.1, AQE broadcasts the
+    // small node-side of every src-keyed join, so the edge frame is never
+    // shuffled and an upfront repartition(src) is a pure extra shuffle
+    // (+4-5% warm). On a cluster where the node side outgrows broadcast,
+    // revisit: a src-partitioned persist would then feed all four SMJs.
     val redges = graft.util.PersistScope.track(
       rcand.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(rcand.select(col("d2").as("src"), col("d1").as("dst")))
@@ -87,6 +92,11 @@ object GraphQueries {
     }
     val r0 = nodes.crossJoin(broadcast(nRow))
       .select(col("rep"), col("m"), col("deg"), col("sd"), expr(s"$S div n").as("r"))
+    // The rank chain stays UNPERSISTED: `shares` feeds both the
+    // contribution map and the rank update, but the duplicated subtrees
+    // plan identical exchanges, and exchange reuse computes them once —
+    // measured: persisting each iteration's rep-sized frame ADDED ~15%
+    // (materialization cost for work the reused exchange already shares).
     val rF = (1 to Iters).foldLeft(r0)((r, _) => step(r))
     rm.join(rF.select("rep", "deg", "r"), "rep")
       .select(col("doc_id"), col("deg").cast("long").as("degree"),

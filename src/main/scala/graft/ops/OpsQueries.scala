@@ -67,6 +67,12 @@ object OpsQueries {
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
         b => md5(concat_ws(",", slice(col("sig"), b * BandSize + 1, lit(BandSize)))))).as(Seq("band", "band_hash")))
 
+  /** The band construction over an arbitrary (possibly STREAMING) doc
+    * frame — s25's admission gate stages arriving docs through the exact
+    * batch band chain so stream and oracle hash identically. */
+  private[graft] def stagedBands(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandsDf(docs)
+
   /** Staged doc → (doc_id, s: distinct shingle set). */
   private def shingleSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.withColumn("toks", tokens(col("text")))

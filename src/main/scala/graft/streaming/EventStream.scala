@@ -1001,6 +1001,70 @@ object EventStream {
     * Batch x95 keeps the per-pair audit detail; this gate emits the
     * per-doc DECISION: how many benchmark items it touches, its worst
     * span, quarantine yes/no — one row per arriving doc, append mode. */
+  /** Streaming MinHash-LSH near-dup ADMISSION gate (s25): the composed
+    * operator the batch incremental dedup (x43/s08) and the exact
+    * streaming dedup (s18) bracket but neither provides — a SELF-feeding
+    * gate where the reference corpus is what the gate itself admitted.
+    * Rule: FIRST ARRIVAL of each LSH band hash owns it; a doc whose every
+    * band is unowned at arrival is admitted (it cannot be a near-dup of
+    * anything seen — near-dups share ≥1 band with overwhelming
+    * probability); a doc with any owned band is blocked, reporting the
+    * owner. "Seen", not "admitted": a production gate rejects a doc that
+    * collides with ANYTHING that already arrived — admitting B (blocked
+    * by A) and then C (near-dup of B but not A) would re-admit the same
+    * content family; ownership by first arrival closes that transitively
+    * and — unlike the greedy admitted-only rule — needs NO cross-band
+    * coordination, so the state shards cleanly by band key.
+    *
+    * Scale posture: state is ONE long per DISTINCT band hash (the owner's
+    * doc id, write-once), sharded by (band, hash) across state partitions
+    * — no global sequencing, no watermark (ownership is monotone), and
+    * the per-batch group work is one min over the group's rows. Arrival
+    * order = (micro-batch order, doc_id within batch) — the s15/s16
+    * contract: a single-batch replay reproduces the doc_id-ordered batch
+    * oracle; multi-batch arrival is honest arrival-order gating (the
+    * EventStreamSpec permutation test pins it).
+    *
+    * Emits one verdict row per (doc, band); the query-side read-back
+    * folds them to per-doc admission (bands are conjunctive). `bandsOf`
+    * stages (doc_id, band, band_hash) from raw docs — passed in so the
+    * banding construction stays single-sourced at the batch band stage. */
+  def runLshAdmission(spark: SparkSession, dir: String, queryName: String,
+                      bandsOf: DataFrame => DataFrame,
+                      glob: String = "documents.parquet",
+                      statePartitions: Option[Int] = Some(4),
+                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val banded = bandsOf(
+      streamReader(session, dir, glob, maxFilesPerTrigger)
+        .repartition(16)) // single-file source: restore minhash parallelism
+      .select(col("band").cast("int").as("band"), col("band_hash"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(Int, String, Long)]
+    val verdicts = banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Int, Boolean, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[(Int, String, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._3).toSeq.sorted
+          val prior = state.getOption            // owner from earlier batches
+          val owner = prior.getOrElse(ids.head)  // else batch min claims it
+          if (prior.isEmpty) state.update(owner) // write-once
+          ids.iterator.map { d =>
+            val blocked = d != owner
+            (d, 0, blocked, if (blocked) owner else -1L)
+          }
+      }
+      .map { case (d, _, blocked, blocker) => (d, blocked, blocker) }
+      .toDF("doc_id", "blocked", "blocker")
+    verdicts.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runDecontamGate(spark: SparkSession, dir: String, queryName: String,
                       glob: String = "documents.parquet",
                       benchBelow: Long = 10L,

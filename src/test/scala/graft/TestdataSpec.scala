@@ -94,4 +94,28 @@ class TestdataSpec extends SparkSpec {
     assert(problems.isEmpty,
       "\nTESTDATA DRIFT in events.parquet:\n  " + problems.mkString("\n  "))
   }
+
+  // The suite's no-op limit(k) bound assertions (kmeans/PQ seed sets,
+  // x110/x113/x116 query caps, winner frames) are no-ops ONLY while the
+  // id columns stay unique: a fixture with duplicate vec_ids would make
+  // `filter(id < k).limit(k)` silently and nondeterministically TRUNCATE
+  // the seed set instead of surfacing the anomaly. Pin the invariant here
+  // — at both spec SFs, since seeds are drawn at both — so a regenerated
+  // fixture that breaks it turns into one readable failure, not a
+  // flaky-seed mystery.
+  for (sfd <- Seq("sf0.001", "sf0.01");
+       (table, idCol) <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id",
+         "events" -> "event_id", "customer" -> "c_custkey",
+         "orders" -> "o_orderkey", "supplier" -> "s_suppkey",
+         "part" -> "p_partkey")) {
+    test(s"$sfd/$table.$idCol is unique (limit(k) seed/cap no-op invariant)") {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dup = spark.read.parquet(s"/root/testdata/$sfd/$table.parquet")
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(5).collect()
+      assert(dup.isEmpty,
+        s"$sfd/$table.$idCol has duplicates (first 5: ${dup.mkString(", ")}) — " +
+          "every filter(id<k).limit(k) seed set in the suite is now a silent truncation")
+    }
+  }
 }

@@ -585,4 +585,60 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming LSH admission carries band ownership across micro-batches (arrival-order contract)") {
+    // Split documents into 3 files by doc_id % 3; maxFilesPerTrigger=1
+    // forces one micro-batch per file, so band OWNERSHIP must survive the
+    // batch boundary in state: a doc in a later batch sharing a band with
+    // any earlier arrival must be blocked by it. As in the packing/quota
+    // tests, the CONTRACT is a consistent arrival-order fold over whatever
+    // file order the source chose — per batch, each unowned band is
+    // claimed by the batch's smallest doc_id carrying it; verdicts are
+    // per (doc, band) against the owner.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = Files.createTempDirectory("stream_lsh").toString
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+    for (i <- 0 until 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/docs_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runLshAdmission(spark, tmp, "s25_spec_sink",
+      graft.ops.OpsQueries.stagedBands,
+      glob = "docs_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one data micro-batch per split file")
+    val gotRows = q.sparkSession.table("s25_spec_sink").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("blocked")))
+    val gotAdmit = gotRows.groupBy(_._1).map { case (d, vs) =>
+      d -> vs.forall(!_._2)
+    }
+    val bandRows = graft.ops.OpsQueries.stagedBands(raw)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("band"), r.getAs[String]("band_hash")))
+    assert(gotRows.length == bandRows.length, "one verdict per (doc, band)")
+    def admitFor(order: Seq[Int]): Map[Long, Boolean] = {
+      val owner = scala.collection.mutable.Map.empty[(Int, String), Long]
+      val res = scala.collection.mutable.Map.empty[Long, Boolean]
+      for (f <- order) {
+        val batch = bandRows.filter { case (d, _, _) => d % 3 == f }
+        for (((b, h), rows) <- batch.groupBy(r => (r._2, r._3)))
+          if (!owner.contains((b, h)))
+            owner((b, h)) = rows.map(_._1).min
+        for ((d, rows) <- batch.groupBy(_._1))
+          res(d) = rows.forall { case (_, b, h) => owner((b, h)) == d }
+      }
+      res.toMap
+    }
+    val perms = Seq(0, 1, 2).permutations.toSeq
+    assert(perms.exists(p => admitFor(p) == gotAdmit),
+      "admission must equal the arrival-order ownership fold for the split order the source chose")
+    assert(gotAdmit.values.exists(identity) && gotAdmit.values.exists(!_),
+      "fixture must exercise both admitted and blocked docs")
+  }
 }
