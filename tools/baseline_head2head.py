@@ -110,9 +110,16 @@ def time_p07(rows):
 def main():
     rows = load_texts()
     print(f"docs={len(rows)} sf_dir={SF_DIR}")
+    # min-of-2 passes per head: the SAME retry protocol the engine's bench
+    # applies to its heavy tail (graft.Bench re-runs every >=2 s query and
+    # reports min of 2 warm passes), so head-to-head ratios compare like
+    # with like instead of engine-min vs reference-single (round-11 advice).
     for name, fn in [("p02", time_p02), ("p06", time_p06), ("p07", time_p07)]:
-        dt, info = fn(rows)
-        print(f"ref_{name}: {dt:.2f}s  ({len(rows) / dt:.0f} docs/s)  info={info}")
+        dt1, info = fn(rows)
+        dt2, _ = fn(rows)
+        dt = min(dt1, dt2)
+        print(f"ref_{name}: {dt:.2f}s min-of-2 (passes {dt1:.2f}/{dt2:.2f})  "
+              f"({len(rows) / dt:.0f} docs/s)  info={info}")
 
 
 if __name__ == "__main__":
