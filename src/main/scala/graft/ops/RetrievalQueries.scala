@@ -376,6 +376,87 @@ object RetrievalQueries {
           round((log(col("f").cast("double")) - log(col("pf").cast("double")))
             / (log(col("r").cast("double")) - log(col("pr").cast("double"))), 6))
           .as("slope"))
+    },
+
+    // MinHash estimator CALIBRATION audit (x129) — the measurement that
+    // justifies the whole LSH family's thresholds: for every candidate
+    // pair the band join proposes (at the exact-text REP level — the
+    // estimator is a function of content), how does the signature's
+    // Jaccard estimate (matching positions / 8) track the EXACT shingle
+    // Jaccard? One row per estimator value: pair count, mean/min/max true
+    // Jaccard. The table that tells a curation team whether 8 hashes and
+    // a 0.8 gate are calibrated for THEIR corpus (a wide min-max spread
+    // at est=1.0 means the signature is too short) — computed from live
+    // pairs, not the binomial formula. Determinism: exact Jaccard snaps
+    // to 1e-6 fixed point per pair by integer division; the mean is the
+    // exact int round-half-up. Scale: rides the shared rep-cands stage
+    // (band equi-join, never all-pairs); the sig recompute runs on rep
+    // docs only; output ≤ 9 rows (one per possible match count, ≥2 since
+    // candidacy requires one full matching band).
+    QueryDef("x129_minhash_accuracy",
+      s"""WITH rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+             FROM documents),
+          rd AS (SELECT d.doc_id, d.text FROM documents d
+                 JOIN rm ON rm.doc_id = d.doc_id AND rm.rep = d.doc_id
+                 WHERE length(d.text) > 0),
+          bs AS (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig,
+                   list_distinct(${OpsQueries.ShinglesSql}) AS s
+                 FROM rd),
+          bb AS (SELECT doc_id, sig, s FROM bs
+                 WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          bands AS (SELECT doc_id, band, md5(array_to_string(
+                sig[band*${OpsQueries.BandSize}+1 : band*${OpsQueries.BandSize}+${OpsQueries.BandSize}], ',')) AS band_hash
+              FROM bb, (SELECT unnest(generate_series(0, ${OpsQueries.NumHashes / OpsQueries.BandSize - 1})) AS band)),
+          cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          pr AS (SELECT c.d1, c.d2,
+                len(list_filter(generate_series(1, ${OpsQueries.NumHashes}),
+                  i -> b1.sig[i] = b2.sig[i])) AS est,
+                (1000000 * len(list_intersect(b1.s, b2.s)))
+                  // greatest(len(list_distinct(b1.s || b2.s)), 1) AS jfp
+              FROM cand c JOIN bb b1 ON b1.doc_id = c.d1
+              JOIN bb b2 ON b2.doc_id = c.d2)
+          SELECT CAST(est AS BIGINT) AS est_matches,
+            round(est / ${OpsQueries.NumHashes}.0, 6) AS est_jaccard,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST((2 * sum(jfp) + count(*)) // (2 * count(*)) AS BIGINT)::DOUBLE
+              / 1000000 AS mean_jaccard,
+            CAST(min(jfp) AS BIGINT)::DOUBLE / 1000000 AS min_jaccard,
+            CAST(max(jfp) AS BIGINT)::DOUBLE / 1000000 AS max_jaccard
+          FROM pr GROUP BY 1, 2""") { (s, d) =>
+      val rcand = OpsQueries.sharedRepCandsFor(s, d)
+      val sh = OpsQueries.sharedShinglesFor(s, d)
+      val rm = OpsQueries.sharedRepMapFor(s, d)
+      val sig = t(s, d, "documents")
+        .join(rm.filter(col("doc_id") === col("rep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .filter(length(col("text")) > 0 && size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          MinHashFromTokensExpr.minhash_from_tokens(
+            split(col("text"), " "), OpsQueries.NumHashes).as("sig"))
+      val pr = rcand
+        .join(sig.select(col("doc_id").as("d1"), col("sig").as("g1")), "d1")
+        .join(sig.select(col("doc_id").as("d2"), col("sig").as("g2")), "d2")
+        .join(sh.select(col("doc_id").as("d1"), col("s").as("s1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")), "d2")
+        .select(
+          size(filter(zip_with(col("g1"), col("g2"), (a, b) => a === b),
+            x => x)).cast("long").as("est"),
+          expr("CAST(1000000 AS BIGINT)").as("__m"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("it"),
+          greatest(size(array_union(col("s1"), col("s2"))), lit(1)).cast("long").as("un"))
+        .select(col("est"), expr("(__m * it) div un").as("jfp"))
+      pr.groupBy(col("est").as("est_matches"))
+        .agg(count(lit(1)).as("n_pairs"), sum("jfp").as("sj"),
+          min("jfp").as("mn"), max("jfp").as("mx"))
+        .select(col("est_matches"),
+          round(col("est_matches") / (OpsQueries.NumHashes * 1.0), 6).as("est_jaccard"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          (expr("(2 * sj + n_pairs) div (2 * n_pairs)").cast("double") / 1000000)
+            .as("mean_jaccard"),
+          (col("mn").cast("double") / 1000000).as("min_jaccard"),
+          (col("mx").cast("double") / 1000000).as("max_jaccard"))
     }
   )
 }

@@ -729,6 +729,60 @@ object AnalyticsQueries {
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).cast("long").as("n"))
         .select(col("from_type"), col("to_type"), col("n"))
+    },
+
+    // Inter-arrival burstiness audit (x131) — the traffic-shape read that
+    // sizes streaming state and rate limits: per user, the squared
+    // coefficient of variation of consecutive event gaps. CV² ≈ 1 is
+    // Poisson (memoryless) traffic; CV² >> 1 is bursty sessions-and-
+    // silence (the shape that decides watermark horizons and state-store
+    // peak sizing); CV² < 1 is scripted/bot-regular cadence — so the
+    // bursty flag doubles as a bot screen. Determinism: gaps are exact
+    // floor-second integers (the session-family convention); CV² =
+    // (n·Σg² − S²)/S² is a ratio of exact int sums (Σg² in
+    // decimal(38,0)/HUGEINT — seconds-scale squares overflow int64 at
+    // ~10⁶ events/user), snapped to 1e-6 fixed point by integer floor
+    // division; the bursty gate n·Σg² − S² > S² is a pure integer
+    // compare. Scale: ONE user-partitioned lag window + one
+    // map-side-combined groupBy — the q11/x102 shuffle, nothing else.
+    QueryDef("x131_event_burstiness",
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS tsm,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pg
+             FROM events),
+          g AS (SELECT user_id, (tsm - pg) // 1000000 AS g FROM o WHERE pg IS NOT NULL),
+          a AS (SELECT user_id, count(*) AS n, sum(g) AS s,
+               sum(g::HUGEINT * g) AS q FROM g GROUP BY 1)
+          SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+            CAST(s // n AS BIGINT) AS mean_gap_s,
+            CASE WHEN n >= 2 AND s > 0 THEN
+              CAST((1000000 * (n * q - s::HUGEINT * s)) // (s::HUGEINT * s) AS BIGINT)::DOUBLE
+                / 1000000 END AS cv2,
+            CASE WHEN n >= 2 AND s > 0
+              THEN n * q - s::HUGEINT * s > s::HUGEINT * s
+              ELSE false END AS bursty
+          FROM a""") { (s, d) =>
+      // Ordering by exact micros == ordering by ts (monotone conversion).
+      val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+      val g = QueryDef.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsm"), col("event_id"))
+        .withColumn("pg", lag("tsm", 1).over(w))
+        .filter(col("pg").isNotNull)
+        .select(col("user_id"), expr("(tsm - pg) div 1000000").as("g"))
+      val dec = "decimal(38,0)"
+      val a = g.groupBy("user_id").agg(count(lit(1)).as("n"), sum("g").as("s"),
+        sum((col("g") * col("g")).cast(dec)).as("q"))
+        .withColumn("num",
+          lit(1000000).cast(dec) * (col("n").cast(dec) * col("q")
+            - col("s").cast(dec) * col("s").cast(dec)))
+        .withColumn("den", col("s").cast(dec) * col("s").cast(dec))
+      a.select(col("user_id"), col("n").cast("long").as("n_gaps"),
+        expr("s div n").cast("long").as("mean_gap_s"),
+        when(col("n") >= 2 && col("s") > 0,
+          expr("num div den").cast("double") / 1000000).as("cv2"),
+        when(col("n") >= 2 && col("s") > 0,
+          col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s").cast(dec)
+            > col("s").cast(dec) * col("s").cast(dec))
+          .otherwise(false).as("bursty"))
     }
   )
 }

@@ -226,6 +226,100 @@ object MetricsQueries {
           round(col("tg").cast("double") / col("tn"), 6).as("frac_gold"),
           round(col("wgapfp").cast("double") / (col("tn") * 1000000.0), 6).as("gap"))
       bins.unionByName(total)
+    },
+
+    // Per-source two-sample Kolmogorov-Smirnov drift audit (x130) — the
+    // distribution-shift gate a mixture designer runs before trusting a
+    // source's stats: for every source, the exact KS statistic between its
+    // doc-length distribution and the REST of the corpus, flagged at the
+    // α=0.05 critical value D > 1.36·√((n_a+n_r)/(n_a·n_r)). A source
+    // whose lengths drifted (truncation bug, new crawler, template change)
+    // flags here before it skews token budgets downstream. Determinism:
+    // D's numerator is the exact integer max |cum_a·n_r − cum_r·n_a| (one
+    // divide at output), and the flag compares 10⁴·num² against
+    // 18496·(n_a+n_r)·n_a·n_r in decimal(38,0)/HUGEINT — exact to ~3·10⁹
+    // docs/source, no float at the gate. Scale shape: one groupBy to the
+    // (source, length) frame; the stepped CDFs evaluate on a
+    // sources×distinct-lengths grid (bounded enumeration × value domain,
+    // never corpus rows); every cumulative is a two-level shiftright-
+    // bucketed prefix (the x107 idiom) — the one unpartitioned window
+    // runs over length-range/2¹⁶ bucket totals.
+    QueryDef("x130_source_ks_drift",
+      """WITH v AS (SELECT source, n_chars AS v FROM documents),
+          ns AS (SELECT source, count(*) AS na FROM v GROUP BY 1),
+          tot AS (SELECT count(*) AS n FROM v),
+          gridc AS (SELECT v, count(*) AS c FROM v GROUP BY 1),
+          callc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cumall FROM gridc),
+          ca AS (SELECT source, v, count(*) AS c FROM v GROUP BY 1, 2),
+          sg AS (SELECT s.source, g.v, coalesce(ca.c, 0) AS c
+                 FROM (SELECT source FROM ns) s
+                 CROSS JOIN (SELECT v FROM gridc) g
+                 LEFT JOIN ca ON ca.source = s.source AND ca.v = g.v),
+          cum AS (SELECT source, v,
+                 sum(c) OVER (PARTITION BY source ORDER BY v) AS cuma FROM sg),
+          term AS (SELECT cum.source,
+                 abs(cum.cuma::HUGEINT * (tot.n - ns.na)
+                   - (callc.cumall - cum.cuma)::HUGEINT * ns.na) AS num,
+                 ns.na, tot.n
+               FROM cum JOIN callc USING (v)
+               JOIN ns ON ns.source = cum.source, tot),
+          mx AS (SELECT source, max(num) AS num, any_value(na) AS na,
+                 any_value(n) AS n FROM term GROUP BY 1)
+          SELECT source, CAST(na AS BIGINT) AS n_docs,
+            CASE WHEN na < n THEN
+              round(num::DOUBLE / (na::DOUBLE * (n - na)), 6) END AS ks_d,
+            CASE WHEN na < n THEN
+              10000 * num * num > 18496::HUGEINT * n * na * (n - na)
+            ELSE false END AS flagged
+          FROM mx""") { (s, d) =>
+      val uP = Window.unboundedPreceding
+      val v = t(s, d, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      // limit(4096): no-op — one row per source (curated enumeration);
+      // machine-visible bound for PlanGuard (also hints the grid cross
+      // join below, which needs one signed-bounded side).
+      val ns = v.groupBy("source").agg(count(lit(1)).as("na")).limit(4096)
+      val tot = v.agg(count(lit(1)).as("n"))
+      val gridc = v.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("bkt", shiftright(col("v"), 16))
+      val gboff = gridc.groupBy("bkt").agg(sum("c").as("bc"))
+        .withColumn("goff", coalesce(sum("bc").over(
+          Window.orderBy("bkt").rowsBetween(uP, -1)), lit(0L)))
+        .select("bkt", "goff")
+      val callc = gridc.join(gboff, "bkt")
+        .withColumn("cumall", col("goff") + sum("c").over(
+          Window.partitionBy("bkt").orderBy("v").rowsBetween(uP, 0)))
+        .select("v", "cumall")
+      val ca = v.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val sg = gridc.select("v", "bkt")
+        .crossJoin(broadcast(ns.select("source")))
+        .join(ca, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val sboff = sg.groupBy("source", "bkt").agg(sum("c").as("bc"))
+        .withColumn("soff", coalesce(sum("bc").over(
+          Window.partitionBy("source").orderBy("bkt").rowsBetween(uP, -1)), lit(0L)))
+        .select("source", "bkt", "soff")
+      val cum = sg.join(sboff, Seq("source", "bkt"))
+        .withColumn("cuma", col("soff") + sum("c").over(
+          Window.partitionBy("source", "bkt").orderBy("v").rowsBetween(uP, 0)))
+      val dec = "decimal(38,0)"
+      val term = cum.join(callc, "v").join(ns, "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("na"), col("n"),
+          abs(col("cuma").cast(dec) * (col("n") - col("na")).cast(dec)
+            - (col("cumall") - col("cuma")).cast(dec) * col("na").cast(dec))
+            .as("num"))
+      term.groupBy("source")
+        .agg(max("num").as("num"), max("na").as("na"), max("n").as("n"))
+        .select(col("source"), col("na").cast("long").as("n_docs"),
+          when(col("na") < col("n"),
+            round(col("num").cast("double")
+              / (col("na").cast("double") * (col("n") - col("na")).cast("double")), 6))
+            .as("ks_d"),
+          when(col("na") < col("n"),
+            col("num") * col("num") * 10000 >
+              lit(18496).cast(dec) * col("n").cast(dec) * col("na").cast(dec)
+                * (col("n") - col("na")).cast(dec))
+            .otherwise(false).as("flagged"))
     }
   )
 }

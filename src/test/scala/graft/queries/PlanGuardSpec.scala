@@ -138,6 +138,8 @@ class PlanGuardSpec extends SparkSpec {
     "x105_session_stats" -> 4,
     // bucket-offset prefix over score-range buckets (dims·1000/2048)
     "x107_score_auc" -> 1,
+    // bucket-offset prefix over doc-length-range buckets (len_range/2^16)
+    "x130_source_ks_drift" -> 1,
     // fixed decile grid (10 rows)
     "x109_vocab_growth" -> 1,
     // distinct sensitive-value frame (attribute domain, not corpus)
