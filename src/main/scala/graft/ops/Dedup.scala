@@ -608,14 +608,15 @@ object Dedup {
     val p0 = graft.util.PersistScope.track(
       winnowFingerprints(docs, idCol, textCol, window)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // `hot` is NOT broadcast-hinted: the count of over-cap fingerprints is
-    // ≤ postings/cap — small in practice (boilerplate) but corpus-LINEAR in
-    // the worst case (a crawl of templated pages), so a hint is a deferred
-    // OOM. The anti-join shuffles on fp, which the pair join below shuffles
-    // on anyway; AQE still broadcasts `hot` when it measures small.
-    val hot = p0.groupBy("fp").agg(count(lit(1)).as("__m"))
-      .filter(col("__m") > maxPosting).select("fp")
-    val p = p0.join(hot, Seq("fp"), "left_anti")
+    // Hot-fingerprint drop WITHOUT a separate hot frame: a whole-partition
+    // count window over the fp partitioning filters over-cap posting lists
+    // in the SAME shuffle the pair self-join needs — no anti-join, no
+    // broadcast question (the r11 hint here assumed the hot set is tiny;
+    // it is corpus-LINEAR in the worst case — templated crawls), and no
+    // second pass over the posting frame.
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val p = p0.withColumn("__m", count(lit(1)).over(pw))
+      .filter(col("__m") <= maxPosting).drop("__m")
     p.as("a").join(p.as("b"),
       col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
@@ -663,12 +664,13 @@ object Dedup {
     val p0 = graft.util.PersistScope.track(
       winnowFingerprints(docs, idCol, textCol, window)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // No broadcast hint on `hot` — worst-case corpus-linear (see
-    // winnowCandidatePairs); AQE broadcasts it when it measures small.
-    val hot = p0.groupBy("fp").agg(count(lit(1)).as("__m"))
-      .filter(col("__m") > maxPosting).select("fp")
+    // Same one-shuffle hot-fingerprint drop as winnowCandidatePairs: the
+    // per-fp count window rides the fp partitioning instead of staging a
+    // separate hot frame for an anti-join.
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val p = graft.util.PersistScope.track(
-      p0.join(hot, Seq("fp"), "left_anti")
+      p0.withColumn("__m", count(lit(1)).over(pw))
+        .filter(col("__m") <= maxPosting).drop("__m")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nf = p.groupBy(col(idCol).as("inner_id")).agg(count(lit(1)).as("n_fp"))
     val pairs = p.as("a").join(p.as("b"),
