@@ -731,6 +731,80 @@ object AnalyticsQueries {
         .select(col("from_type"), col("to_type"), col("n"))
     },
 
+    // Markov stationary distribution of the event-type chain (x133) — the
+    // long-run behavioral mix x103's one-step matrix only hints at: where
+    // does a user's session settle if the observed transition dynamics
+    // run on? Three unrolled power iterations of π·P from the uniform
+    // start over the observed states, in exact 1e-6 fixed point — each
+    // flow term is (π_i·n_ij) div n_i (truncating integer division,
+    // identical in both engines), so the trajectory is bitwise
+    // reproducible; states with NO observed successor hold their mass
+    // (self-loop) rather than leaking it. Three iterations is the
+    // diagnostic contract (x115's convention): a ranking/mix signal, not
+    // a solved eigenvector — truncation loses ≤1 micro-unit per flow
+    // edge per step, documented, deterministic. Scale: the ONE corpus
+    // pass is x103's lag window; everything after runs on the
+    // |types|²-cell matrix. Output: one row per observed state.
+    QueryDef("x133_markov_stationary",
+      """WITH seq AS (SELECT user_id, event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+             FROM events),
+          m AS (SELECT f, t, count(*) AS n FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT f, sum(n) AS tn FROM m GROUP BY 1),
+          st AS (SELECT DISTINCT f AS state FROM m
+                 UNION SELECT DISTINCT t FROM m),
+          k AS (SELECT count(*) AS k FROM st),
+          i0 AS (SELECT state, 1000000 // (SELECT k FROM k) AS p FROM st),
+          i1 AS (SELECT state, sum(p) AS p FROM (
+               SELECT m.t AS state, (pi.p * m.n) // tot.tn AS p
+               FROM i0 pi JOIN m ON m.f = pi.state JOIN tot ON tot.f = m.f
+               UNION ALL
+               SELECT pi.state, pi.p FROM i0 pi
+               WHERE pi.state NOT IN (SELECT f FROM tot)) GROUP BY 1),
+          i2 AS (SELECT state, sum(p) AS p FROM (
+               SELECT m.t AS state, (pi.p * m.n) // tot.tn AS p
+               FROM i1 pi JOIN m ON m.f = pi.state JOIN tot ON tot.f = m.f
+               UNION ALL
+               SELECT pi.state, pi.p FROM i1 pi
+               WHERE pi.state NOT IN (SELECT f FROM tot)) GROUP BY 1),
+          i3 AS (SELECT state, sum(p) AS p FROM (
+               SELECT m.t AS state, (pi.p * m.n) // tot.tn AS p
+               FROM i2 pi JOIN m ON m.f = pi.state JOIN tot ON tot.f = m.f
+               UNION ALL
+               SELECT pi.state, pi.p FROM i2 pi
+               WHERE pi.state NOT IN (SELECT f FROM tot)) GROUP BY 1)
+          SELECT i3.state AS event_type,
+            CAST(coalesce(tot.tn, 0) AS BIGINT) AS n_out,
+            i3.p::DOUBLE / 1000000 AS p_stationary
+          FROM i3 LEFT JOIN tot ON tot.f = i3.state""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seq = QueryDef.events(s, d)
+        .select(col("user_id"), col("event_type").as("f"),
+          lead(col("event_type"), 1).over(w).as("t"))
+      // limit(4096): no-ops — |types|² transition cells / |types| rows
+      // (a product-defined enum); machine-visible PlanGuard bounds.
+      val m = seq.filter(col("t").isNotNull)
+        .groupBy("f", "t").agg(count(lit(1)).as("n")).limit(4096)
+      val tot = m.groupBy("f").agg(sum("n").as("tn")).limit(4096)
+      val m2 = m.join(tot, "f")
+      val st = m.select(col("f").as("state"))
+        .unionByName(m.select(col("t").as("state"))).distinct().limit(4096)
+      val k = st.agg(count(lit(1)).as("k"))
+      val i0 = st.crossJoin(broadcast(k))
+        .select(col("state"), expr("1000000 div k").as("p"))
+      def step(pi: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val moved = pi.join(m2, pi("state") === m2("f"))
+          .select(col("t").as("state"), expr("(p * n) div tn").as("p"))
+        val held = pi.join(tot, pi("state") === tot("f"), "left_anti")
+        moved.unionByName(held).groupBy("state").agg(sum("p").as("p")).limit(4096)
+      }
+      val i3 = step(step(step(i0)))
+      i3.join(broadcast(tot.select(col("f").as("state"), col("tn"))), Seq("state"), "left")
+        .select(col("state").as("event_type"),
+          coalesce(col("tn"), lit(0L)).cast("long").as("n_out"),
+          (col("p").cast("double") / 1000000).as("p_stationary"))
+    },
+
     // Inter-arrival burstiness audit (x131) — the traffic-shape read that
     // sizes streaming state and rate limits: per user, the squared
     // coefficient of variation of consecutive event gaps. CV² ≈ 1 is

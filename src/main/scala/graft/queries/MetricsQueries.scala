@@ -228,6 +228,98 @@ object MetricsQueries {
       bins.unionByName(total)
     },
 
+    // Top principal direction of the embedding COVARIANCE (x132) — the
+    // whitening/anisotropy diagnostic an embedding pipeline reads before
+    // trusting cosine geometry: two unrolled power iterations over the
+    // d×d covariance, from the all-ones start. A dominant loading
+    // concentrated on few dims means the space is anisotropic (one
+    // rogue feature owns the metric) and ANN recall/dedup thresholds are
+    // miscalibrated until whitened. This is a DIRECTION ESTIMATE by
+    // construction (2 fixed iterations, not an eigensolver) — both
+    // engines walk the identical arithmetic, so it is bitwise-checkable.
+    // Exactness at ANY corpus size: covariance entries snap to 1e-6
+    // fixed-point code units via (10⁶·(n·Σxy − Σx·Σy)) div n² — the
+    // result is bounded by the CODE RANGE (|q| ≤ ~10³ ⇒ cfp ≤ ~10¹²),
+    // independent of n, so v2 = C·(C·1) stays ≤ d²·cfp²·10⁻⁶ ≈ 10²⁸ —
+    // inside decimal(38,0)/HUGEINT forever. Spark `div` and DuckDB `//`
+    // both truncate toward zero on negatives (verified), so signed
+    // quotients agree. Scale shape: ONE corpus pass generates the d²
+    // in-row products (map-side combined to d² cells — the x106 shape,
+    // full matrix instead of a triangle); everything after runs on d²
+    // = 4096 rows. Output: one row per dim with its variance, its
+    // loading on the estimated top direction (1e-6 fixed point,
+    // normalized by the max |component|), and the top-dim flag.
+    QueryDef("x132_pca_power_iteration",
+      """WITH q0 AS (SELECT list_transform(embedding,
+               v -> CAST(floor(v::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+          ml AS (SELECT min(len(q)) AS ml FROM q0),
+          q AS (SELECT q[1:(SELECT ml FROM ml)] AS q FROM q0),
+          idx AS (SELECT unnest(generate_series(1, (SELECT ml FROM ml))) AS i),
+          sx AS (SELECT i.i AS i, count(*) AS n, sum(q.q[i.i]::HUGEINT) AS sx
+               FROM q, idx i GROUP BY 1),
+          mom AS (SELECT a.i AS i, b.i AS j,
+               sum((q.q[a.i] * q.q[b.i])::HUGEINT) AS sxy
+             FROM q, idx a, idx b GROUP BY 1, 2),
+          c AS (SELECT m.i, m.j,
+               (1000000::HUGEINT * (si.n * m.sxy - si.sx * sj.sx))
+                 // (si.n::HUGEINT * si.n) AS cfp
+             FROM mom m JOIN sx si ON si.i = m.i JOIN sx sj ON sj.i = m.j),
+          v1 AS (SELECT i, sum(cfp) AS v FROM c GROUP BY 1),
+          v2 AS (SELECT c.i, sum(c.cfp::HUGEINT * v1.v) AS v
+             FROM c JOIN v1 ON v1.i = c.j GROUP BY 1),
+          mx AS (SELECT max(abs(v)) AS mx FROM v2),
+          diag AS (SELECT i, cfp FROM c WHERE i = j)
+          SELECT CAST(v2.i AS BIGINT) AS dim,
+            diag.cfp::DOUBLE / 1000000 AS variance,
+            CASE WHEN (SELECT mx FROM mx) > 0 THEN
+              ((1000000::HUGEINT * v2.v) // (SELECT mx FROM mx))::DOUBLE
+                / 1000000 END AS loading,
+            abs(v2.v) = (SELECT mx FROM mx) AS is_top
+          FROM v2 JOIN diag ON diag.i = v2.i""") { (s, d) =>
+      val dec = "decimal(38,0)"
+      val q0 = t(s, d, "embeddings")
+        .select(transform(col("embedding"),
+          v => floor(v.cast("double") * 1000 + 0.5).cast("long")).as("q"))
+      val ml = q0.agg(min(size(col("q"))).as("ml"))
+      val q = q0.crossJoin(broadcast(ml))
+        .select(slice(col("q"), lit(1), col("ml")).as("q"))
+      val sxf = q.select(posexplode(col("q")).as(Seq("i0", "x")))
+        .groupBy((col("i0") + 1).as("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"))
+        // limit(4096): no-op — one row per embedding dimension.
+        .limit(4096)
+      val mom = q.select(explode(flatten(transform(col("q"), (qi, i0) =>
+          transform(col("q"), (qj, j0) =>
+            struct((i0 + 1).as("i"), (j0 + 1).as("j"), (qi * qj).as("xy")))))).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(sum(col("p.xy").cast(dec)).as("sxy"))
+      val c = mom
+        .join(broadcast(sxf.select(col("i"), col("n"), col("sx").as("sxi"))), "i")
+        .join(broadcast(sxf.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+        .withColumn("craw",
+          col("n").cast(dec) * col("sxy") - col("sxi") * col("sxj"))
+        .withColumn("cfp", expr(
+          "(CAST(1000000 AS DECIMAL(38,0)) * craw) div " +
+            "(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"))
+        .select("i", "j", "cfp")
+      // limit(4096): no-ops — d-row iteration frames.
+      val v1 = c.groupBy("i").agg(sum("cfp").as("v")).limit(4096)
+      val v2 = c.join(broadcast(v1.select(col("i").as("j"), col("v").as("vj"))), "j")
+        .groupBy("i").agg(sum(col("cfp").cast(dec) * col("vj").cast(dec)).as("v"))
+        .limit(4096)
+      val mx = v2.agg(max(abs(col("v"))).as("mx"))
+      // limit(4096): no-op — one diagonal row per dimension.
+      val diag = c.filter(col("i") === col("j")).select(col("i"), col("cfp")).limit(4096)
+      v2.join(broadcast(diag), "i").crossJoin(broadcast(mx))
+        .select(col("i").cast("long").as("dim"),
+          (col("cfp").cast("double") / 1000000).as("variance"),
+          when(col("mx") > 0, expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * v) div mx").cast("double") / 1000000)
+            .as("loading"),
+          (abs(col("v")) === col("mx")).as("is_top"))
+    },
+
     // Per-source two-sample Kolmogorov-Smirnov drift audit (x130) — the
     // distribution-shift gate a mixture designer runs before trusting a
     // source's stats: for every source, the exact KS statistic between its

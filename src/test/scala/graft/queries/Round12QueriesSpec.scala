@@ -98,4 +98,70 @@ class Round12QueriesSpec extends SparkSpec {
     }
     assert(got.values.exists(_._4) || got.values.exists(!_._4))
   }
+
+  test("x132: power iteration matches a driver-side exact BigInt replication") {
+    val got = graft.SparkEntry.queries("x132_pca_power_iteration")(spark, sf).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Double]("variance"),
+          Option(r.getAs[Any]("loading")).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("is_top")))).toMap
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val ml = rows.map(_.length).min
+    val d = ml
+    val n = BigInt(rows.length)
+    val sx = Array.tabulate(d)(i => rows.map(r => BigInt(r(i))).sum)
+    // truncating division toward zero, matching Spark div / DuckDB //
+    def tdiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates toward zero
+    val cfp = Array.tabulate(d, d) { (i, j) =>
+      val sxy = rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum
+      tdiv(BigInt(1000000) * (n * sxy - sx(i) * sx(j)), n * n)
+    }
+    val v1 = Array.tabulate(d)(i => cfp(i).sum)
+    val v2 = Array.tabulate(d)(i => (0 until d).map(j => cfp(i)(j) * v1(j)).sum)
+    val mx = v2.map(_.abs).max
+    assert(got.size == d)
+    for (i <- 0 until d) {
+      val (gv, gl, gt) = got(i + 1L)
+      assert(math.abs(gv - cfp(i)(i).toDouble / 1e6) < 1e-9, s"dim ${i + 1} variance")
+      if (mx > 0) {
+        val expL = tdiv(BigInt(1000000) * v2(i), mx).toDouble / 1e6
+        assert(gl.isDefined && math.abs(gl.get - expL) < 1e-9, s"dim ${i + 1} loading")
+      }
+      assert(gt == (v2(i).abs == mx), s"dim ${i + 1} is_top")
+    }
+    assert(got.values.count(_._3) >= 1)
+  }
+
+  test("x133: stationary iteration matches a driver-side exact replication") {
+    val got = graft.SparkEntry.queries("x133_markov_stationary")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_out"), r.getAs[Double]("p_stationary")))).toMap
+    val seq = QueryDef.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS tsm", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = seq.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val s = evs.sortBy(e => (e._3, e._4)).map(_._2)
+      s.zip(s.drop(1))
+    }
+    val m = trans.groupBy(identity).map { case ((f, t), xs) => (f, t, xs.length.toLong) }.toSeq
+    val tot = m.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+    val states = (m.map(_._1) ++ m.map(_._2)).distinct.sorted
+    var pi: Map[String, Long] = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 3) {
+      val moved = m.flatMap { case (f, t, n) =>
+        pi.get(f).map(p => t -> p * n / tot(f)) }
+      val held = pi.filterNot { case (st, _) => tot.contains(st) }.toSeq
+      pi = (moved ++ held).groupBy(_._1).map { case (st, xs) => st -> xs.map(_._2).sum }
+    }
+    assert(got.keySet == pi.keySet)
+    for ((st, p) <- pi) {
+      val (gn, gp) = got(st)
+      assert(gn == tot.getOrElse(st, 0L), s"$st n_out")
+      assert(math.abs(gp - p.toDouble / 1e6) < 1e-9, s"$st p: got $gp, expected ${p.toDouble / 1e6}")
+    }
+    // truncating flow loses at most 1 micro-unit per edge per step
+    assert(pi.values.sum <= 1000000L && pi.values.sum >= 1000000L - 3L * (m.size + states.size))
+  }
 }
