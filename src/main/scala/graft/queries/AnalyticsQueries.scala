@@ -783,8 +783,12 @@ object AnalyticsQueries {
           lead(col("event_type"), 1).over(w).as("t"))
       // limit(4096): no-ops — |types|² transition cells / |types| rows
       // (a product-defined enum); machine-visible PlanGuard bounds.
-      val m = seq.filter(col("t").isNotNull)
-        .groupBy("f", "t").agg(count(lit(1)).as("n")).limit(4096)
+      // Persisted: the matrix feeds m2/st and all three iteration steps —
+      // unpersisted, every branch re-runs the corpus lag window.
+      val m = graft.util.PersistScope.track(
+        seq.filter(col("t").isNotNull)
+          .groupBy("f", "t").agg(count(lit(1)).as("n")).limit(4096)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val tot = m.groupBy("f").agg(sum("n").as("tn")).limit(4096)
       val m2 = m.join(tot, "f")
       val st = m.select(col("f").as("state"))
