@@ -35,8 +35,7 @@ object ScanStream {
         col("c.value").as("value"), col("c.rule_label").as("rule_label"),
         col("c.rule_confidence").as("rule_confidence"))
     val q = EventStream.toParquetBatches(findings, outDir, s"$outDir/_checkpoint")
-    q.awaitTermination(300000)
-    if (q.isActive) q.stop()
+    EventStream.awaitDone(q)
     ExactlyOnceSink.readCommitted(spark, outDir).count()
   }
 

@@ -742,8 +742,7 @@ object CurationQueries {
          WHERE d.doc_id >= 10""") { (s, d) =>
       val name = "s17_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runDecontamGate(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("doc_id"), col("n_bench_hits"),
           col("max_span_tokens"), col("quarantine"))
@@ -786,8 +785,7 @@ object CurationQueries {
       val name = "s25_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runLshAdmission(
         s, d, name, OpsQueries.stagedBands)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       val sess = q.sparkSession
       val pb = sess.table(name).groupBy("doc_id").agg(
         count(lit(1)).as("nb"),
@@ -939,8 +937,7 @@ object CurationQueries {
       "SELECT DISTINCT user_id, event_type, ts FROM events") { (s, d) =>
       val name = "s18_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runEventDedup(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("user_id"), col("event_type"), col("ts"))
     },
@@ -997,8 +994,7 @@ object CurationQueries {
           FROM c JOIN n USING (nation, seg, band) WHERE n.cn >= 5""") { (s, d) =>
       val name = "s19_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runKAnonGate(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("c_custkey"), col("nation"), col("seg"), col("band"))
     },
@@ -1029,8 +1025,7 @@ object CurationQueries {
              FROM documents))""") { (s, d) =>
       val name = "s16_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runIngestGate(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("disposition"), col("accepted"))
@@ -1058,8 +1053,7 @@ object CurationQueries {
            FROM documents)""") { (s, d) =>
       val name = "s15_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runQuotaMaintain(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("source"), col("doc_id"), col("n_tokens"), col("accepted"))
     })

@@ -124,8 +124,7 @@ object SketchQueries {
     QueryDef("s09_stream_cms", CmsHeavyHittersSql) { (s, d) =>
       val name = "s09_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runCmsMaintain(s, d, name, CmsDepth, CmsWidth)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       val cs = q.sparkSession // the memory sink registers in the stream's session
       // The grid is ≤ depth×width cells BY CONSTRUCTION (the sketch
       // property) — small enough to lift onto the parent session as a
@@ -278,8 +277,7 @@ object SketchQueries {
     QueryDef("s12_stream_histogram", HistQuantilesSql) { (s, d) =>
       val name = "s12_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runHistMaintain(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       val cs = q.sparkSession
       // ONE aggregation reshapes the cell state into (n, hb, vc) — three
       // filtered branches would self-join the memory-sink view, which the
@@ -315,8 +313,7 @@ object SketchQueries {
            FROM documents)""") { (s, d) =>
       val name = "s13_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runPackingMaintain(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))
     },
@@ -340,8 +337,7 @@ object SketchQueries {
       import org.apache.spark.sql.expressions.Window
       val name = "s14_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runWeightedSampleMaintain(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("source"), explode(col("top")).as("p"))
         .select(col("source"), col("p.np").as("np"), col("p.doc_id").as("doc_id"),

@@ -699,8 +699,7 @@ object AnalyticsQueries {
       (s, d) =>
       val name = "s20_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runFunnel(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("user_id"), col("stage"), col("ts"))
     },
@@ -723,8 +722,7 @@ object AnalyticsQueries {
           FROM seq WHERE t IS NOT NULL GROUP BY 1, 2""") { (s, d) =>
       val name = "s21_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runTransitions(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).cast("long").as("n"))
@@ -847,8 +845,11 @@ object AnalyticsQueries {
         .filter(col("pg").isNotNull)
         .select(col("user_id"), expr("(tsm - pg) div 1000000").as("g"))
       val dec = "decimal(38,0)"
+      // Cast to decimal BEFORE multiplying (mirrors the oracle's
+      // g::HUGEINT * g) — squaring in Long first would wrap for a gap
+      // ≥ ~3.04e9 s, silently diverging from the oracle.
       val a = g.groupBy("user_id").agg(count(lit(1)).as("n"), sum("g").as("s"),
-        sum((col("g") * col("g")).cast(dec)).as("q"))
+        sum(col("g").cast(dec) * col("g").cast(dec)).as("q"))
         .withColumn("num",
           lit(1000000).cast(dec) * (col("n").cast(dec) * col("q")
             - col("s").cast(dec) * col("s").cast(dec)))

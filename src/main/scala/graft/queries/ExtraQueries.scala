@@ -171,8 +171,7 @@ object ExtraQueries {
          FROM events GROUP BY 1, 2""") { (s, d) =>
       val name = "s01_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runOnce(s, d, name, statePartitions = Some(4))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       // the memory sink registers in the stream's (child) session catalog
       q.sparkSession.table(name)
     },
@@ -190,8 +189,7 @@ object ExtraQueries {
          GROUP BY 1""") { (s, d) =>
       val name = "s03_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runEnriched(s, d, name, statePartitions = Some(4))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
     },
 
@@ -203,8 +201,7 @@ object ExtraQueries {
          FROM events GROUP BY 1""") { (s, d) =>
       val name = "s04_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runDistinctUsers(s, d, name, statePartitions = Some(4))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
     },
 
@@ -220,8 +217,7 @@ object ExtraQueries {
       // store init/commit fixed cost with no parallelism loss (measured
       // 0.87 s at 4 vs 1.5 s at 8 — commitTimeMs scales with store count).
       val q = graft.streaming.EventStream.runSessionize(s, d, name, statePartitions = Some(4))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       // update-mode memory sink appends per batch; take the latest emission
       graft.streaming.EventStream.sessionTotals(q.sparkSession, name)
     },
@@ -241,8 +237,7 @@ object ExtraQueries {
            FROM events) GROUP BY user_id""") { (s, d) =>
       val name = "s23_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runSessionWindow(s, d, name, statePartitions = Some(4))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       graft.streaming.EventStream.sessionWindowTotals(q.sparkSession, name)
         .select(col("user_id"), col("n_sessions").cast("long").as("n_sessions"),
           col("n_events").cast("long").as("n_events"))
@@ -271,8 +266,7 @@ object ExtraQueries {
           FROM l""") { (s, d) =>
       val name = "s24_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runLatenessAudit(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       graft.streaming.EventStream.latenessTotals(q.sparkSession, name)
     },
 
@@ -303,8 +297,7 @@ object ExtraQueries {
       val q = EventStream.toParquetBatches(
         EventStream.tumblingAgg(EventStream.readEvents(sess, d)),
         s"$tmp/out", Ckpt.fresh("s05"))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("window_start", "event_type")
         .orderBy(col("batch_id").desc)
@@ -335,8 +328,7 @@ object ExtraQueries {
       // so 8 partitions paid 16 store inits per micro-batch for no
       // parallelism the 150-key state can use.
       val q = graft.streaming.EventStream.runAttribution(s, d, name, statePartitions = Some(4))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
     },
 
@@ -369,8 +361,7 @@ object ExtraQueries {
            AND c.c_ts + INTERVAL 1 HOUR < wm.wm""") { (s, d) =>
       val name = "s11_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runAttributionOuter(s, d, name, statePartitions = Some(4))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
     },
 
@@ -406,8 +397,7 @@ object ExtraQueries {
           col("c.rule_confidence").as("rule_confidence"))
       val tmp = java.nio.file.Files.createTempDirectory("s06_eo").toString
       val q = EventStream.toParquetBatches(detected, s"$tmp/out", Ckpt.fresh("s06"))
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       ExactlyOnceSink.readCommitted(s, s"$tmp/out")
         .select("doc_id", "candidate_idx", "value", "rule_label", "rule_confidence")
     },
@@ -457,8 +447,7 @@ object ExtraQueries {
         .option("checkpointLocation", Ckpt.fresh("s08"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       val fd = q.sparkSession.table(name)
         .groupBy("doc_id").agg(min("corp_id").as("dup_of"))
       s.read.parquet(s"$d/documents.parquet").filter(col("source") === "src0")
@@ -506,8 +495,7 @@ object ExtraQueries {
         .option("checkpointLocation", graft.streaming.Ckpt.fresh("s10"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
     })
 }

@@ -19,6 +19,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Block until an AvailableNow replay terminates; a timeout means the
+    * memory sink is PARTIAL, and folding a partial table into a final
+    * answer turns missing rows into wrong verdicts (an admission gate
+    * like s25 would report every unprocessed doc as admitted). Fail
+    * loudly instead of returning a silent partial pass. */
+  def awaitDone(q: StreamingQuery, timeoutMs: Long = 300000L): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming replay '${q.name}' still active after $timeoutMs ms; " +
+          "its sink table is partial and must not be read as final")
+    }
+
   // Streaming-source schemas per (dir, glob): the schema probe is a batch
   // file-listing + footer read, a fixed ~50-100 ms repaid on every runner
   // call for a schema that cannot change mid-suite. Keyed on the path only

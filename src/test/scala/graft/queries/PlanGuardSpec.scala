@@ -204,6 +204,36 @@ class PlanGuardSpec extends SparkSpec {
           failures += s"${q.name}: $broadcastHits broadcast hint(s) over unreduced corpus lineage " +
             s"(whitelisted: ${BroadcastWhitelist.getOrElse(q.name, 0)})\n" +
             broadcastDetail.mkString("\n")
+        // The optimizedPlan join walk above has the SAME cached-subtree
+        // blind spot the hint scan had until r11: a join built inside a
+        // persisted SharedStages frame hides behind InMemoryRelation once
+        // the cache substitutes in. Re-run the no-condition-join check on
+        // the ANALYZED plan, where lineage is still whole. Analyzed-plan
+        // quirks handled here: hints are still ResolvedHint NODES (JoinHint
+        // is only attached by the optimizer), and a condition supplied via
+        // .where()/.filter() sits as a Filter ABOVE the join — treat such a
+        // join as conditioned (for uncached lineage the optimizedPlan walk
+        // independently verifies the pushdown actually happened).
+        def scanAnalyzedJoins(p: LogicalPlan, filterAbove: Boolean): Unit = p match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            scanAnalyzedJoins(f.child, filterAbove = true)
+          case j: Join =>
+            if (j.condition.isEmpty && !filterAbove) {
+              val bounded = j.left.maxRows.exists(_ <= 64) || j.right.maxRows.exists(_ <= 64)
+              val hinted = Seq(j.left, j.right).exists(_.exists {
+                case rh: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+                  rh.hints.strategy
+                    .contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
+                case _ => false
+              })
+              if (!bounded && !hinted)
+                failures += s"${q.name}: no-condition join in ANALYZED plan, both sides " +
+                  s"unbounded, no broadcast hint (${j.left.nodeName} x ${j.right.nodeName})"
+            }
+            j.children.foreach(scanAnalyzedJoins(_, filterAbove = false))
+          case other => other.children.foreach(scanAnalyzedJoins(_, filterAbove))
+        }
+        scanAnalyzedJoins(qe.analyzed, filterAbove = false)
         var windowHits = 0
         qe.sparkPlan.foreach {
           case _: CartesianProductExec => failures += s"${q.name}: CartesianProductExec"
