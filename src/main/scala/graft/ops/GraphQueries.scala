@@ -324,6 +324,167 @@ object GraphQueries {
           coalesce(col("n_edges"), lit(0L)).cast("long").as("n_rep_edges"),
           (expr("(2 * sj + n_edges) div (2 * n_edges)") / 1000000.0).as("mean_jaccard"),
           (col("mj") / 1000000.0).as("min_jaccard"))
+    },
+
+    // Triangle counting + local clustering coefficient (x134) over the
+    // verified rep-level near-dup graph — the graph-shape audit the
+    // cohesion family (x125) reads edge weights for, read here from the
+    // TOPOLOGY: a node whose neighborhood is a clique (lcc → 1) sits in a
+    // genuine document family; high degree with lcc → 0 is the hub of a
+    // star — the template/boilerplate signature that chains unrelated
+    // texts through one shared page. Algorithm: each edge is oriented
+    // from its lower-(degree, id) endpoint, wedges are enumerated at the
+    // orientation source only, and a wedge is a triangle iff its two
+    // endpoints are themselves an edge — the standard distributed scheme
+    // (Suri & Vassilvitskii, WWW'11): out-degree under this orientation
+    // is O(√m), so per-node wedge fan-out is bounded by m, never by the
+    // raw degree of a hub. Every step is an equi-join on node ids; no
+    // broadcast, nothing all-pairs. Determinism: counts are exact ints;
+    // lcc = 2T/(deg·(deg−1)) snaps to 1e-6 fixed point by integer
+    // round-half-up (the x108 idiom), so the double is bit-identical in
+    // both engines.
+    QueryDef("x134_triangle_count",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*${OpsQueries.BandSize}+1 : band*${OpsQueries.BandSize}+${OpsQueries.BandSize}], ',')) AS band_hash
+            FROM (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${OpsQueries.NumHashes / OpsQueries.BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct(${OpsQueries.ShinglesSql}) AS s FROM documents),
+          rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+          reps AS (SELECT doc_id FROM rm WHERE doc_id = rep),
+          e AS (SELECT p.d1, p.d2 FROM cand p
+            JOIN reps r1 ON r1.doc_id = p.d1 JOIN reps r2 ON r2.doc_id = p.d2
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          deg AS (SELECT v, count(*) AS g FROM
+            (SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY 1),
+          tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+            FROM e e1 JOIN e e2 ON e2.d1 = e1.d2
+            JOIN e e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+          tn AS (SELECT v, count(*) AS t FROM
+            (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY 1)
+          SELECT deg.v AS doc_id, CAST(deg.g AS BIGINT) AS degree,
+            CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+            CASE WHEN deg.g >= 2 THEN
+              CAST((4 * coalesce(tn.t, 0) * 1000000 + deg.g * (deg.g - 1))
+                // (2 * deg.g * (deg.g - 1)) AS BIGINT) / 1000000.0
+            ELSE 0.0 END AS lcc
+          FROM deg LEFT JOIN tn ON tn.v = deg.v""") { (s, d) =>
+      val e = OpsQueries.sharedRepEdges(s, d) // (d1, d2), d1 < d2, verified
+      val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("g"))
+      // Orient each edge from its lower-(deg, id) endpoint: wedges are
+      // enumerated only at orientation sources, whose out-degree is O(√m).
+      val de = e
+        .join(deg.select(col("v").as("d1"), col("g").as("g1")), "d1")
+        .join(deg.select(col("v").as("d2"), col("g").as("g2")), "d2")
+        .select(when(col("g1") < col("g2")
+            || (col("g1") === col("g2") && col("d1") < col("d2")),
+          struct(col("d1").as("s"), col("d2").as("t")))
+          .otherwise(struct(col("d2").as("s"), col("d1").as("t"))).as("o"))
+        .select(col("o.s").as("src"), col("o.t").as("dst"))
+      // Wedge (u; v < w) closes into a triangle iff (v, w) is an edge —
+      // e is already id-canonical (d1 < d2), so the closure is one lookup.
+      val wedges = de.as("a").join(de.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"), col("b.dst").as("w"))
+      val tri = wedges.join(e,
+        col("v") === col("d1") && col("w") === col("d2"))
+      val tn = tri.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("t"))
+      deg.join(tn, Seq("v"), "left")
+        .withColumn("t", coalesce(col("t"), lit(0L)))
+        .select(col("v").as("doc_id"), col("g").cast("long").as("degree"),
+          col("t").cast("long").as("triangles"),
+          when(col("g") >= 2,
+            expr("(4 * t * 1000000 + g * (g - 1)) div (2 * g * (g - 1))")
+              / 1000000.0)
+            .otherwise(lit(0.0)).as("lcc"))
+    },
+
+    // Degree assortativity (x136) — one exact Pearson correlation of
+    // endpoint degrees over the near-dup graph's edges: positive means
+    // big document families attach to each other (crawl-mirror topology),
+    // negative means hubs attach to leaves (template/boilerplate stars) —
+    // the one-number topology fingerprint that tells a curation run which
+    // dedup posture (x120 canonical collapse vs x125 chain audit) the
+    // corpus needs. Exactness: over the symmetrized edge list the x/y
+    // marginals coincide, so r = (M·Σxy − S²)/(M·Σx² − S²) is a ratio of
+    // exact decimal(38,0)/HUGEINT integers (degrees squared then summed —
+    // cast BEFORE multiplying, the x131 rule); the sign is split out and
+    // |r| snaps to 1e-6 fixed point by integer round-half-up, because
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    // they agree only on non-negatives. Scale: two node-keyed equi-joins
+    // + one scalar aggregate; the three 1-row frames cross-join at the
+    // end (maxRows = 1 each, PlanGuard-visible).
+    QueryDef("x136_degree_assortativity",
+      s"""WITH bands AS (
+            SELECT doc_id, band, md5(array_to_string(sig[band*${OpsQueries.BandSize}+1 : band*${OpsQueries.BandSize}+${OpsQueries.BandSize}], ',')) AS band_hash
+            FROM (SELECT doc_id, ${OpsQueries.MinhashSigSql} AS sig FROM documents WHERE length(text) > 0),
+                 (SELECT unnest(generate_series(0, ${OpsQueries.NumHashes / OpsQueries.BandSize - 1})) AS band)
+            WHERE len(sig) > 0 AND sig[1] IS NOT NULL),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+          sh AS (SELECT doc_id, list_distinct(${OpsQueries.ShinglesSql}) AS s FROM documents),
+          rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+          reps AS (SELECT doc_id FROM rm WHERE doc_id = rep),
+          e AS (SELECT p.d1, p.d2 FROM cand p
+            JOIN reps r1 ON r1.doc_id = p.d1 JOIN reps r2 ON r2.doc_id = p.d2
+            JOIN sh s1 ON s1.doc_id = p.d1 JOIN sh s2 ON s2.doc_id = p.d2
+            WHERE len(list_filter(s1.s, x -> list_contains(s2.s, x)))::DOUBLE
+              / greatest(len(list_distinct(s1.s || s2.s)), 1) >= 0.8),
+          deg AS (SELECT v, count(*) AS g FROM
+            (SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e) GROUP BY 1),
+          sym AS (SELECT d1 AS src, d2 AS dst FROM e
+                  UNION ALL SELECT d2, d1 FROM e),
+          a AS (SELECT g1.g::HUGEINT AS x, g2.g::HUGEINT AS y FROM sym
+                JOIN deg g1 ON g1.v = sym.src JOIN deg g2 ON g2.v = sym.dst),
+          st AS (SELECT count(*)::HUGEINT AS m, sum(x) AS sx,
+                   sum(x * x) AS qx, sum(x * y) AS pxy FROM a)
+          SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+            (SELECT count(*) FROM e)::BIGINT AS m_edges,
+            CASE WHEN m * qx - sx * sx > 0 THEN
+              CASE WHEN m * pxy - sx * sx >= 0
+                THEN CAST((2 * (m * pxy - sx * sx) * 1000000 + (m * qx - sx * sx))
+                       // (2 * (m * qx - sx * sx)) AS BIGINT) / 1000000.0
+                ELSE -(CAST((2 * (sx * sx - m * pxy) * 1000000 + (m * qx - sx * sx))
+                       // (2 * (m * qx - sx * sx)) AS BIGINT) / 1000000.0)
+              END END AS assortativity
+          FROM st""") { (s, d) =>
+      val dec = "decimal(38,0)"
+      val e = OpsQueries.sharedRepEdges(s, d)
+      val deg = e.select(col("d1").as("v")).unionByName(e.select(col("d2").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("g"))
+      val sym = e.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(e.select(col("d2").as("src"), col("d1").as("dst")))
+      val st = sym
+        .join(deg.select(col("v").as("src"), col("g").as("x")), "src")
+        .join(deg.select(col("v").as("dst"), col("g").as("y")), "dst")
+        .agg(count(lit(1)).cast(dec).as("m"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("qx"),
+          sum(col("x").cast(dec) * col("y").cast(dec)).as("pxy"))
+        .withColumn("num", col("m") * col("pxy") - col("sx") * col("sx"))
+        .withColumn("den", col("m") * col("qx") - col("sx") * col("sx"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      val me = e.agg(count(lit(1)).as("m_edges"))
+      nn.crossJoin(me).crossJoin(st)
+        .select(col("n_nodes").cast("long").as("n_nodes"),
+          col("m_edges").cast("long").as("m_edges"),
+          when(col("den") > 0,
+            when(col("num") >= 0,
+              expr("(2 * num * 1000000 + den) div (2 * den)") / 1000000.0)
+              .otherwise(-(expr("(2 * (-num) * 1000000 + den) div (2 * den)")
+                / 1000000.0)))
+            .as("assortativity"))
     }
   )
 }

@@ -174,4 +174,52 @@ object Multimodal {
       }
     }
   }
+
+  case class PHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Average-hash (aHash) perceptual fingerprint of an opaque raster blob —
+    * the image near-dup primitive (pHash family): crop to the leading
+    * `w`×`w` byte tile, 2×2 floor-mean downsample to 8×8, threshold each
+    * cell at the floor-mean of the 64 cells (>=), and pack the bits into
+    * FOUR 16-bit bands (band = row pair; bit position = (r%2)*8+c) — the
+    * band split is the LSH blocking key downstream pair generation
+    * equi-joins on, exactly as MinHash bands block text near-dups. Blobs
+    * shorter than one tile emit nothing (no image, no hash). The mean
+    * threshold is the stub kernel — a real pipeline swaps in a DCT (pHash
+    * proper) without touching the shape. Exact integer arithmetic
+    * throughout, so an oracle can re-derive every bit from the bytes. */
+  def aHash(media: Dataset[MediaRow], w: Int = 16): Dataset[PHash] = {
+    require(w == 16, s"aHash tile width must be 16 (8x8 cells at factor 2), got $w")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        if (row.media.length < w * w) Iterator.empty
+        else {
+          val v = new Array[Int](64)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val base = (r * 2) * w + c * 2
+              v(r * 8 + c) = ((row.media(base) & 0xff) + (row.media(base + 1) & 0xff)
+                + (row.media(base + w) & 0xff) + (row.media(base + w + 1) & 0xff)) / 4
+              c += 1
+            }
+            r += 1
+          }
+          val mean = v.sum / 64
+          val bands = new Array[Int](4)
+          var i = 0
+          while (i < 64) {
+            if (v(i) >= mean) {
+              val r8 = i / 8
+              bands(r8 / 2) |= 1 << ((r8 % 2) * 8 + (i % 8))
+            }
+            i += 1
+          }
+          Iterator.single(PHash(row.doc_id, bands(0), bands(1), bands(2), bands(3)))
+        }
+      }
+    }
+  }
 }

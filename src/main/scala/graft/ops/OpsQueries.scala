@@ -108,6 +108,8 @@ object OpsQueries {
     sharedRepCands(s, d)
   private[graft] def sharedShinglesFor(s: org.apache.spark.sql.SparkSession, d: String) =
     sharedShingles(s, d)
+  private[graft] def sharedRepEdgesFor(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedRepEdges(s, d)
 
   /** Staged doc → (doc_id, s, band, band_hash): the band explode CARRYING
     * the doc's shingle set — the one-frame form a STATELESS stream-side

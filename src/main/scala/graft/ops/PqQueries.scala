@@ -535,10 +535,98 @@ object PqQueries {
           FROM vd""") { (s, d) =>
       val name = "s22_sink_" + math.abs(d.hashCode).toString
       val q = graft.streaming.EventStream.runDriftGate(s, d, name)
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .select(col("vec_id"), col("q_err_micro"), col("drifted"))
+    },
+
+    // Retrieval MRR audit (x135) — the rank-position eval x116's recall@10
+    // cannot see: recall treats "true neighbor at rank 1" and "at rank 10"
+    // identically, but a reranker consuming the candidate list cares WHERE
+    // the truth sits. Per query: the exact int8 brute-force nearest
+    // neighbor (the ground truth), its rank in the full-corpus PQ-ADC
+    // top-10 (x113's ranking), and the reciprocal rank (0 if the truth
+    // fell outside — standard MRR@k); the corpus-wide MRR rides every row.
+    // Determinism: 1/rank and the mean snap to 1e-6 fixed point by integer
+    // round-half-up (the mean averages the per-query ROUNDED values,
+    // mirrored in the oracle). Scale: ADC ranking via the bounded topk_min
+    // heap — k rows per (partition, qid) cross the shuffle, where x113's
+    // row_number window sorts a corpus-sized partition per query; the
+    // brute-force side is the |Q|-broadcast audit kernel x116 also pays
+    // (it IS the ground truth — a production run samples queries, which
+    // the QMod/QCap cap models).
+    QueryDef("x135_search_mrr",
+      s"""WITH $PqCte,
+          q AS (SELECT vec_id AS qid, sub, sq FROM sv WHERE vec_id % $QMod = 0 AND vec_id < $QCap),
+          lut AS (SELECT q.qid, c.sub, c.cid,
+               CAST(floor(${bD2("q.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS ld
+             FROM q JOIN c1 c USING (sub)),
+          adc AS (SELECT l.qid, a.vec_id, sum(l.ld) AS adc
+             FROM a2 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+             WHERE a.vec_id <> l.qid
+             GROUP BY 1, 2),
+          rk AS (SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+             FROM adc),
+          top AS (SELECT * FROM rk WHERE rank <= $TopN),
+          fqv AS (SELECT vec_id AS qid, qv FROM qb WHERE vec_id % $QMod = 0 AND vec_id < $QCap),
+          exd AS (SELECT f.qid, b.vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                 i -> (f.qv[i]::BIGINT - b.qv[i]::BIGINT) * (f.qv[i]::BIGINT - b.qv[i]::BIGINT)))
+                 AS BIGINT) AS d2
+             FROM fqv f JOIN qb b ON b.vec_id <> f.qid),
+          gt AS (SELECT qid, vec_id AS gt_vec_id FROM (
+               SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                   ORDER BY d2, vec_id) AS rn FROM exd) WHERE rn = 1),
+          rr AS (SELECT gt.qid, gt.gt_vec_id, t.rank,
+               coalesce((2 * 1000000 + t.rank) // (2 * t.rank), 0) AS rrfp
+             FROM gt LEFT JOIN top t ON t.qid = gt.qid AND t.vec_id = gt.gt_vec_id),
+          mstat AS (SELECT (2 * sum(rrfp) + count(*)) // (2 * count(*)) AS mrrfp FROM rr)
+          SELECT rr.qid, rr.gt_vec_id, CAST(rr.rank AS BIGINT) AS adc_rank,
+            rrfp / 1000000.0 AS rr, (SELECT mrrfp FROM mstat) / 1000000.0 AS mrr
+          FROM rr""") { (s, d) =>
+      val codes = sharedPqCodes(s, d)
+      val q = codes.filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
+        .limit(QMax * M) // no-op on the predicate rows; PlanGuard-visible bound
+        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+      val lut = q.join(broadcast(sharedCodebooks(s, d)), "sub")
+        .select(col("qid"), col("sub"), col("cid"),
+          floor(d2(col("sq"), col("ce")) * Fp + 0.5).cast("long").as("ld"))
+      val adc = codes.select("vec_id", "sub", "cid")
+        .join(broadcast(lut), Seq("sub", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
+      // Bounded-heap top-10 per query (ascending (adc, vec_id) = x113's
+      // ordering incl. ties); limit = 10 rows per capped qid, no-op,
+      // PlanGuard-visible.
+      val top = adc.groupBy("qid")
+        .agg(TopK.topk_min(struct(col("adc"), col("vec_id")), TopN).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("p", "hit")))
+        .select(col("qid"), col("hit.vec_id").as("gt_vec_id"),
+          (col("p") + 1).cast("long").as("rnk"))
+        .limit(QMax * TopN)
+      val qb = ClusterQueries.sharedInt8(s, d)
+      val qv = qb.filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
+        .limit(QMax) // no-op on the predicate rows; PlanGuard-visible bound
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+      val gt = qb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          graft.ops.KMeans.int8Dist2(col("qqv"), col("qv")).as("d2"))
+        .groupBy("qid")
+        .agg(TopK.topk_min(struct(col("d2"), col("vec_id")), 1).as("t1"))
+        .select(col("qid"), col("t1")(0).getField("vec_id").as("gt_vec_id"))
+        .limit(QMax) // one ground-truth row per capped qid
+      val rr = gt.join(top, Seq("qid", "gt_vec_id"), "left")
+        .withColumn("rrfp",
+          coalesce(expr("(2 * 1000000 + rnk) div (2 * rnk)"), lit(0L)))
+      val m = rr.agg(
+        expr("(2 * sum(rrfp) + count(1)) div (2 * count(1))").as("mrrfp"))
+      rr.crossJoin(broadcast(m))
+        .select(col("qid"), col("gt_vec_id"),
+          col("rnk").cast("long").as("adc_rank"),
+          (col("rrfp") / 1000000.0).as("rr"),
+          (col("mrrfp") / 1000000.0).as("mrr"))
     }
   )
 }

@@ -395,6 +395,99 @@ object PipelineQueries {
           count(lit(1)).over(wc).cast("long").as("cluster_size"),
           sum("pii").over(wc).cast("long").as("n_pii_docs"),
           (sum("pii").over(wc) > 0).as("quarantined"))
+    },
+
+    // Perceptual-hash image near-dup (x137) — MinHash-LSH's multimodal
+    // twin, completing the media family (x13 features, x55 frames, x56
+    // resize) with the operator a 100-TB image corpus actually dedups by:
+    // per blob an aHash fingerprint (16×16 crop → 2×2 mean → 8×8 bits at
+    // the tile mean, packed into four 16-bit bands — Multimodal.aHash, the
+    // batched kernel), then band-equality blocking generates candidate
+    // pairs exactly as MinHash bands do for text, and a 64-bit hamming
+    // verify (≤ 10) confirms. DEGENERATE bands (0 / 0xffff: uniform tiles
+    // — blank borders, solid fills) are excluded from blocking: they match
+    // half the corpus while carrying no identity signal (the x90
+    // hot-bucket rule as a domain constant). Runs at the exact-dup REP
+    // level like every pair family member. Output per hashed rep: its four
+    // bands, band-blocked partner count, and verified near-dup count.
+    // Scale: kernel is one batched map over reps; blocking is a
+    // (band, val)-keyed equi-join; hamming only on blocked pairs — nothing
+    // all-pairs, nothing broadcast.
+    QueryDef("x137_media_phash",
+      """WITH rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+         docs AS (SELECT d.doc_id, d.text FROM documents d
+                  JOIN rm ON rm.doc_id = d.doc_id
+                  WHERE rm.doc_id = rm.rep AND length(d.text) >= 256),
+         cells AS (SELECT doc_id, g // 8 AS r, g % 8 AS c,
+             (ascii(substr(text, ((g // 8) * 2) * 16 + (g % 8) * 2 + 1, 1))
+            + ascii(substr(text, ((g // 8) * 2) * 16 + (g % 8) * 2 + 2, 1))
+            + ascii(substr(text, ((g // 8) * 2 + 1) * 16 + (g % 8) * 2 + 1, 1))
+            + ascii(substr(text, ((g // 8) * 2 + 1) * 16 + (g % 8) * 2 + 2, 1))) // 4 AS v
+           FROM docs, unnest(generate_series(0, 63)) AS t(g)),
+         mn AS (SELECT doc_id, sum(v) // 64 AS m FROM cells GROUP BY 1),
+         bits AS (SELECT cells.doc_id, r // 2 AS band,
+             CASE WHEN v >= m THEN 1 << ((r % 2) * 8 + c) ELSE 0 END AS bit
+           FROM cells JOIN mn USING (doc_id)),
+         ph AS (SELECT doc_id, band, CAST(sum(bit) AS INT) AS val FROM bits GROUP BY 1, 2),
+         pw AS (SELECT doc_id,
+             max(CASE WHEN band = 0 THEN val END) AS b0,
+             max(CASE WHEN band = 1 THEN val END) AS b1,
+             max(CASE WHEN band = 2 THEN val END) AS b2,
+             max(CASE WHEN band = 3 THEN val END) AS b3
+           FROM ph GROUP BY 1),
+         cnd AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM ph a JOIN ph b ON a.band = b.band AND a.val = b.val
+             AND a.doc_id < b.doc_id
+           WHERE a.val NOT IN (0, 65535)),
+         hm AS (SELECT cnd.d1, cnd.d2,
+             list_sum(list_transform(generate_series(0, 15), i ->
+               ((xor(p1.b0, p2.b0) >> i) & 1) + ((xor(p1.b1, p2.b1) >> i) & 1)
+             + ((xor(p1.b2, p2.b2) >> i) & 1) + ((xor(p1.b3, p2.b3) >> i) & 1))) AS h
+           FROM cnd JOIN pw p1 ON p1.doc_id = cnd.d1
+           JOIN pw p2 ON p2.doc_id = cnd.d2),
+         nc AS (SELECT dd, count(*) AS n_cand,
+             sum(CASE WHEN h <= 10 THEN 1 ELSE 0 END) AS n_near
+           FROM (SELECT d1 AS dd, h FROM hm UNION ALL SELECT d2, h FROM hm)
+           GROUP BY 1)
+         SELECT pw.doc_id, CAST(pw.b0 AS BIGINT) AS b0, CAST(pw.b1 AS BIGINT) AS b1,
+           CAST(pw.b2 AS BIGINT) AS b2, CAST(pw.b3 AS BIGINT) AS b3,
+           CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_band_partners,
+           CAST(coalesce(nc.n_near, 0) AS BIGINT) AS n_near_dups
+         FROM pw LEFT JOIN nc ON nc.dd = pw.doc_id""") { (s, d) =>
+      import graft.ops.Multimodal
+      val rm = graft.ops.OpsQueries.sharedRepMapFor(s, d)
+      val reps = t(s, d, "documents")
+        .join(rm.filter(col("doc_id") === col("rep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      val ph = graft.util.PersistScope.track(
+        Multimodal.aHash(Multimodal.mediaFromDocuments(reps)).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val long = ph.select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("band", "val")))
+        .filter(col("val") =!= 0 && col("val") =!= 65535)
+      val cnd = long.as("a").join(long.as("b"),
+          col("a.band") === col("b.band") && col("a.val") === col("b.val")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val hm = cnd
+        .join(ph.select(col("doc_id").as("d1"), col("b0").as("x0"),
+          col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3")), "d1")
+        .join(ph.select(col("doc_id").as("d2"), col("b0").as("y0"),
+          col("b1").as("y1"), col("b2").as("y2"), col("b3").as("y3")), "d2")
+        .select(col("d1"), col("d2"),
+          expr("bit_count(x0 ^ y0) + bit_count(x1 ^ y1) + bit_count(x2 ^ y2)"
+            + " + bit_count(x3 ^ y3)").as("h"))
+      val nc = hm.select(col("d1").as("doc_id"), col("h"))
+        .unionByName(hm.select(col("d2").as("doc_id"), col("h")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_cand"),
+          sum(when(col("h") <= 10, 1L).otherwise(0L)).as("n_near"))
+      ph.join(nc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("b0").cast("long").as("b0"), col("b1").cast("long").as("b1"),
+          col("b2").cast("long").as("b2"), col("b3").cast("long").as("b3"),
+          coalesce(col("n_cand"), lit(0L)).cast("long").as("n_band_partners"),
+          coalesce(col("n_near"), lit(0L)).cast("long").as("n_near_dups"))
     })
 
   /** Regex literals reused by q16 (kept here to avoid a cyclic reference). */

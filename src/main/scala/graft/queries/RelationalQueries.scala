@@ -328,5 +328,50 @@ object RelationalQueries {
           || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg((sum("vol_c").cast("double") / 10000).as("volume"))
+    },
+
+    // UNPIVOT (melt) — the inverse reshaping verb of q21's pivot: the wide
+    // per-source language histogram back to long (source, lang, n) form.
+    // Spark plans unpivot as a local Expand over the already-aggregated
+    // wide frame (|sources| rows), so the corpus-scale work is exactly the
+    // one groupBy the pivot itself runs; the reshape costs nothing extra.
+    // The na.fill(0) before the melt makes the zero cells explicit rows —
+    // mirrored in the oracle's sources × langs scaffold.
+    QueryDef("q27_unpivot",
+      """WITH cnt AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+         SELECT s.source, l.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM (SELECT DISTINCT source FROM documents) s
+         CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS lang) l
+         LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang""") { (s, d) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      t(s, d, "documents")
+        .groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n")
+    },
+
+    // GROUPING SETS — the arbitrary-lattice sibling of q12's ROLLUP and
+    // q26's CUBE (here: detail, one margin, grand total — a lattice neither
+    // rollup nor cube produces). grouping_id (composed from per-column
+    // grouping() flags, identical bit order in both engines) disambiguates
+    // a genuine NULL group value from a rolled-up one. Spark expands the
+    // sets and aggregates in ONE pass with map-side combine — no per-set
+    // rescan of orders.
+    QueryDef("q28_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority)*2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())""") { (s, d) =>
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg((grouping(col("o_orderpriority")) * 2 + grouping(col("o_orderstatus")))
+            .cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100).as("sum_price"))
     })
 }

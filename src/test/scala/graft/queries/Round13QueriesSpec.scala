@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions.col
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Round-13 additions: q27 (unpivot), q28 (grouping sets), x134 (triangle
+  * count / local clustering coefficient), x135 (retrieval MRR), x136
+  * (degree assortativity), x137 (perceptual-hash image near-dup). Planted
+  * fixtures with hand-computable expectations plus organic cross-checks
+  * against an independent second algorithm — the DuckDB oracle gates
+  * values separately. */
+class Round13QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+  }
+
+  test("q27 unpivot: long frame is the exact melt of the per-source histogram") {
+    val rows = SparkEntry.queries("q27_unpivot")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sources = docs.map(_._1).distinct
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    assert(rows.size == sources.length * langs.length,
+      "one row per (source, lang) cell incl. zeros")
+    for (s <- sources; l <- langs)
+      assert(rows((s, l)) == docs.count(p => p == ((s, l))).toLong)
+  }
+
+  test("q28 grouping sets: the three lattice levels reconcile") {
+    val rows = SparkEntry.queries("q28_grouping_sets")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 3L), "detail, one margin, grand total")
+    // grand total: exactly one row, NULL group cols, n = |orders|
+    val g3 = byGid(3L)
+    assert(g3.length == 1 && g3.head.getAs[Long]("n") == total)
+    assert(g3.head.isNullAt(g3.head.fieldIndex("o_orderpriority")))
+    // every level's counts sum to the corpus
+    assert(byGid(0L).map(_.getAs[Long]("n")).sum == total)
+    assert(byGid(1L).map(_.getAs[Long]("n")).sum == total)
+    // margin rows keep the priority but null the status
+    assert(byGid(1L).forall(r => !r.isNullAt(r.fieldIndex("o_orderpriority"))
+      && r.isNullAt(r.fieldIndex("o_orderstatus"))))
+  }
+
+  test("x134 planted: three mutual near-dups form one triangle, lcc = 1") {
+    // A is 14 distinct tokens; B and C each append one extra token, so all
+    // three texts are distinct (three reps) with pairwise shingle jaccard
+    // 12/13 and 12/14 — all >= 0.8 — and token-set similarity high enough
+    // that every pair shares a MinHash band. Doc 4 is unrelated.
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val dir = tmpDir("tri")
+    writeDocs(dir, Seq(1L -> base, 2L -> s"$base zq1", 3L -> s"$base zq2",
+      4L -> "entirely different words about ships and harbors tonight friend"))
+    val got = SparkEntry.queries("x134_triangle_count")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.util.SharedStages.releaseAll()
+    assert(got.keySet == Set(1L, 2L, 3L), "isolated doc has no edges, no row")
+    for (id <- Seq(1L, 2L, 3L))
+      assert(got(id) == ((2L, 1L, 1.0)), s"doc $id: ${got(id)}")
+  }
+
+  test("x134 organic: degree-ordered wedge enumeration == direct id-ordered join") {
+    import spark.implicits._
+    val e = graft.ops.OpsQueries.sharedRepEdgesFor(spark, sf)
+      .select(col("d1").as[Long], col("d2").as[Long]).collect()
+    // driver-side naive recount (edge set is sparse at sf0.001)
+    val es = e.map(p => (p._1, p._2)).toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val deg = nodes.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    var triPer = Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, bs) <- adj; i <- bs.indices; j <- (i + 1) until bs.length
+         if es.contains((bs(i), bs(j))))
+      Seq(a, bs(i), bs(j)).foreach(v => triPer += v -> (triPer(v) + 1L))
+    val got = SparkEntry.queries("x134_triangle_count")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.util.SharedStages.releaseAll()
+    assert(got.keySet == deg.keySet)
+    for ((v, g) <- deg) {
+      assert(got(v)._1 == g, s"degree of $v")
+      assert(got(v)._2 == triPer(v), s"triangles of $v")
+    }
+  }
+
+  test("x135 planted: exact ADC on the line fixture puts the truth at rank 1, MRR 1") {
+    import spark.implicits._
+    // x113's fixture: vec 0 queries; candidate k differs only in dim 1 by
+    // 8k; singleton PQ cells make ADC exact, so the brute-force nearest
+    // (vec 1) sits at ADC rank 1 and MRR over the one query is 1.
+    val dir = tmpDir("mrr")
+    (0L to 5L).map { id =>
+      val v = Array.fill(64)(0f); v(0) = 127f; v(1) = 8f * id
+      (id, v, 0)
+    }.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("x135_search_mrr")(spark, dir).collect()
+    graft.util.SharedStages.releaseAll()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("x135 organic: rr in [0,1], mrr constant and equal to the rounded mean") {
+    val rows = SparkEntry.queries("x135_search_mrr")(spark, sf).collect()
+    graft.util.SharedStages.releaseAll()
+    assert(rows.nonEmpty)
+    val mrrs = rows.map(_.getDouble(4)).distinct
+    assert(mrrs.length == 1, "corpus-wide MRR rides every row")
+    val rrFp = rows.map(r => math.round(r.getDouble(3) * 1000000))
+    assert(rrFp.forall(v => v >= 0L && v <= 1000000L))
+    val expected = (2 * rrFp.sum + rows.length) / (2L * rows.length)
+    assert(math.round(mrrs.head * 1000000) == expected,
+      "mrr is the round-half-up mean of the per-query rounded rr values")
+    // a finite rank always implies rr = 1/rank (rounded)
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      val rank = r.getLong(2)
+      assert(rank >= 1 && rank <= 10)
+      assert(math.round(r.getDouble(3) * 1000000)
+        == (2 * 1000000 + rank) / (2 * rank))
+    }
+  }
+
+  test("x136 planted: a 2-leaf star is perfectly disassortative, a triangle degenerate") {
+    // Star: A (17 common shingles) vs B/C (3 extra shingles each):
+    // sim(A,B) = sim(A,C) = 17/20 = 0.85 >= 0.8, sim(B,C) = 17/23 < 0.8 —
+    // edges (A,B), (A,C) only. Degrees 2/1/1: r = (M·P − S²)/(M·Q − S²)
+    // = (32−36)/(40−36) = −1.
+    val base = (1 to 19).map(i => s"tok$i").mkString(" ")
+    val star = tmpDir("star")
+    writeDocs(star, Seq(1L -> base, 2L -> s"$base xa1 xa2 xa3",
+      3L -> s"$base yb1 yb2 yb3"))
+    val s1 = SparkEntry.queries("x136_degree_assortativity")(spark, star).collect()
+    graft.util.SharedStages.releaseAll()
+    assert(s1.length == 1)
+    assert(s1.head.getLong(0) == 3L && s1.head.getLong(1) == 2L)
+    assert(s1.head.getDouble(2) == -1.0)
+    // Triangle (x134's fixture): all degrees equal -> zero variance ->
+    // assortativity undefined (NULL), never a divide-by-zero.
+    val tri = tmpDir("tri2")
+    val b2 = (1 to 14).map(i => s"tok$i").mkString(" ")
+    writeDocs(tri, Seq(1L -> b2, 2L -> s"$b2 zq1", 3L -> s"$b2 zq2"))
+    val s2 = SparkEntry.queries("x136_degree_assortativity")(spark, tri).collect()
+    graft.util.SharedStages.releaseAll()
+    assert(s2.length == 1)
+    assert(s2.head.getLong(0) == 3L && s2.head.getLong(1) == 3L)
+    assert(s2.head.isNullAt(2))
+  }
+
+  test("x137 planted: shared leading tile -> hamming-0 near-dup; short docs drop") {
+    // Docs 1 and 2 share the 256-char leading tile (identical aHash) but
+    // differ afterwards (distinct texts -> both are reps). Doc 3's tile is
+    // byte-shifted (different hash). Doc 4 is under one tile -> no row.
+    val tile = (0 until 256).map(i => ('a' + (i * 7 + i / 16) % 26).toChar).mkString
+    val other = (0 until 256).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val dir = tmpDir("phash")
+    writeDocs(dir, Seq(1L -> (tile + " first continuation"),
+      2L -> (tile + " second continuation entirely"),
+      3L -> (other + " third"), 4L -> "short doc"))
+    val got = SparkEntry.queries("x137_media_phash")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(5), r.getLong(6)))).toMap
+    graft.util.SharedStages.releaseAll()
+    assert(got.keySet == Set(1L, 2L, 3L), "sub-tile doc emits no hash")
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L,
+      "identical tiles verify as near-dups")
+    assert(got(3L)._2 == 0L, "unrelated tile has no verified near-dup")
+  }
+
+  test("x137 organic: partner counts are symmetric pair mass; bands non-degenerate in blocking") {
+    val rows = SparkEntry.queries("x137_media_phash")(spark, sf).collect()
+    graft.util.SharedStages.releaseAll()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getLong(5)).sum
+    assert(mass % 2 == 0, "every blocked pair contributes to both endpoints")
+    rows.foreach { r =>
+      assert(r.getLong(6) <= r.getLong(5), "near-dups are a subset of partners")
+      for (i <- 1 to 4)
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= 65535L, "16-bit bands")
+    }
+  }
+}
