@@ -800,6 +800,63 @@ object CurationQueries {
           col("blocker").cast("long").as("first_blocker"))
     },
 
+    // Streaming PERCEPTUAL-HASH admission gate (s26) — s25's ownership
+    // machinery pointed at the image modality: arrivals hash through
+    // Multimodal.aHash (a stateless batched kernel, so the stream side is
+    // a pure map + explode exactly like the MinHash path), each of the
+    // four 16-bit phash bands is owned by its first arrival, and a blob is
+    // admitted iff every band is unowned — identical-tile dups and most
+    // near-identical tiles share all/most bands, so the gate closes image
+    // families transitively the way s25 closes text families. Degenerate
+    // uniform-tile bands never reach the state (dropped in phashBands —
+    // they'd make one hot key own half the corpus). Sub-tile blobs (< 256
+    // bytes) produce no bands and are vacuously admitted, the s25
+    // <3-tokens rule. State: ONE write-once long per distinct (band, val)
+    // — bounded by 4× the admitted-corpus size, sharded by band key with
+    // no cross-band coordination. Oracle = the doc_id-ordered batch
+    // replay (owner = min doc_id per band value).
+    QueryDef("s26_stream_phash_admission",
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 256),
+         cells AS (SELECT doc_id, g // 8 AS r, g % 8 AS c,
+             (ascii(substr(text, ((g // 8) * 2) * 16 + (g % 8) * 2 + 1, 1))
+            + ascii(substr(text, ((g // 8) * 2) * 16 + (g % 8) * 2 + 2, 1))
+            + ascii(substr(text, ((g // 8) * 2 + 1) * 16 + (g % 8) * 2 + 1, 1))
+            + ascii(substr(text, ((g // 8) * 2 + 1) * 16 + (g % 8) * 2 + 2, 1))) // 4 AS v
+           FROM docs, unnest(generate_series(0, 63)) AS t(g)),
+         mn AS (SELECT doc_id, sum(v) // 64 AS m FROM cells GROUP BY 1),
+         bits AS (SELECT cells.doc_id, r // 2 AS band,
+             CASE WHEN v >= m THEN 1 << ((r % 2) * 8 + c) ELSE 0 END AS bit
+           FROM cells JOIN mn USING (doc_id)),
+         ph AS (SELECT doc_id, band, CAST(sum(bit) AS INT) AS val FROM bits GROUP BY 1, 2),
+         pb0 AS (SELECT doc_id, band, val FROM ph WHERE val NOT IN (0, 65535)),
+         fb AS (SELECT band, val, min(doc_id) AS owner FROM pb0 GROUP BY 1, 2),
+         pb AS (SELECT b.doc_id, count(*) AS nb,
+             sum(CASE WHEN fb.owner < b.doc_id THEN 1 ELSE 0 END) AS nblk,
+             min(CASE WHEN fb.owner < b.doc_id THEN fb.owner END) AS blocker
+           FROM pb0 b JOIN fb USING (band, val) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(pb.nb, 0) AS BIGINT) AS n_bands,
+           CAST(coalesce(pb.nblk, 0) AS BIGINT) AS n_blocked_bands,
+           coalesce(pb.nblk, 0) = 0 AS admitted,
+           CAST(pb.blocker AS BIGINT) AS first_blocker
+         FROM documents d LEFT JOIN pb USING (doc_id)""") { (s, d) =>
+      val name = "s26_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runLshAdmission(
+        s, d, name, graft.ops.Multimodal.phashBands)
+      graft.streaming.EventStream.awaitDone(q)
+      val sess = q.sparkSession
+      val pb = sess.table(name).groupBy("doc_id").agg(
+        count(lit(1)).as("nb"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("nblk"),
+        min(when(col("blocked"), col("blocker"))).as("blocker"))
+      sess.read.parquet(s"$d/documents.parquet").select(col("doc_id"))
+        .join(pb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).cast("long").as("n_bands"),
+          coalesce(col("nblk"), lit(0L)).cast("long").as("n_blocked_bands"),
+          (coalesce(col("nblk"), lit(0L)) === 0).as("admitted"),
+          col("blocker").cast("long").as("first_blocker"))
+    },
+
     // k-anonymity audit (x96) over the customer quasi-identifiers — the
     // privacy gate a PII engine runs BEFORE releasing an aggregate view:
     // every equivalence class on (nation, segment, $1k balance band) is

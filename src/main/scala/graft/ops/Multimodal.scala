@@ -222,4 +222,19 @@ object Multimodal {
       }
     }
   }
+
+  /** aHash bands in the (band, band_hash, doc_id) long form the LSH
+    * admission machinery consumes (EventStream.runLshAdmission) — the
+    * image twin of the MinHash stagedBands adapter. Degenerate 0/0xffff
+    * bands (uniform tiles) are dropped HERE so neither blocking joins nor
+    * streaming ownership state ever key on them. Works on batch and
+    * streaming frames alike (the kernel is a stateless mapPartitions). */
+  def phashBands(docs: DataFrame): DataFrame =
+    aHash(mediaFromDocuments(docs)).toDF()
+      .select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "val")))
+      .filter(col("val") =!= 0 && col("val") =!= 65535)
+      .select(col("band"), col("val").cast("string").as("band_hash"),
+        col("doc_id"))
 }

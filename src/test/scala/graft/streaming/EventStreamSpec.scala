@@ -641,4 +641,72 @@ class EventStreamSpec extends SparkSpec {
     assert(gotAdmit.values.exists(identity) && gotAdmit.values.exists(!_),
       "fixture must exercise both admitted and blocked docs")
   }
+
+  test("streaming phash admission carries band ownership across micro-batches (s26)") {
+    // s25's contract over the image modality: 3 split files, one
+    // micro-batch each; phash-band ownership must survive the batch
+    // boundary. Planted blobs guarantee both verdicts regardless of the
+    // corpus: docs 9001/9002 share a leading tile (9002 blocked by
+    // whichever arrives first... both live in different splits, so
+    // ownership MUST cross batches for the verdict to be right).
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tmp = Files.createTempDirectory("stream_phash").toString
+    val tile = (0 until 256).map(i => ('a' + (i * 7 + i / 16) % 26).toChar).mkString
+    import spark.implicits._
+    val planted = Seq(
+      (9001L, tile + " first planted continuation", "en", "s0"),
+      (9002L, tile + " second planted continuation", "en", "s0"))
+      .map { case (id, tx, l, s) => (id, tx, l, s, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(planted)
+    for (i <- 0 until 3) {
+      val sub = s"$tmp/split_$i"
+      raw.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/docs_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runLshAdmission(spark, tmp, "s26_spec_sink",
+      graft.ops.Multimodal.phashBands,
+      glob = "docs_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one data micro-batch per split file")
+    val gotRows = q.sparkSession.table("s26_spec_sink").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("blocked")))
+    val gotAdmit = gotRows.groupBy(_._1).map { case (d, vs) =>
+      d -> vs.forall(!_._2)
+    }
+    val bandRows = graft.ops.Multimodal.phashBands(raw)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("band"), r.getAs[String]("band_hash")))
+    assert(gotRows.length == bandRows.length, "one verdict per (doc, band)")
+    def admitFor(order: Seq[Int]): Map[Long, Boolean] = {
+      val owner = scala.collection.mutable.Map.empty[(Int, String), Long]
+      val res = scala.collection.mutable.Map.empty[Long, Boolean]
+      for (f <- order) {
+        val batch = bandRows.filter { case (d, _, _) => d % 3 == f }
+        for (((b, h), rows) <- batch.groupBy(r => (r._2, r._3)))
+          if (!owner.contains((b, h)))
+            owner((b, h)) = rows.map(_._1).min
+        for ((d, rows) <- batch.groupBy(_._1))
+          res(d) = rows.forall { case (_, b, h) => owner((b, h)) == d }
+      }
+      res.toMap
+    }
+    val perms = Seq(0, 1, 2).permutations.toSeq
+    assert(perms.exists(p => admitFor(p) == gotAdmit),
+      "admission must equal the arrival-order ownership fold for the split order the source chose")
+    // the planted twins share every band: they can never BOTH be admitted
+    // (at most one — a corpus doc owning one of the tile's bands may
+    // block both)
+    assert(!(gotAdmit(9001L) && gotAdmit(9002L)),
+      "planted identical-tile twins must not both pass the gate")
+    assert(gotAdmit.values.exists(identity),
+      "fixture must admit at least one doc")
+  }
 }
