@@ -497,5 +497,139 @@ object ExtraQueries {
         .start()
       graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
+    },
+
+    // Bag-semantics set operations (q29) — EXCEPT ALL / INTERSECT ALL, the
+    // multiplicity-preserving verbs q07/q22's set-semantics family can't
+    // express: per nation key, except_all keeps max(0, |customer| −
+    // |supplier|) copies and intersect_all min(|c|, |s|) — the counts
+    // prove the bag arithmetic. Spark plans both as one aggregate-and-join
+    // (no per-copy work); output is |nations|-bounded.
+    QueryDef("q29_bag_setops",
+      """SELECT op, nk, count(*) AS n FROM (
+           SELECT 'except_all' AS op, nk FROM
+             (SELECT c_nationkey AS nk FROM customer
+              EXCEPT ALL SELECT s_nationkey AS nk FROM supplier)
+           UNION ALL
+           SELECT 'intersect_all' AS op, nk FROM
+             (SELECT c_nationkey AS nk FROM customer
+              INTERSECT ALL SELECT s_nationkey AS nk FROM supplier))
+         GROUP BY 1, 2""") { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      c.exceptAll(su).groupBy("nk").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("nk"), col("n"))
+        .unionByName(c.intersectAll(su).groupBy("nk").agg(count(lit(1)).as("n"))
+          .select(lit("intersect_all").as("op"), col("nk"), col("n")))
+    },
+
+    // Lang × source mutual information (x138) — the corpus-COMPOSITION
+    // dependence audit: MI(lang, source) = 0 means languages are spread
+    // evenly across sources (a corpus mix can rebalance either axis
+    // independently); high MI means language identity is locked to
+    // specific sources, so dropping a source silently drops a language.
+    // Per cell: the pointwise MI and its exact contribution term; the
+    // corpus MI rides every row. Determinism: the x69 idiom — each cell's
+    // ln snaps to 1e-9 fixed point int64 BEFORE the cross-cell sum (floor
+    // rounds negatives identically in both engines), so the total is an
+    // exact integer sum divided once at the end. Scale: one
+    // map-side-combined (source, lang) groupBy off the corpus; everything
+    // after runs on the enumeration-sized cell/marginal frames
+    // (limit-bounded broadcasts, the x69 pattern).
+    QueryDef("x138_lang_source_mi",
+      """WITH cxy AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+         cx AS (SELECT source, sum(c) AS cs FROM cxy GROUP BY 1),
+         cy AS (SELECT lang, sum(c) AS cl FROM cxy GROUP BY 1),
+         nn AS (SELECT sum(c) AS n FROM cxy),
+         cell AS (SELECT cxy.source, cxy.lang, cxy.c, cx.cs, cy.cl, nn.n,
+             CAST(floor(ln(cxy.c::DOUBLE * nn.n / (cx.cs * cy.cl)) * 1000000000 + 0.5)
+               AS BIGINT) AS lfp
+           FROM cxy JOIN cx USING (source) JOIN cy USING (lang) CROSS JOIN nn),
+         mi AS (SELECT sum(c * lfp) AS t, max(n) AS n FROM cell)
+         SELECT cell.source, cell.lang, CAST(cell.c AS BIGINT) AS n_docs,
+           round(cell.lfp / 1000000000.0, 6) AS pmi,
+           round(mi.t / (mi.n * 1000000000.0), 6) AS mi
+         FROM cell, mi""") { (s, d) =>
+      val cxy = t(s, d, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+      // limit(4096): no-ops — source/lang are curated enumerations;
+      // machine-visible bounds for PlanGuard's corpus-lineage check.
+      val cx = cxy.groupBy("source").agg(sum("c").as("cs")).limit(4096)
+      val cy = cxy.groupBy("lang").agg(sum("c").as("cl")).limit(4096)
+      val nn = cxy.agg(sum("c").as("n"))
+      val cell = cxy.join(broadcast(cx), "source").join(broadcast(cy), "lang")
+        .crossJoin(broadcast(nn))
+        .withColumn("lfp",
+          floor(log(col("c").cast("double") * col("n") / (col("cs") * col("cl")))
+            * 1000000000L + 0.5).cast("long"))
+      val mi = cell.agg(sum(col("c") * col("lfp")).as("t"), max("n").as("nt"))
+      cell.crossJoin(broadcast(mi))
+        .select(col("source"), col("lang"), col("c").cast("long").as("n_docs"),
+          round(col("lfp") / 1000000000.0, 6).as("pmi"),
+          round(col("t") / (col("nt") * 1000000000.0), 6).as("mi"))
+    },
+
+    // Approximate-percentile sketch audit (x139) — Spark's built-in
+    // percentile_approx (a Greenwald-Khanna-style mergeable summary, the
+    // quantile twin of x14's HLL) against the exact per-source length
+    // distribution. Sketch internals differ across engines, so the raw
+    // estimate is never value-compared (the x14 rule): the query emits the
+    // EXACT discrete percentiles plus booleans asserting the estimate's
+    // RANK sits within the documented n/accuracy guarantee (+1 for rank
+    // interval ends) — a false anywhere hash-mismatches the gate. Exact
+    // percentile = min length whose cumulative count reaches ceil(q·n),
+    // spelled identically in both engines (no quantile_disc midpoint
+    // ambiguity). Scale: one (source, len) groupBy with map-side combine;
+    // cumulative windows run per source over value-domain frames; the
+    // sketch itself is one mergeable agg over the corpus.
+    QueryDef("x139_approx_quantiles",
+      """WITH cnt AS (SELECT source, n_chars AS len, count(*) AS c
+             FROM documents GROUP BY 1, 2),
+         cum AS (SELECT source, len, c,
+             sum(c) OVER (PARTITION BY source ORDER BY len) AS cm FROM cnt),
+         tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+         ex AS (SELECT t.source, t.n,
+             min(CASE WHEN cum.cm >= (t.n + 1) // 2 THEN cum.len END) AS p50,
+             min(CASE WHEN cum.cm >= (9 * t.n + 9) // 10 THEN cum.len END) AS p90
+           FROM tot t JOIN cum ON cum.source = t.source GROUP BY 1, 2)
+         SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(p50 AS BIGINT) AS exact_p50, CAST(p90 AS BIGINT) AS exact_p90,
+           true AS p50_within_bound, true AS p90_within_bound
+         FROM ex""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("len"))
+      val cnt = base.groupBy("source", "len").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy("len")
+      val cum = cnt.withColumn("cm", sum("c").over(w))
+      // limit(4096): no-op — one row per curated source; PlanGuard bound.
+      val tot = cnt.groupBy("source").agg(sum("c").as("n")).limit(4096)
+      val ex = cum.join(broadcast(tot), "source")
+        .groupBy("source").agg(max("n").as("n"),
+          min(when(col("cm") >= expr("(n + 1) div 2"), col("len"))).as("p50"),
+          min(when(col("cm") >= expr("(9 * n + 9) div 10"), col("len"))).as("p90"))
+        .limit(4096)
+      val apx = base.groupBy("source")
+        .agg(percentile_approx(col("len"), array(lit(0.5), lit(0.9)), lit(10000))
+          .as("ap")).limit(4096)
+        .select(col("source"), col("ap")(0).as("a50"), col("ap")(1).as("a90"))
+      // rank interval of each estimate within its source's multiset
+      val rk = cum.join(broadcast(apx), "source")
+        .groupBy("source").agg(
+          sum(when(col("len") < col("a50"), col("c"))).as("lt50"),
+          sum(when(col("len") <= col("a50"), col("c"))).as("le50"),
+          sum(when(col("len") < col("a90"), col("c"))).as("lt90"),
+          sum(when(col("len") <= col("a90"), col("c"))).as("le90"))
+        .na.fill(0L, Seq("lt50", "le50", "lt90", "le90")).limit(4096)
+      ex.join(broadcast(rk), "source")
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          col("p50").cast("long").as("exact_p50"),
+          col("p90").cast("long").as("exact_p90"),
+          (col("lt50") * 10000 <= col("n") * 5000 + col("n") * 10 + 10000
+            && col("le50") * 10000 >= col("n") * 5000 - col("n") * 10 - 10000)
+            .as("p50_within_bound"),
+          (col("lt90") * 10000 <= col("n") * 9000 + col("n") * 10 + 10000
+            && col("le90") * 10000 >= col("n") * 9000 - col("n") * 10 - 10000)
+            .as("p90_within_bound"))
     })
 }

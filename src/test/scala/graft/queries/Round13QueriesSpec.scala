@@ -180,6 +180,73 @@ class Round13QueriesSpec extends SparkSpec {
     assert(got(3L)._2 == 0L, "unrelated tile has no verified near-dup")
   }
 
+  test("q29 bag setops: multiplicity arithmetic per key") {
+    val rows = SparkEntry.queries("q29_bag_setops")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue) -> r.getLong(2)).toMap
+    def counts(tbl: String, c: String) =
+      spark.read.parquet(s"$sf/$tbl.parquet").groupBy(c).count().collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val cc = counts("customer", "c_nationkey")
+    val sc = counts("supplier", "s_nationkey")
+    for (nk <- (cc.keySet ++ sc.keySet)) {
+      val ex = math.max(0L, cc(nk) - sc(nk))
+      val in = math.min(cc(nk), sc(nk))
+      assert(rows.getOrElse(("except_all", nk), 0L) == ex, s"except_all nk=$nk")
+      assert(rows.getOrElse(("intersect_all", nk), 0L) == in, s"intersect_all nk=$nk")
+    }
+  }
+
+  test("x138: MI matches a driver-side exact fixed-point replication; independent fixture reads 0") {
+    // organic: replicate the 1e-9 fixed-point fold exactly
+    val cells = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cells.values.sum
+    val cx = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val cy = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    def lfp(c: Long, s: String, l: String): Long =
+      math.floor(math.log(c.toDouble * n / (cx(s) * cy(l))) * 1e9 + 0.5).toLong
+    val t = cells.map { case ((s, l), c) => c * lfp(c, s, l) }.sum
+    val expMi = BigDecimal(t) / BigDecimal(n) / BigDecimal(1000000000L)
+    val got = SparkEntry.queries("x138_lang_source_mi")(spark, sf).collect()
+    assert(got.length == cells.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(key))
+      assert(math.abs(r.getDouble(4) - expMi.toDouble) < 1e-6, "corpus MI")
+      val expPmi = lfp(cells(key), key._1, key._2) / 1e9
+      assert(math.abs(r.getDouble(3) - expPmi) < 1e-6, s"pmi of $key")
+    }
+    // planted independence: identical lang mix in every source -> MI = 0
+    import spark.implicits._
+    val dir = tmpDir("mi0")
+    (for (s <- Seq("sA", "sB"); (l, k) <- Seq("en" -> 2, "de" -> 1); i <- 1 to k)
+      yield (s, l, i))
+      .zipWithIndex.map { case ((s, l, _), i) => (i.toLong, s"text $i", l, s, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val z = SparkEntry.queries("x138_lang_source_mi")(spark, dir).collect()
+    assert(z.forall(_.getDouble(4) == 0.0), "independent table has MI exactly 0")
+    assert(z.forall(_.getDouble(3) == 0.0), "every cell PMI is 0 under independence")
+  }
+
+  test("x139: exact percentiles match a driver-side replication and bounds hold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = SparkEntry.queries("x139_approx_quantiles")(spark, sf).collect()
+    val bySource = docs.groupBy(_._1)
+    assert(got.length == bySource.size)
+    got.foreach { r =>
+      val vs = bySource(r.getString(0)).map(_._2).sorted
+      val n = vs.length
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == vs(((n + 1) / 2) - 1), "discrete p50")
+      assert(r.getLong(3) == vs(((9 * n + 9) / 10) - 1), "discrete p90")
+      assert(r.getBoolean(4) && r.getBoolean(5), "sketch ranks within bound")
+    }
+  }
+
   test("x137 organic: partner counts are symmetric pair mass; bands non-degenerate in blocking") {
     val rows = SparkEntry.queries("x137_media_phash")(spark, sf).collect()
     graft.util.SharedStages.releaseAll()
