@@ -631,5 +631,124 @@ object ExtraQueries {
           (col("lt90") * 10000 <= col("n") * 9000 + col("n") * 10 + 10000
             && col("le90") * 10000 >= col("n") * 9000 - col("n") * 10 - 10000)
             .as("p90_within_bound"))
+    },
+
+    // Z-order layout audit (x140) — the lakehouse data-clustering read
+    // (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the low 16 bits of
+    // the two join dimensions (l_partkey, l_suppkey) into one 32-bit
+    // Morton key, bucket the fact table by the key's top 6 bits (64
+    // z-range files), and report each bucket's per-dimension min/max
+    // envelope — exactly the footer stats a scan planner prunes on. The
+    // riding clustering factor per dimension (Σ bucket spans / 64·global
+    // span, 1e-6 fixed point) says how much data-skipping a predicate on
+    // that dimension gets from THIS layout: ~1/8 per dim for 64 z-buckets
+    // over two uniform dims vs 1/64 for a single-dim sort on that dim
+    // alone and ~1 for the other — the measured trade z-ordering makes.
+    // Exactness: the Morton fold is pure integer bit arithmetic, identical
+    // in both engines; spans/factors are exact int ratios snapped
+    // round-half-up. Scale: one map-side-combined 64-group aggregate over
+    // one corpus scan; everything after runs on 64 rows.
+    QueryDef("x140_zorder_layout",
+      """WITH z AS (SELECT
+             CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i + 1))))
+               AS BIGINT) AS zk,
+             l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         mz AS (SELECT max(zk) + 1 AS m1 FROM z),
+         b AS (SELECT (z.zk * 64) // mz.m1 AS bucket, count(*) AS n,
+             min(pk) AS pk_min, max(pk) AS pk_max,
+             min(sk) AS sk_min, max(sk) AS sk_max
+           FROM z, mz GROUP BY 1),
+         g AS (SELECT greatest(max(pk_max) - min(pk_min), 1) AS gp,
+             greatest(max(sk_max) - min(sk_min), 1) AS gs,
+             count(*) AS nb,
+             sum(pk_max - pk_min) AS sp, sum(sk_max - sk_min) AS ss FROM b)
+         SELECT b.bucket::BIGINT AS bucket, CAST(b.n AS BIGINT) AS n,
+           b.pk_min::BIGINT AS pk_min, b.pk_max::BIGINT AS pk_max,
+           b.sk_min::BIGINT AS sk_min, b.sk_max::BIGINT AS sk_max,
+           CAST((2 * g.sp * 1000000 + g.nb * g.gp) // (2 * g.nb * g.gp) AS BIGINT)
+             / 1000000.0 AS pk_cluster_factor,
+           CAST((2 * g.ss * 1000000 + g.nb * g.gs) // (2 * g.nb * g.gs) AS BIGINT)
+             / 1000000.0 AS sk_cluster_factor
+         FROM b, g""") { (s, d) =>
+      val z = t(s, d, "lineitem")
+        .select(expr("""CAST(aggregate(transform(sequence(0, 15), i ->
+              shiftleft(shiftright(CAST(l_partkey AS BIGINT), i) & 1, 2*i)
+            + shiftleft(shiftright(CAST(l_suppkey AS BIGINT), i) & 1, 2*i + 1)),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""").as("zk"),
+          col("l_partkey").cast("long").as("pk"), col("l_suppkey").cast("long").as("sk"))
+      val mz = z.agg((max("zk") + 1).as("m1"))
+      // limit(64): no-op — (zk·64) div m1 < 64 by construction;
+      // PlanGuard-visible bound.
+      val b = z.crossJoin(broadcast(mz))
+        .groupBy(expr("(zk * 64) div m1").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("pk").as("pk_min"), max("pk").as("pk_max"),
+          min("sk").as("sk_min"), max("sk").as("sk_max"))
+        .limit(64)
+      val g = b.agg(greatest(max("pk_max") - min("pk_min"), lit(1L)).as("gp"),
+        greatest(max("sk_max") - min("sk_min"), lit(1L)).as("gs"),
+        count(lit(1)).as("nb"),
+        sum(col("pk_max") - col("pk_min")).as("sp"),
+        sum(col("sk_max") - col("sk_min")).as("ss"))
+      b.crossJoin(broadcast(g))
+        .select(col("bucket").cast("long").as("bucket"), col("n").cast("long").as("n"),
+          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+          (expr("(2 * sp * 1000000 + nb * gp) div (2 * nb * gp)") / 1000000.0)
+            .as("pk_cluster_factor"),
+          (expr("(2 * ss * 1000000 + nb * gs) div (2 * nb * gs)") / 1000000.0)
+            .as("sk_cluster_factor"))
+    },
+
+    // KMV distinct sketch (x141) — the bottom-k estimator beside x14's
+    // HLL, with the property HLL lacks here: the k minimum md5-derived
+    // hash values are DETERMINISTIC and engine-independent, so the
+    // estimate itself is value-compared across engines, not just
+    // bound-checked. Per l_returnflag: exact distinct parts, the KMV
+    // estimate (k−1)·H / h_k over 60-bit hashes with k=256 (exact when
+    // the group has fewer than k distinct items — every hash is known),
+    // and a 3σ self-check (σ ≈ 1/√(k−2) ≈ 6.3%, gate at 20%) in exact
+    // integer cross-multiplication. Scale: the distinct collapse is the
+    // groupBy the exact count needs anyway; the bottom-k ride the
+    // bounded topk_min heap — k rows per (partition, group) cross the
+    // shuffle, the mergeable-sketch property that lets 1000 executors
+    // each keep 256 longs per group.
+    QueryDef("x141_kmv_distinct",
+      """WITH di AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+         h AS (SELECT l_returnflag,
+             CAST(list_sum(list_transform(generate_series(1, 15), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5('kmv|' || l_partkey::VARCHAR), i, 1)) - 1 AS BIGINT)
+               << (4 * (15 - i)))) AS BIGINT) AS hv
+           FROM di),
+         rk AS (SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn FROM h),
+         hks AS (SELECT l_returnflag, hv AS hk FROM rk WHERE rn = 256),
+         a AS (SELECT l_returnflag, count(*) AS exact_parts FROM h GROUP BY 1)
+         SELECT a.l_returnflag, CAST(a.exact_parts AS BIGINT) AS exact_parts,
+           CAST(CASE WHEN hks.hk IS NULL THEN a.exact_parts
+             ELSE (255::HUGEINT * 1152921504606846976) // hks.hk END AS BIGINT) AS kmv_est,
+           CASE WHEN hks.hk IS NULL THEN true
+             ELSE abs((255::HUGEINT * 1152921504606846976) // hks.hk - a.exact_parts) * 5
+                  <= a.exact_parts END AS within_3sigma
+         FROM a LEFT JOIN hks USING (l_returnflag)""") { (s, d) =>
+      val dec = "decimal(38,0)"
+      val di = t(s, d, "lineitem").select("l_returnflag", "l_partkey").distinct()
+      val h = di.select(col("l_returnflag"),
+        conv(substring(md5(concat(lit("kmv|"), col("l_partkey").cast("string"))), 1, 15),
+          16, 10).cast("long").as("hv"))
+      val a = h.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_parts"),
+          graft.ops.TopK.topk_min(col("hv"), 256).as("bk"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(col("exact_parts") >= 256, element_at(col("bk"), 256)).as("hk"))
+      a.withColumn("kmv_est",
+          when(col("hk").isNull, col("exact_parts").cast("long"))
+            .otherwise(expr(
+              s"CAST((CAST(255 AS $dec) * CAST(1152921504606846976 AS $dec)) div CAST(hk AS $dec) AS BIGINT)")))
+        .select(col("l_returnflag"), col("exact_parts").cast("long").as("exact_parts"),
+          col("kmv_est"),
+          (col("hk").isNull
+            || abs(col("kmv_est") - col("exact_parts")) * 5 <= col("exact_parts"))
+            .as("within_3sigma"))
     })
 }

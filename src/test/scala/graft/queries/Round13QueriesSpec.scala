@@ -247,6 +247,83 @@ class Round13QueriesSpec extends SparkSpec {
     }
   }
 
+  test("x140: morton envelopes cover the corpus; cluster factors replicate driver-side") {
+    val rows = SparkEntry.queries("x140_zorder_layout")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    // driver-side morton + bucket replication
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val zk = li.map { case (p, sk) => (morton(p, sk), p, sk) }
+    val m1 = zk.map(_._1).max + 1
+    val buckets = zk.groupBy(t => t._1 * 64 / m1)
+    assert(rows.map(_.getLong(0)).toSet == buckets.keySet)
+    var sp = 0L; var ss = 0L
+    rows.foreach { r =>
+      val b = buckets(r.getLong(0))
+      assert(r.getLong(1) == b.length.toLong)
+      assert(r.getLong(2) == b.map(_._2).min && r.getLong(3) == b.map(_._2).max)
+      assert(r.getLong(4) == b.map(_._3).min && r.getLong(5) == b.map(_._3).max)
+      sp += b.map(_._2).max - b.map(_._2).min
+      ss += b.map(_._3).max - b.map(_._3).min
+    }
+    val nb = buckets.size
+    val gp = math.max(rows.map(_.getLong(3)).max - rows.map(_.getLong(2)).min, 1L)
+    val gs = math.max(rows.map(_.getLong(5)).max - rows.map(_.getLong(4)).min, 1L)
+    val expPk = (2 * sp * 1000000 + nb * gp) / (2 * nb * gp) / 1e6
+    val expSk = (2 * ss * 1000000 + nb * gs) / (2 * nb * gs) / 1e6
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(6) - expPk) < 1e-9, "pk cluster factor")
+      assert(math.abs(r.getDouble(7) - expSk) < 1e-9, "sk cluster factor")
+    }
+    // z-buckets must localize BOTH dims better than random placement
+    // (factor 1.0); with 2+ buckets each factor is strictly below 1
+    if (nb >= 2) assert(expPk < 1.0 && expSk < 1.0)
+  }
+
+  test("x141: KMV matches a driver-side bottom-k replication; exact when group < k") {
+    val rows = SparkEntry.queries("x141_kmv_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_partkey").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue)).distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(pk: Long): Long = {
+      val hex = md.digest(s"kmv|$pk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for ((flag, grp) <- li.groupBy(_._1)) {
+      val hs = grp.map(p => hv(p._2)).sorted
+      val exact = hs.length.toLong
+      val est = if (exact < 256) exact
+        else (BigInt(255) * BigInt(1152921504606846976L) / BigInt(hs(255))).toLong
+      val (gotExact, gotEst, gotOk) = rows(flag)
+      assert(gotExact == exact, s"$flag exact")
+      assert(gotEst == est, s"$flag kmv estimate (deterministic, value-compared)")
+      assert(gotOk == (math.abs(est - exact) * 5 <= exact), s"$flag bound flag")
+    }
+  }
+
+  test("x141 planted: a tiny group is exact (every hash known)") {
+    import spark.implicits._
+    val dir = tmpDir("kmv")
+    (1 to 40).map(i => (s"F", i.toLong, 1.0, 1.0, 1.0,
+      java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("l_returnflag", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      .withColumn("l_linestatus", org.apache.spark.sql.functions.lit("O"))
+      .withColumn("l_orderkey", col("l_partkey"))
+      .withColumn("l_suppkey", col("l_partkey"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("x141_kmv_distinct")(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 40L && got.head.getLong(2) == 40L
+      && got.head.getBoolean(3), "sub-k group returns the exact count")
+  }
+
   test("x137 organic: partner counts are symmetric pair mass; bands non-degenerate in blocking") {
     val rows = SparkEntry.queries("x137_media_phash")(spark, sf).collect()
     graft.util.SharedStages.releaseAll()
