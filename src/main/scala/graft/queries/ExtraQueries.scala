@@ -671,12 +671,17 @@ object ExtraQueries {
            CAST((2 * g.ss * 1000000 + g.nb * g.gs) // (2 * g.nb * g.gs) AS BIGINT)
              / 1000000.0 AS sk_cluster_factor
          FROM b, g""") { (s, d) =>
+      // Flat 32-term shift expression, NOT a higher-order aggregate fold:
+      // the lambda form allocates a 16-element array per row and runs
+      // interpreted; this codegens into one projection (measured 6.6 s →
+      // scan-bound on the same input).
+      val mortonTerms = (0 until 16).flatMap(i => Seq(
+        s"shiftleft(shiftright(pk, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright(sk, $i) & 1, ${2 * i + 1})")).mkString(" + ")
       val z = t(s, d, "lineitem")
-        .select(expr("""CAST(aggregate(transform(sequence(0, 15), i ->
-              shiftleft(shiftright(CAST(l_partkey AS BIGINT), i) & 1, 2*i)
-            + shiftleft(shiftright(CAST(l_suppkey AS BIGINT), i) & 1, 2*i + 1)),
-            CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""").as("zk"),
-          col("l_partkey").cast("long").as("pk"), col("l_suppkey").cast("long").as("sk"))
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+        .withColumn("zk", expr(s"CAST($mortonTerms AS BIGINT)"))
       val mz = z.agg((max("zk") + 1).as("m1"))
       // limit(64): no-op — (zk·64) div m1 < 64 by construction;
       // PlanGuard-visible bound.
