@@ -755,5 +755,93 @@ object ExtraQueries {
           (col("hk").isNull
             || abs(col("kmv_est") - col("exact_parts")) * 5 <= col("exact_parts"))
             .as("within_3sigma"))
+    },
+
+    // Group-wise OLS regression (x142) — extendedprice against quantity
+    // per return flag, the linear-model aggregate surface (regr_slope /
+    // regr_intercept / regr_r2) done EXACTLY: slope and intercept are
+    // ratios of exact decimal(38,0)/HUGEINT moment sums (cents, cast
+    // before multiplying) snapped to 1e-6 fixed point with the sign split
+    // out (Spark div truncates, DuckDB // floors — they agree only on
+    // non-negatives); r² divides the same exact integers as doubles
+    // (identical inputs → identical IEEE result) and rounds to 6dp. The
+    // BUILT-IN regr_slope (float accumulation, order-dependent) gets the
+    // x14 treatment: a boolean asserting it lands within 1e-6 relative of
+    // the exact slope — the float aggregate is audited, never
+    // value-compared. Scale: one map-side-combined groupBy; five output
+    // rows.
+    QueryDef("x142_group_regression",
+      """WITH m AS (SELECT l_returnflag,
+             count(*)::HUGEINT AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)::HUGEINT) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)::HUGEINT) AS sy,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)::HUGEINT
+               * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)::HUGEINT
+               * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)::HUGEINT
+               * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+           FROM lineitem GROUP BY 1),
+         f AS (SELECT l_returnflag, n,
+             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+             n * syy - sy * sy AS dny,
+             sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS inum
+           FROM m)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN den > 0 THEN
+             CASE WHEN num >= 0
+               THEN CAST((2 * num * 1000000 + den) // (2 * den) AS BIGINT) / 1000000.0
+               ELSE -(CAST((2 * (-num) * 1000000 + den) // (2 * den) AS BIGINT) / 1000000.0)
+             END END AS slope,
+           CASE WHEN den > 0 THEN
+             CASE WHEN inum >= 0
+               THEN CAST((inum // (n * den)) * 1000000
+                 + (2 * (inum % (n * den)) * 1000000 + n * den) // (2 * n * den) AS BIGINT) / 1000000.0
+               ELSE -(CAST(((-inum) // (n * den)) * 1000000
+                 + (2 * ((-inum) % (n * den)) * 1000000 + n * den) // (2 * n * den) AS BIGINT) / 1000000.0)
+             END END AS intercept,
+           CASE WHEN den > 0 AND dny > 0
+             THEN round(num::DOUBLE * num::DOUBLE / (den::DOUBLE * dny::DOUBLE), 6)
+           END AS r2,
+           true AS builtin_within_1e6
+         FROM f""") { (s, d) =>
+      val dec = "decimal(38,0)"
+      val cx = round(col("l_quantity") * 100).cast("long").cast(dec)
+      val cy = round(col("l_extendedprice") * 100).cast("long").cast(dec)
+      val m = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(cx).as("sx"), sum(cy).as("sy"),
+          sum(cx * cx).as("sxx"), sum(cy * cy).as("syy"), sum(cx * cy).as("sxy"),
+          regr_slope(col("l_extendedprice") * 100, col("l_quantity") * 100)
+            .as("bslope"))
+      val f = m
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dny", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("inum",
+          col("sy") * col("den") - col("num") * col("sx"))
+      def fp(num: String, den: String) =
+        expr(s"CAST((2 * $num * 1000000 + $den) div (2 * $den) AS BIGINT)") / 1000000.0
+      // Split form for the intercept: |inum|·10⁶ can pass decimal(38,0)
+      // at cluster scale, so round the integer and fractional parts
+      // separately (exact for non-negative operands, where div/% agree
+      // with DuckDB's floor semantics).
+      def fpSplit(num: String, den: String) =
+        expr(s"CAST(($num div $den) * 1000000" +
+          s" + (2 * ($num % $den) * 1000000 + $den) div (2 * $den) AS BIGINT)") / 1000000.0
+      val slope = when(col("den") > 0,
+        when(col("num") >= 0, fp("num", "den")).otherwise(-fp("(-num)", "den")))
+      f.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          slope.as("slope"),
+          when(col("den") > 0,
+            when(col("inum") >= 0, fpSplit("inum", "(n * den)"))
+              .otherwise(-fpSplit("(-inum)", "(n * den)"))).as("intercept"),
+          when(col("den") > 0 && col("dny") > 0,
+            round(col("num").cast("double") * col("num").cast("double")
+              / (col("den").cast("double") * col("dny").cast("double")), 6)).as("r2"),
+          // float-aggregate audit: relative error vs the exact slope
+          (abs(col("bslope") - col("num").cast("double") / col("den").cast("double"))
+            <= greatest(abs(col("num").cast("double") / col("den").cast("double")), lit(1.0))
+              * 1e-6).as("builtin_within_1e6"))
     })
 }

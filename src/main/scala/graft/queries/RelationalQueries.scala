@@ -373,5 +373,65 @@ object RelationalQueries {
             .cast("long").as("gid"),
           count(lit(1)).as("n"),
           (sum(cents(col("o_totalprice"))).cast("double") / 100).as("sum_price"))
+    },
+
+    // Ranking-function family (q30) — rank / dense_rank / percent_rank /
+    // cume_dist over a TIED ordering (coarse $1k balance bands, so the
+    // gap-vs-dense and peer-group semantics actually fire) plus ntile(4)
+    // over a tie-free total order (ntile splits by POSITION, so ties would
+    // make it order-dependent — the tie-free key keeps it deterministic).
+    // percent_rank/cume_dist are small-int ratios — IEEE division of
+    // identical integers is bit-identical in both engines. One partitioned
+    // window shuffle on the nation key.
+    QueryDef("q30_rank_family",
+      """SELECT c_nationkey::BIGINT AS nation, c_custkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(rank() OVER wt AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+           round(percent_rank() OVER wt, 6) AS pr,
+           round(cume_dist() OVER wt, 6) AS cd,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+             ORDER BY floor(c_acctbal / 1000), c_custkey) AS BIGINT) AS quartile
+         FROM customer
+         WINDOW wt AS (PARTITION BY c_nationkey ORDER BY floor(c_acctbal / 1000))""") { (s, d) =>
+      val band = floor(col("c_acctbal") / 1000)
+      val wt = Window.partitionBy("c_nationkey").orderBy(band)
+      val wn = Window.partitionBy("c_nationkey").orderBy(band, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"), col("c_custkey"),
+          band.cast("long").as("bal_band"),
+          rank().over(wt).cast("long").as("rnk"),
+          dense_rank().over(wt).cast("long").as("drnk"),
+          round(percent_rank().over(wt), 6).as("pr"),
+          round(cume_dist().over(wt), 6).as("cd"),
+          ntile(4).over(wn).cast("long").as("quartile"))
+    },
+
+    // Time-based RANGE frame (q31) — the interval sibling of q24's ROWS
+    // frames: per user, the trailing-24h event count and payload sum at
+    // every event. RANGE frames include ALL peers of the current order
+    // key, so the result is deterministic even under duplicate timestamps
+    // (a ROWS frame there would depend on physical row order). Spark's
+    // range runs on exact epoch micros; DuckDB's on the timestamp with an
+    // INTERVAL bound — the same inclusive [ts−24h, ts] window. One
+    // user-partitioned shuffle, the events family's shared exchange.
+    QueryDef("q31_range_interval_window",
+      """SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(sum(k) OVER w AS BIGINT) AS sum_k_24h
+         FROM (SELECT event_id, user_id, ts,
+                 coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"))
+        .rangeBetween(-86400000000L, 0L)
+      QueryDef.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts)").as("tsu"),
+          coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("long").as("n_24h"),
+          sum("k").over(w).cast("long").as("sum_k_24h"))
     })
 }

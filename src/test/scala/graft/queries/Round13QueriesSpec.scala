@@ -247,6 +247,77 @@ class Round13QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q30 rank family: tie semantics and quartile balance replicate driver-side") {
+    val rows = SparkEntry.queries("q30_rank_family")(spark, sf).collect()
+    val byNation = rows.groupBy(_.getLong(0))
+    for ((_, rs) <- byNation) {
+      val n = rs.length
+      val bands = rs.map(_.getLong(2)).sorted
+      for (r <- rs) {
+        val b = r.getLong(2)
+        val below = bands.count(_ < b); val tied = bands.count(_ == b)
+        assert(r.getLong(3) == below + 1L, "rank = preceding + 1")
+        assert(r.getLong(4) == bands.distinct.count(_ <= b).toLong, "dense_rank")
+        val expPr = if (n == 1) 0.0 else below.toDouble / (n - 1)
+        assert(math.abs(r.getDouble(5) - math.rint(expPr * 1e6) / 1e6) < 1e-9
+          || math.abs(r.getDouble(5) - expPr) < 1e-6, "percent_rank")
+        val expCd = (below + tied).toDouble / n
+        assert(math.abs(r.getDouble(6) - expCd) < 1e-6, "cume_dist")
+      }
+      // ntile(4): bucket sizes differ by at most 1 and are ordered
+      val sizes = rs.groupBy(_.getLong(7)).view.mapValues(_.length).toMap
+      assert(sizes.keySet.forall(q => q >= 1 && q <= 4))
+      assert(sizes.values.max - sizes.values.min <= 1)
+    }
+  }
+
+  test("q31 range window: trailing 24h counts replicate driver-side incl. ts peers") {
+    val rows = SparkEntry.queries("q31_range_interval_window")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val ev = spark.sql(
+      s"""SELECT event_id, user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tsu,
+            coalesce(CAST(get_json_object(props, '$$.k') AS BIGINT), 0) AS k
+          FROM parquet.`$sf/events.parquet`""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((eid, uid, tsu, _) <- ev) {
+      val frame = ev.filter(e => e._2 == uid && e._3 >= tsu - 86400000000L && e._3 <= tsu)
+      assert(rows(eid) == ((frame.length.toLong, frame.map(_._4).sum)),
+        s"event $eid trailing-24h frame")
+    }
+  }
+
+  test("x142: OLS matches a driver-side exact BigInt replication; built-in audited") {
+    val rows = SparkEntry.queries("x142_group_regression")(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2) * 100)))
+    def fp6(num: BigInt, den: BigInt): Double = {
+      val q = num / den
+      (q * 1000000 + (2 * (num - q * den) * 1000000 + den) / (2 * den)).toDouble / 1e6
+    }
+    for (r <- rows) {
+      val g = li.filter(_._1 == r.getString(0))
+      val n = BigInt(g.length)
+      val sx = g.map(t => BigInt(t._2)).sum; val sy = g.map(t => BigInt(t._3)).sum
+      val sxx = g.map(t => BigInt(t._2) * t._2).sum
+      val syy = g.map(t => BigInt(t._3) * t._3).sum
+      val sxy = g.map(t => BigInt(t._2) * t._3).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val dny = n * syy - sy * sy
+      assert(r.getLong(1) == g.length.toLong)
+      val expSlope = if (num >= 0) fp6(num, den) else -fp6(-num, den)
+      assert(math.abs(r.getDouble(2) - expSlope) < 1e-9, s"slope ${r.getString(0)}")
+      val inum = sy * den - num * sx
+      val expIcpt = if (inum >= 0) fp6(inum, n * den) else -fp6(-inum, n * den)
+      assert(math.abs(r.getDouble(3) - expIcpt) < 1e-9, s"intercept ${r.getString(0)}")
+      val expR2 = num.toDouble * num.toDouble / (den.toDouble * dny.toDouble)
+      assert(math.abs(r.getDouble(4) - math.rint(expR2 * 1e6) / 1e6) < 1e-9
+        || math.abs(r.getDouble(4) - expR2) < 1e-6, s"r2 ${r.getString(0)}")
+      assert(r.getBoolean(5), "built-in regr_slope within 1e-6 relative")
+    }
+  }
+
   test("x140: morton envelopes cover the corpus; cluster factors replicate driver-side") {
     val rows = SparkEntry.queries("x140_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 64)
