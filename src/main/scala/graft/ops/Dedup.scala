@@ -655,51 +655,113 @@ object Dedup {
     * subsumed, and by whom") needs only the best few witnesses per doc.
     * The roll-up is a bounded-heap [[TopKMinExpr]] aggregate — O(N) state
     * per doc, N rows per (map partition, doc) shuffled, no per-doc sort —
-    * so output AND shuffle become linear in docs at fixed N. The pair
-    * JOIN still enumerates the candidates (that cost is the posting-cap's
-    * job to bound); `topNPerDoc = 0` returns the full pair set. */
+    * so output AND shuffle become linear in docs at fixed N.
+    *
+    * The `topNPerDoc > 0` path is additionally CLONE-IMMUNE (the r11
+    * x03/x64 rep-collapse, applied here): fingerprints are a pure
+    * function of text, so containment is a function of the exact-text
+    * REPRESENTATIVE pair — the winnow pass and the fingerprint equi-join
+    * run over reps only, and doc-level rows are a pure OUTPUT expansion.
+    * The hot-posting cap keeps its DOC-level semantics (per-fp posting
+    * weight = Σ clone multiplicity), so results are bitwise identical to
+    * the doc-level form — the 10× clone stress had measured the id-level
+    * join at Θ(clones²) per posting list. Expansion is bounded: the
+    * (ct desc, outer_id asc) tie-break means only each outer rep's N+1
+    * smallest member ids can ever appear in ANY doc's top-N (same-rep
+    * members precede on id; +1 covers a doc excluding itself), so the
+    * witness frame per inner rep is ≤ N+1 rows and the per-doc top-N is
+    * an in-row array filter+slice — no doc-level join or window anywhere.
+    * `topNPerDoc = 0` returns the full doc-level pair set (Θ(clique²)
+    * output by request — rep-collapse cannot shrink what the caller asked
+    * to materialize). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        window: Int = 4, minContain: Double = 0.5,
                        maxPosting: Int = 128, topNPerDoc: Int = 0): DataFrame = {
-    val p0 = graft.util.PersistScope.track(
-      winnowFingerprints(docs, idCol, textCol, window)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // Same one-shuffle hot-fingerprint drop as winnowCandidatePairs: the
-    // per-fp count window rides the fp partitioning instead of staging a
-    // separate hot frame for an anti-join.
-    val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val p = graft.util.PersistScope.track(
-      p0.withColumn("__m", count(lit(1)).over(pw))
-        .filter(col("__m") <= maxPosting).drop("__m")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nf = p.groupBy(col(idCol).as("inner_id")).agg(count(lit(1)).as("n_fp"))
-    val pairs = p.as("a").join(p.as("b"),
-        col("a.fp") === col("b.fp") && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("inner_id"), col(s"b.$idCol").as("outer_id"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .join(nf, "inner_id")
-      .withColumn("__cont", col("shared_fps").cast("double") / col("n_fp"))
-      .filter(col("__cont") >= minContain)
-    if (topNPerDoc <= 0)
-      pairs.select(col("inner_id"), col("outer_id"), col("shared_fps"),
-        col("n_fp").cast("long").as("n_fp_inner"),
-        round(col("__cont"), 6).as("containment"),
-        (col("__cont") >= 0.8).as("near_contained"))
-    else
-      // Bounded-heap top-N per inner doc: struct ordering is lexicographic,
-      // so (-containment, outer_id) ascending = containment desc with the
-      // id tie-break; the negation of a positive double is exact, so the
-      // order (and the recovered value) is bit-identical to the full form's.
-      pairs.groupBy(col("inner_id"), col("n_fp"))
-        .agg(TopK.topk_min(struct((-col("__cont")).as("nc"),
-          col("outer_id"), col("shared_fps")), topNPerDoc).as("top"))
-        .select(col("inner_id"), col("n_fp"), posexplode(col("top")).as(Seq("i", "t")))
+    if (topNPerDoc <= 0) {
+      val p0 = graft.util.PersistScope.track(
+        winnowFingerprints(docs, idCol, textCol, window)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // Same one-shuffle hot-fingerprint drop as winnowCandidatePairs: the
+      // per-fp count window rides the fp partitioning instead of staging a
+      // separate hot frame for an anti-join.
+      val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val p = graft.util.PersistScope.track(
+        p0.withColumn("__m", count(lit(1)).over(pw))
+          .filter(col("__m") <= maxPosting).drop("__m")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nf = p.groupBy(col(idCol).as("inner_id")).agg(count(lit(1)).as("n_fp"))
+      p.as("a").join(p.as("b"),
+          col("a.fp") === col("b.fp") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").as("inner_id"), col(s"b.$idCol").as("outer_id"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .join(nf, "inner_id")
+        .withColumn("__cont", col("shared_fps").cast("double") / col("n_fp"))
+        .filter(col("__cont") >= minContain)
+        .select(col("inner_id"), col("outer_id"), col("shared_fps"),
+          col("n_fp").cast("long").as("n_fp_inner"),
+          round(col("__cont"), 6).as("containment"),
+          (col("__cont") >= 0.8).as("near_contained"))
+    } else {
+      val keep = topNPerDoc + 1 // smallest ids per rep that can ever rank
+      // Exact-text groups: rep = min id, m = clone multiplicity, m9 = the
+      // `keep` smallest member ids (sorted — TopKMinExpr output order).
+      val gp = graft.util.PersistScope.track(
+        docs.groupBy(md5(col(textCol)).as("__h"))
+          .agg(min(col(idCol)).as("rep"), count(lit(1)).as("m"),
+            TopK.topk_min(col(idCol), keep).as("m9"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val rm = docs.select(col(idCol), md5(col(textCol)).as("__h"))
+        .join(gp.select("__h", "rep"), "__h").select(col(idCol), col("rep"))
+      val reps = docs.join(gp.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
+      val p0 = winnowFingerprints(reps, idCol, textCol, window)
+        .withColumnRenamed(idCol, "rep")
+        .join(gp.select("rep", "m"), "rep")
+      // Hot-posting drop with DOC-level semantics: the posting weight per
+      // fp is the summed clone multiplicity, identical to the id-level
+      // row count — the cap decision cannot depend on the collapse.
+      val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val p = graft.util.PersistScope.track(
+        p0.withColumn("__m", sum(col("m")).over(pw))
+          .filter(col("__m") <= maxPosting).select("rep", "fp")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nf = p.groupBy("rep").agg(count(lit(1)).as("n_fp"))
+      val cross = p.as("a").join(p.as("b"),
+          col("a.fp") === col("b.fp") && col("a.rep") =!= col("b.rep"))
+        .groupBy(col("a.rep").as("ri"), col("b.rep").as("ro"))
+        .agg(count(lit(1)).as("shared_fps"))
+      // Intra-group pairs: distinct clones of one text mutually contain
+      // each other at exactly 1.0 with shared = n_fp (identical fp sets).
+      val self = gp.filter(col("m") >= 2)
+        .select(col("rep").as("ri"), col("rep").as("ro"))
+        .join(nf.select(col("rep").as("ri"), col("n_fp").as("shared_fps")), "ri")
+      val rp = cross.unionByName(self)
+        .join(nf.select(col("rep").as("ri"), col("n_fp")), "ri")
+        .withColumn("__cont", col("shared_fps").cast("double") / col("n_fp"))
+        .filter(col("__cont") >= minContain)
+      // Witness candidates per inner rep: each outer rep contributes its
+      // `keep` smallest ids; the bounded heap keeps the global best
+      // `keep` in (ct desc, outer_id) order.
+      val wit = rp
+        .join(gp.select(col("rep").as("ro"), col("m9")), "ro")
+        .select(col("ri"), col("n_fp"), (-col("__cont")).as("nc"),
+          col("shared_fps"), explode(col("m9")).as("outer_id"))
+        .groupBy(col("ri"), col("n_fp"))
+        .agg(TopK.topk_min(struct(col("nc"), col("outer_id"),
+          col("shared_fps")), keep).as("top"))
+      // Doc-level output: drop the doc itself from its rep's witness list
+      // and enumerate the first N in-row — no join fan-out, no window.
+      rm.join(wit, rm("rep") === wit("ri"))
+        .withColumn("__w", slice(filter(col("top"),
+          w => w.getField("outer_id") =!= col(idCol)), 1, topNPerDoc))
+        .select(col(idCol).as("inner_id"), col("n_fp"),
+          posexplode(col("__w")).as(Seq("i", "t")))
         .select(col("inner_id"), col("t.outer_id").as("outer_id"),
           col("t.shared_fps").as("shared_fps"),
           col("n_fp").cast("long").as("n_fp_inner"),
           round(-col("t.nc"), 6).as("containment"),
           (-col("t.nc") >= 0.8).as("near_contained"),
           (col("i") + 1).as("rank"))
+    }
   }
 
   /** Exact dedup: one representative (min id) per identical text. */
