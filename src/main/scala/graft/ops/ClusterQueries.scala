@@ -693,5 +693,45 @@ object ClusterQueries {
           round(col("med"), 4).as("median_d2"),
           coalesce(col("n_out"), lit(0L)).cast("long").as("n_outliers"),
           (coalesce(col("n_out"), lit(0L)).cast("double") / col("n")).as("outlier_frac"))
+    },
+
+    // Per-dimension quantile (rank) normalization (x144) — the
+    // feature-preprocessing transform (rank-gauss / quantile-transform
+    // family) over the int8 embedding codes: each (vector, dim) value
+    // maps to its MIDRANK position within that dimension's corpus
+    // distribution, (cb + (cnt+1)/2)/n in [0,1] — ties share one value
+    // (midrank), so the output is independent of row order. Exactness:
+    // midrank is a rational of exact integer counts snapped to 1e-6
+    // round-half-up fixed point. Scale: the cumulative NEVER runs over
+    // corpus rows — int8 codes have a ≤256-value domain per dim, so the
+    // distribution frame is ≤ 64·256 rows; the per-dim window orders
+    // ≤256 rows, and the corpus is touched by one map-side-combined
+    // (dim, value) count and one (dim, value)-keyed join back (AQE
+    // broadcasts the tiny distribution frame at runtime). Output is one
+    // row per (vector, dim) — the transform's own product.
+    QueryDef("x144_rank_normalize",
+      s"""WITH $QuantCte,
+          x AS (SELECT vec_id, i AS dim, qv[i] AS v
+                FROM qb, unnest(generate_series(1, 64)) AS t(i)),
+          c AS (SELECT dim, v, count(*) AS cnt FROM x GROUP BY 1, 2),
+          cum AS (SELECT dim, v, cnt,
+              sum(cnt) OVER (PARTITION BY dim ORDER BY v) - cnt AS cb FROM c),
+          nn AS (SELECT count(*) AS n FROM qb)
+          SELECT x.vec_id, CAST(x.dim AS INT) AS dim, CAST(x.v AS INT) AS v,
+            CAST((2 * (2 * cum.cb + cum.cnt + 1) * 1000000 + 2 * nn.n)
+              // (4 * nn.n) AS BIGINT) / 1000000.0 AS qnorm
+          FROM x JOIN cum USING (dim, v) CROSS JOIN nn""") { (s, d) =>
+      val x = sharedInt8(s, d)
+        .select(col("vec_id"), posexplode(col("qv")).as(Seq("d0", "v")))
+        .select(col("vec_id"), (col("d0") + 1).cast("int").as("dim"),
+          col("v").cast("int").as("v"))
+      val cfr = x.groupBy("dim", "v").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("dim").orderBy("v")
+      val cum = cfr.withColumn("cb", sum("cnt").over(w) - col("cnt"))
+      val nn2 = sharedInt8(s, d).agg(count(lit(1)).as("n"))
+      x.join(cum, Seq("dim", "v")).crossJoin(broadcast(nn2))
+        .select(col("vec_id"), col("dim"), col("v"),
+          (expr("(2 * (2 * cb + cnt + 1) * 1000000 + 2 * n) div (4 * n)")
+            / 1000000.0).as("qnorm"))
     })
 }

@@ -862,6 +862,61 @@ object AnalyticsQueries {
           col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s").cast(dec)
             > col("s").cast(dec) * col("s").cast(dec))
           .otherwise(false).as("bursty"))
+    },
+
+    // SCD Type-2 history materialization (x143) — the warehouse
+    // versioning op: the per-user event-type stream collapses to one row
+    // per RUN of equal consecutive values, each carrying its validity
+    // interval [valid_from, valid_to) in exact epoch micros and an
+    // is_current flag on the open-ended last run — the
+    // slowly-changing-dimension table a change-log ingest materializes.
+    // Version numbers are a running count of change points (1-based).
+    // Determinism: (ts, event_id) is a total order per user, so runs,
+    // versions, and boundaries are unique; intervals are exact int64
+    // micros (no timestamp codec ambiguity crosses the gate). Scale: two
+    // user-partitioned windows (lag + running change-count — the q11
+    // shuffle, reused) + one (user, version) map-side-combined groupBy +
+    // one lead window over the RUNS frame (rows ∝ changes, not events).
+    QueryDef("x143_scd2_history",
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+           FROM events),
+         c AS (SELECT *, CASE WHEN pt IS NULL OR pt <> event_type THEN 1 ELSE 0 END AS chg
+           FROM o),
+         v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM c),
+         runs AS (SELECT user_id, version, min(tsu) AS vf,
+             max(event_type) AS event_type, count(*) AS n_events
+           FROM v GROUP BY 1, 2),
+         fin AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             CAST(vf AS BIGINT) AS valid_from_us,
+             CAST(lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS BIGINT)
+               AS valid_to_us,
+             CAST(n_events AS BIGINT) AS n_events
+           FROM runs)
+         SELECT user_id, version, event_type, valid_from_us, valid_to_us, n_events,
+           valid_to_us IS NULL AS is_current
+         FROM fin""") { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val v = QueryDef.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+          col("event_id"), col("event_type"))
+        .withColumn("pt", lag("event_type", 1).over(wo))
+        .withColumn("chg",
+          when(col("pt").isNull || col("pt") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(wr))
+      val runs = v.groupBy("user_id", "version")
+        .agg(min("tsu").as("vf"), max("event_type").as("event_type"),
+          count(lit(1)).as("n_events"))
+      val wl = Window.partitionBy("user_id").orderBy("version")
+      runs
+        .withColumn("valid_to_us", lead("vf", 1).over(wl))
+        .select(col("user_id"), col("version").cast("long").as("version"),
+          col("event_type"), col("vf").cast("long").as("valid_from_us"),
+          col("valid_to_us").cast("long").as("valid_to_us"),
+          col("n_events").cast("long").as("n_events"),
+          col("valid_to_us").isNull.as("is_current"))
     }
   )
 }

@@ -433,5 +433,32 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).cast("long").as("n_24h"),
           sum("k").over(w).cast("long").as("sum_k_24h"))
+    },
+
+    // FULL OUTER JOIN (q32) — the one outer-join variant the batch
+    // surface lacked (left at q-joins, semi/anti at q08, stream-stream
+    // outer at s11): customer records reconciled against the event log,
+    // keeping BOTH dangling sides — customers who never produced an event
+    // and event actors with no customer record, each tagged. The
+    // event side pre-aggregates to one row per user (map-side combine),
+    // so the outer join itself is key-to-key.
+    QueryDef("q32_full_outer",
+      """WITH ev AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+         SELECT CAST(coalesce(c.c_custkey, ev.user_id) AS BIGINT) AS key,
+           CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+           c.c_acctbal AS acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL AND ev.user_id IS NOT NULL THEN 'both'
+                WHEN c.c_custkey IS NOT NULL THEN 'customer_only'
+                ELSE 'events_only' END AS status
+         FROM customer c FULL OUTER JOIN ev ON ev.user_id = c.c_custkey""") { (s, d) =>
+      val ev = QueryDef.events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      c.join(ev, c("c_custkey") === ev("user_id"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("user_id")).cast("long").as("key"),
+          coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"),
+          col("c_acctbal").as("acctbal"),
+          when(col("c_custkey").isNotNull && col("user_id").isNotNull, "both")
+            .when(col("c_custkey").isNotNull, "customer_only")
+            .otherwise("events_only").as("status"))
     })
 }

@@ -318,6 +318,71 @@ class Round13QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q32 full outer: both dangling sides survive and statuses partition the keys") {
+    val rows = SparkEntry.queries("q32_full_outer")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getAs[Number](0).longValue).toSet
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(rows.keySet == (custs ++ users), "one row per key from either side")
+    for ((k, st) <- rows) {
+      val exp = if (custs(k) && users(k)) "both"
+        else if (custs(k)) "customer_only" else "events_only"
+      assert(st == exp, s"key $k")
+    }
+    assert(rows.valuesIterator.toSet.size >= 2, "fixture exercises dangling sides")
+  }
+
+  test("x143 SCD2: versions dense, intervals chain, one open run per user") {
+    val rows = SparkEntry.queries("x143_scd2_history")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    val evCount = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser.keySet == evCount.keySet)
+    for ((u, rs) <- byUser) {
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq, "dense versions")
+      assert(sorted.map(_.getLong(5)).sum == evCount(u), "run sizes partition the events")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) == b.getLong(3), "valid_to chains to next valid_from")
+          assert(a.getString(2) != b.getString(2), "adjacent runs change value")
+          assert(!a.getBoolean(6), "only the last run is open")
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last.isNullAt(4) && last.getBoolean(6), "last run open-ended and current")
+    }
+  }
+
+  test("x144: midrank normalization replicates driver-side; ties share one value") {
+    val rows = SparkEntry.queries("x144_rank_normalize")(spark, sf).collect()
+    graft.util.SharedStages.releaseAll()
+    val byDim = rows.groupBy(_.getInt(1))
+    assert(byDim.keySet == (1 to 64).toSet)
+    val n = rows.length / 64
+    for ((_, rs) <- byDim.take(8)) {
+      assert(rs.length == n)
+      val byV = rs.groupBy(_.getInt(2))
+      // midrank replication per distinct value
+      val counts = byV.view.mapValues(_.length).toMap
+      val sortedVs = counts.keys.toSeq.sorted
+      var cb = 0L
+      for (v <- sortedVs) {
+        val cnt = counts(v).toLong
+        val expFp = (2 * (2 * cb + cnt + 1) * 1000000L + 2 * n) / (4L * n)
+        byV(v).foreach { r =>
+          assert(math.round(r.getDouble(3) * 1e6) == expFp, s"v=$v midrank")
+        }
+        cb += cnt
+      }
+      // all qnorm in (0, 1]
+      assert(rs.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    }
+  }
+
   test("x140: morton envelopes cover the corpus; cluster factors replicate driver-side") {
     val rows = SparkEntry.queries("x140_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 64)
