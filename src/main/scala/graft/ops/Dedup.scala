@@ -605,23 +605,60 @@ object Dedup {
   def winnowCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                            window: Int = 4, minShared: Int = 2,
                            maxPosting: Int = 128): DataFrame = {
+    // CLONE-IMMUNE rep collapse (the x03/x64/containment pattern):
+    // fingerprints are a pure function of text, so the winnow pass and
+    // the fp self-join run over exact-text REPRESENTATIVES only and the
+    // doc-level pair set is a pure output expansion — shared counts are
+    // constant per rep pair, and intra-group pairs share the full
+    // (capped) fingerprint set by identity. The hot-posting cap keeps
+    // DOC-level semantics (posting weight = summed clone multiplicity),
+    // so results are bitwise identical to the id-level form; the 10×
+    // clone stress had measured the id-level join 18.6× slower purely on
+    // clone-inflated buckets. The expansion is the OUTPUT — Θ(m²) per
+    // m-clone group because the full pair set is what this API returns.
+    val gp = graft.util.PersistScope.track(
+      docs.groupBy(md5(col(textCol)).as("__h"))
+        .agg(min(col(idCol)).as("rep"), count(lit(1)).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rm = docs.select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(gp.select("__h", "rep"), "__h").select(col(idCol), col("rep"))
+    val reps = docs.join(gp.select(col("rep").as(idCol)), Seq(idCol), "left_semi")
     val p0 = graft.util.PersistScope.track(
-      winnowFingerprints(docs, idCol, textCol, window)
+      winnowFingerprints(reps, idCol, textCol, window)
+        .withColumnRenamed(idCol, "rep")
+        .join(gp.select("rep", "m"), "rep")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Hot-fingerprint drop WITHOUT a separate hot frame: a whole-partition
-    // count window over the fp partitioning filters over-cap posting lists
-    // in the SAME shuffle the pair self-join needs — no anti-join, no
-    // broadcast question (the r11 hint here assumed the hot set is tiny;
-    // it is corpus-LINEAR in the worst case — templated crawls), and no
-    // second pass over the posting frame.
+    // weight-sum window over the fp partitioning filters over-cap posting
+    // lists in the SAME shuffle the pair self-join needs — no anti-join,
+    // no broadcast question (the hot set is corpus-LINEAR in the worst
+    // case — templated crawls), and no second pass over the posting frame.
     val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val p = p0.withColumn("__m", count(lit(1)).over(pw))
-      .filter(col("__m") <= maxPosting).drop("__m")
-    p.as("a").join(p.as("b"),
-      col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    val p = graft.util.PersistScope.track(
+      p0.withColumn("__m", sum(col("m")).over(pw))
+        .filter(col("__m") <= maxPosting).select("rep", "fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cross = p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.rep") < col("b.rep"))
+      .groupBy(col("a.rep").as("r1"), col("b.rep").as("r2"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+    val nf = p.groupBy("rep").agg(count(lit(1)).as("n_fp"))
+    val intra = gp.filter(col("m") >= 2).select("rep")
+      .join(nf, "rep").filter(col("n_fp") >= minShared)
+      .select(col("rep").as("r1"), col("rep").as("r2"),
+        col("n_fp").as("shared_fps"))
+    val crossX = cross
+      .join(rm.select(col("rep").as("r1"), col(idCol).as("__i")), "r1")
+      .join(rm.select(col("rep").as("r2"), col(idCol).as("__j")), "r2")
+      .select(least(col("__i"), col("__j")).as("id1"),
+        greatest(col("__i"), col("__j")).as("id2"), col("shared_fps"))
+    val intraX = intra
+      .join(rm.select(col("rep").as("r1"), col(idCol).as("__i")), "r1")
+      .join(rm.select(col("rep").as("r2"), col(idCol).as("__j")), "r2")
+      .filter(col("__i") < col("__j"))
+      .select(col("__i").as("id1"), col("__j").as("id2"), col("shared_fps"))
+    crossX.unionByName(intraX)
   }
 
   /** Asymmetric near-CONTAINMENT pairs over winnowed fingerprints: for each
