@@ -917,6 +917,50 @@ object AnalyticsQueries {
           col("valid_to_us").cast("long").as("valid_to_us"),
           col("n_events").cast("long").as("n_events"),
           col("valid_to_us").isNull.as("is_current"))
+    },
+
+    // x143 maintained AT ARRIVAL (s27) — the streaming CDC/SCD2 shape: a
+    // type change closes the current version (final row, emitted once)
+    // and opens the next; the open run re-emits its running row each
+    // batch, so the latest emission per (user, version) IS the table
+    // state. The fold here takes closed rows as final and, among open
+    // re-emissions, the largest n_events (monotone within a version).
+    // State: one (version, type, valid_from, n_events) tuple per user —
+    // constant forever, watermark-free. Oracle = x143's batch SQL
+    // verbatim; runner in EventStream.runScd2.
+    QueryDef("s27_stream_scd2",
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+           FROM events),
+         c AS (SELECT *, CASE WHEN pt IS NULL OR pt <> event_type THEN 1 ELSE 0 END AS chg
+           FROM o),
+         v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM c),
+         runs AS (SELECT user_id, version, min(tsu) AS vf,
+             max(event_type) AS event_type, count(*) AS n_events
+           FROM v GROUP BY 1, 2),
+         fin AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             CAST(vf AS BIGINT) AS valid_from_us,
+             CAST(lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS BIGINT)
+               AS valid_to_us,
+             CAST(n_events AS BIGINT) AS n_events
+           FROM runs)
+         SELECT user_id, version, event_type, valid_from_us, valid_to_us, n_events,
+           valid_to_us IS NULL AS is_current
+         FROM fin""") { (s, d) =>
+      val name = "s27_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runScd2(s, d, name)
+      graft.streaming.EventStream.awaitDone(q)
+      val raw = q.sparkSession.table(name)
+      raw.groupBy("user_id", "version")
+        .agg(max(struct(
+          when(col("is_current"), 0).otherwise(1).as("cl"),
+          col("n_events").as("ne"), col("valid_to_us").as("vt"),
+          col("event_type").as("et"), col("valid_from_us").as("vf"))).as("b"))
+        .select(col("user_id"), col("version"),
+          col("b.et").as("event_type"), col("b.vf").as("valid_from_us"),
+          when(col("b.cl") === 1, col("b.vt")).as("valid_to_us"),
+          col("b.ne").as("n_events"), (col("b.cl") === 0).as("is_current"))
     }
   )
 }

@@ -252,6 +252,63 @@ object EventStream {
       .start()
   }
 
+  /** Streaming SCD Type-2 materialization (s27): x143's versioned
+    * history maintained AT ARRIVAL — the CDC shape: each user's
+    * event-type stream folds into runs; a type change CLOSES the current
+    * version (emitting its final [valid_from, valid_to) row) and opens
+    * the next; the OPEN run re-emits its running row each batch (Update
+    * mode), so the sink's latest emission per (user, version) is the
+    * current table state. State per user is one (version, type,
+    * valid_from, n_events) tuple — constant size forever, watermark-free.
+    * Emitted valid_to uses -1 as the OPEN sentinel (the batch-side fold
+    * null-ifies it); closed rows are final and the fold prefers them.
+    * Arrival-order contract as s21/s24: per-key in-order delivery,
+    * in-batch (ts, event_id) sort — a single-batch replay equals x143's
+    * batch windows bitwise. */
+  def runScd2(spark: SparkSession, dir: String, queryName: String,
+              glob: String = "events.parquet",
+              statePartitions: Option[Int] = Some(4),
+              maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val out = readEvents(session, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsm"), col("event_id").cast("long").as("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Long, Long),
+        (Long, Long, String, Long, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, String, Long, Long)]) =>
+          var (version, curType, validFrom, nEvents) =
+            state.getOption.getOrElse((0L, "", 0L, 0L))
+          val fired = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, String, Long, Long, Long, Boolean)]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, typ, tsm, _) =>
+            if (version == 0L) {
+              version = 1L; curType = typ; validFrom = tsm; nEvents = 1L
+            } else if (typ == curType) {
+              nEvents += 1L
+            } else {
+              fired += ((uid, version, curType, validFrom, tsm, nEvents, false))
+              version += 1L; curType = typ; validFrom = tsm; nEvents = 1L
+            }
+          }
+          if (version > 0L) // re-emit the open run's running row
+            fired += ((uid, version, curType, validFrom, -1L, nEvents, true))
+          state.update((version, curType, validFrom, nEvents))
+          fired.iterator
+      }
+      .toDF("user_id", "version", "event_type", "valid_from_us",
+        "valid_to_us", "n_events", "is_current")
+    out.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming LATENESS audit (s24): x123's out-of-order arrival
     * measurement maintained AT ARRIVAL — the live read that sizes
     * watermarks while the pipeline runs, instead of after the fact.

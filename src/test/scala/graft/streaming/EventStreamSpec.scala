@@ -93,6 +93,57 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.getLong(4) == batch.getLong(4))
   }
 
+  test("streaming SCD2 carries the open run across event-time-ordered micro-batches (s27)") {
+    import org.apache.spark.sql.functions._
+    // Split events into 3 files by TS range (cuts at distinct timestamps,
+    // so equal-ts rows never straddle a batch): per-user event-TIME order
+    // is preserved across batches — s27's in-order delivery contract —
+    // and a run that spans a batch boundary must continue, not restart.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("stream_scd2").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val tsu = expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    val tss = raw.select(tsu).collect().map(_.getLong(0)).sorted
+    val cuts = Seq(tss(tss.length / 3), tss(2 * tss.length / 3))
+    val parts = Seq(
+      raw.filter(tsu <= cuts(0)),
+      raw.filter(tsu > cuts(0) && tsu <= cuts(1)),
+      raw.filter(tsu > cuts(1)))
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val sub = s"$tmp/split_$i"
+      df.coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$tmp/events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = EventStream.runScd2(spark, tmp, "scd2_multibatch",
+      glob = "events_*.parquet", maxFilesPerTrigger = Some(1))
+    try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected multiple data micro-batches")
+    val raw2 = q.sparkSession.table("scd2_multibatch")
+    val streamed = raw2.groupBy("user_id", "version")
+      .agg(max(struct(
+        when(col("is_current"), 0).otherwise(1).as("cl"),
+        col("n_events").as("ne"), col("valid_to_us").as("vt"),
+        col("event_type").as("et"), col("valid_from_us").as("vf"))).as("b"))
+      .select(col("user_id"), col("version"), col("b.et"), col("b.vf"),
+        when(col("b.cl") === 1, col("b.vt")).as("vt"), col("b.ne"),
+        (col("b.cl") === 0).as("cur"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val batch = graft.SparkEntry.queries("x143_scd2_history")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(streamed == batch,
+      "streamed SCD2 table equals the batch materialization bitwise")
+    assert(batch.valuesIterator.exists(!_._5) && batch.valuesIterator.exists(_._5),
+      "fixture exercises both closed and open runs")
+  }
+
   test("sessionization is correct across multiple out-of-order micro-batches") {
     // Split the events table into 3 files by event_id % 3 — each file holds a
     // time-interleaved slice, so with maxFilesPerTrigger=1 every micro-batch
