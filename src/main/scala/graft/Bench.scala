@@ -18,6 +18,25 @@ import org.apache.spark.sql.SparkSession
   * (query, dir) pair the timed pass runs. */
 object Bench {
 
+  /** Single-threaded fixed-work spin probe (~0.1 s on an idle core): a
+    * 200M-step LCG whose wall time moves only with CPU contention /
+    * frequency throttling, never with code under test. Min-of-3 filters
+    * one-off scheduler hiccups; under sustained load every run slows, so
+    * the min still reads hot. */
+  private def spinProbeMs(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+      }
+      if (x == 42L) System.err.print("") // keep the loop live
+      (System.nanoTime() - t0) / 1e6
+    }
+    Seq.fill(3)(once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     // Optional first arg: comma-separated query names — iterate on one
     // query's timing without paying the whole suite (same idiom as Verify).
@@ -43,6 +62,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val spinStart = spinProbeMs()
     // Pre-build every cross-query shared stage under its own named timer
     // BEFORE the query loop. Whichever query first touches a SharedStages
     // frame otherwise absorbs its whole build, so per-query numbers
@@ -157,12 +177,29 @@ object Bench {
     // query ran first.
     val total = results.map(_._2).sum + stages.map(_._2).sum
     val coldTotal = cold.map(_._2).sum + stagesCold.map(_._2).sum
+    // Box-load guard (r13 verdict #2: the driver's BENCH_r13 cold/warm hit
+    // 3.4x vs the 1.4x historical band — a contended box reading as a 60%
+    // regression, with nothing in the artifact saying so). Two relative
+    // signals, either one marks the artifact untrustworthy as a
+    // cross-round comparison: the suite's own cold/warm ratio leaving the
+    // historical band (JIT+codegen explains ~1.4x; >2x means the cold pass
+    // ran on a different box state than the warm pass), and the spin probe
+    // drifting >1.5x between session start and end (load arrived
+    // mid-run). Absolute spin values are emitted too so same-box runs can
+    // be compared directly.
+    val spinEnd = spinProbeMs()
+    val boxHot = (results.nonEmpty && coldTotal / math.max(total, 1e-9) > 2.0) ||
+      spinEnd / math.max(spinStart, 1e-9) > 1.5
+    val loadJson =
+      s""""spin_ms_start":${math.round(spinStart * 10) / 10.0},""" +
+      s""""spin_ms_end":${math.round(spinEnd * 10) / 10.0},"box_hot":$boxHot"""
     // "queries"/"value" stay the WARM pass (measures plans); "cold" is the
     // same queries' first execution at this SF (includes Janino + JIT).
     // The full line is written to a file (/tmp/BENCH_LOCAL.json, or
     // $SPARK_GRAFT_BENCH_OUT) as the truncation-proof artifact of record.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,""" +
+      s"""$loadJson,""" +
       s""""n_queries":${results.size},"sf":"$sfDir","stages":${jmap(stages)},""" +
       s""""queries":${jmap(results)},"stages_cold":${jmap(stagesCold)},"cold":${jmap(cold)},""" +
       s""""first_pass":${jmap(firstPass.filter(kv => heavy(kv._1)))},""" +
@@ -177,7 +214,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","warm_total":${r3(total)},""" +
-      s""""cold_total":${r3(coldTotal)},"n":${results.size},"sf":"$sfDir",""" +
+      s""""cold_total":${r3(coldTotal)},$loadJson,"n":${results.size},"sf":"$sfDir",""" +
       s""""stages":${jmap(stages.map { case (k, v) => k -> r3(v) })},""" +
       s""""slowest":${jmap(slowest.map { case (k, v) => k -> r3(v) })}}"""
     println(compact)

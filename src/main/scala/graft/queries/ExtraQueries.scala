@@ -785,7 +785,7 @@ object ExtraQueries {
          f AS (SELECT l_returnflag, n,
              n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
              n * syy - sy * sy AS dny,
-             sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS inum
+             sy * sxx - sx * sxy AS inum
            FROM m)
          SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
            CASE WHEN den > 0 THEN
@@ -795,10 +795,10 @@ object ExtraQueries {
              END END AS slope,
            CASE WHEN den > 0 THEN
              CASE WHEN inum >= 0
-               THEN CAST((inum // (n * den)) * 1000000
-                 + (2 * (inum % (n * den)) * 1000000 + n * den) // (2 * n * den) AS BIGINT) / 1000000.0
-               ELSE -(CAST(((-inum) // (n * den)) * 1000000
-                 + (2 * ((-inum) % (n * den)) * 1000000 + n * den) // (2 * n * den) AS BIGINT) / 1000000.0)
+               THEN CAST((inum // den) * 1000000
+                 + (2 * (inum % den) * 1000000 + den) // (2 * den) AS BIGINT) / 1000000.0
+               ELSE -(CAST(((-inum) // den) * 1000000
+                 + (2 * ((-inum) % den) * 1000000 + den) // (2 * den) AS BIGINT) / 1000000.0)
              END END AS intercept,
            CASE WHEN den > 0 AND dny > 0
              THEN round(num::DOUBLE * num::DOUBLE / (den::DOUBLE * dny::DOUBLE), 6)
@@ -818,14 +818,20 @@ object ExtraQueries {
         .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
         .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
         .withColumn("dny", col("n") * col("syy") - col("sy") * col("sy"))
+        // sy*den - num*sx factors as n*(sy*sxx - sx*sxy) — divide the n out
+        // BEFORE multiplying: the reduced moment keeps the intercept under
+        // decimal(38,0)/HUGEINT to ~SF1e6 (sy*sxx ~ 6e35 at SF1e5 cents),
+        // where the unreduced sy*den form already overflows near SF1e2
+        // (it grows as SF^3; r13 shipped it with an overclaimed bound).
         .withColumn("inum",
-          col("sy") * col("den") - col("num") * col("sx"))
+          col("sy") * col("sxx") - col("sx") * col("sxy"))
       def fp(num: String, den: String) =
         expr(s"CAST((2 * $num * 1000000 + $den) div (2 * $den) AS BIGINT)") / 1000000.0
       // Split form for the intercept: |inum|·10⁶ can pass decimal(38,0)
       // at cluster scale, so round the integer and fractional parts
       // separately (exact for non-negative operands, where div/% agree
-      // with DuckDB's floor semantics).
+      // with DuckDB's floor semantics). Denominator is den, not n*den:
+      // inum already carries the n factored out (see above).
       def fpSplit(num: String, den: String) =
         expr(s"CAST(($num div $den) * 1000000" +
           s" + (2 * ($num % $den) * 1000000 + $den) div (2 * $den) AS BIGINT)") / 1000000.0
@@ -834,8 +840,8 @@ object ExtraQueries {
       f.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
           slope.as("slope"),
           when(col("den") > 0,
-            when(col("inum") >= 0, fpSplit("inum", "(n * den)"))
-              .otherwise(-fpSplit("(-inum)", "(n * den)"))).as("intercept"),
+            when(col("inum") >= 0, fpSplit("inum", "den"))
+              .otherwise(-fpSplit("(-inum)", "den"))).as("intercept"),
           when(col("den") > 0 && col("dny") > 0,
             round(col("num").cast("double") * col("num").cast("double")
               / (col("den").cast("double") * col("dny").cast("double")), 6)).as("r2"),

@@ -410,6 +410,9 @@ object PipelineQueries {
     // hot-bucket rule as a domain constant). Runs at the exact-dup REP
     // level like every pair family member. Output per hashed rep: its four
     // bands, band-blocked partner count, and verified near-dup count.
+    // CROSS-ENGINE INVARIANT: the kernel tiles UTF-8 BYTES, the oracle
+    // tiles CHARACTERS — they agree iff the corpus is pure ASCII, which
+    // Round13QueriesSpec pins loudly at both oracle SFs (r13 ADVICE).
     // Scale: kernel is one batched map over reps; blocking is a
     // (band, val)-keyed equi-join; hamming only on blocked pairs — nothing
     // all-pairs, nothing broadcast.

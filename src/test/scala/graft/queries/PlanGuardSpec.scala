@@ -211,14 +211,33 @@ class PlanGuardSpec extends SparkSpec {
         // the ANALYZED plan, where lineage is still whole. Analyzed-plan
         // quirks handled here: hints are still ResolvedHint NODES (JoinHint
         // is only attached by the optimizer), and a condition supplied via
-        // .where()/.filter() sits as a Filter ABOVE the join — treat such a
-        // join as conditioned (for uncached lineage the optimizedPlan walk
-        // independently verifies the pushdown actually happened).
-        def scanAnalyzedJoins(p: LogicalPlan, filterAbove: Boolean): Unit = p match {
+        // .where()/.filter() sits as a Filter ABOVE the join. A filter only
+        // CONDITIONS the join if it references attributes from BOTH sides
+        // (r13 ADVICE: a one-sided predicate above a crossJoin leaves the
+        // cartesian intact — for cached lineage the optimizedPlan walk
+        // cannot verify the pushdown, so the exemption must be earned
+        // here). Conditions are carried through Projects with aliases
+        // substituted, so a filter on a derived column still credits the
+        // sides its inputs came from.
+        def scanAnalyzedJoins(p: LogicalPlan,
+                              filtersAbove: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit = p match {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            scanAnalyzedJoins(f.child, filterAbove = true)
+            scanAnalyzedJoins(f.child, filtersAbove :+ f.condition)
+          case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            val aliasMap = pr.projectList.collect {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                a.toAttribute.exprId -> a.child
+            }.toMap
+            scanAnalyzedJoins(pr.child, filtersAbove.map(_.transform {
+              case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                  if aliasMap.contains(ar.exprId) => aliasMap(ar.exprId)
+            }))
           case j: Join =>
-            if (j.condition.isEmpty && !filterAbove) {
+            val conditioned = filtersAbove.exists { c =>
+              c.references.intersect(j.left.outputSet).nonEmpty &&
+                c.references.intersect(j.right.outputSet).nonEmpty
+            }
+            if (j.condition.isEmpty && !conditioned) {
               val bounded = j.left.maxRows.exists(_ <= 64) || j.right.maxRows.exists(_ <= 64)
               val hinted = Seq(j.left, j.right).exists(_.exists {
                 case rh: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
@@ -230,10 +249,10 @@ class PlanGuardSpec extends SparkSpec {
                 failures += s"${q.name}: no-condition join in ANALYZED plan, both sides " +
                   s"unbounded, no broadcast hint (${j.left.nodeName} x ${j.right.nodeName})"
             }
-            j.children.foreach(scanAnalyzedJoins(_, filterAbove = false))
-          case other => other.children.foreach(scanAnalyzedJoins(_, filterAbove))
+            j.children.foreach(scanAnalyzedJoins(_, Nil))
+          case other => other.children.foreach(scanAnalyzedJoins(_, filtersAbove))
         }
-        scanAnalyzedJoins(qe.analyzed, filterAbove = false)
+        scanAnalyzedJoins(qe.analyzed, Nil)
         var windowHits = 0
         qe.sparkPlan.foreach {
           case _: CartesianProductExec => failures += s"${q.name}: CartesianProductExec"

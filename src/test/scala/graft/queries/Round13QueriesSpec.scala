@@ -460,6 +460,25 @@ class Round13QueriesSpec extends SparkSpec {
       && got.head.getBoolean(3), "sub-k group returns the exact count")
   }
 
+  test("x137/s26 corpus invariant: documents.text is pure ASCII (byte-indexed kernel vs char-indexed oracle)") {
+    // The phash kernel tiles UTF-8 BYTES (Multimodal.mediaFromDocuments
+    // encodes text to binary) while the DuckDB oracle tiles CHARACTERS
+    // (ascii(substr(...)), length(text) >= 256). Bitwise cross-engine
+    // equality therefore rides on the corpus being pure ASCII — one
+    // multibyte character would shift byte/char alignment AND diverge the
+    // >=256 gate silently (r13 ADVICE). Pin the invariant loudly at both
+    // oracle SFs so a generator change fails here, not as an opaque hash
+    // mismatch in the correctness gate.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(org.apache.spark.sql.functions.octet_length(col("text"))
+          =!= org.apache.spark.sql.functions.length(col("text")))
+        .count()
+      assert(nonAscii == 0L,
+        s"$dir: $nonAscii docs with multibyte chars — x137/s26 oracles assume ASCII")
+    }
+  }
+
   test("x137 organic: partner counts are symmetric pair mass; bands non-degenerate in blocking") {
     val rows = SparkEntry.queries("x137_media_phash")(spark, sf).collect()
     graft.util.SharedStages.releaseAll()
