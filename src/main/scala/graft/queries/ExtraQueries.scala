@@ -425,14 +425,21 @@ object ExtraQueries {
       // against the corpus id set, not a corpus MinHash pass. (Production
       // stores the band table partitioned by source; the semi-join stands
       // in for that partition filter.)
+      // corpIds is CORPUS-sized (every stored doc), so the semi-joins are
+      // deliberately unhinted — r14's streaming plan guard flagged the
+      // broadcast hints that sat here (the r10/r12 deferred-OOM class:
+      // fine at sf0.1, dead at a billion stored ids). AQE broadcasts the
+      // id set per batch while it measures small; at scale the semi-join
+      // shuffles on corp_id like the production partition filter it
+      // stands in for.
       val corpIds = s.read.parquet(s"$d/documents.parquet")
         .filter(col("source") =!= "src0").select(col("doc_id").as("corp_id"))
       val corpBands = OpsQueries.sharedBandsFor(s, d)
         .select(col("doc_id").as("corp_id"), col("band"), col("band_hash"))
-        .join(broadcast(corpIds), Seq("corp_id"), "left_semi")
+        .join(corpIds, Seq("corp_id"), "left_semi")
       val corpSh = OpsQueries.sharedShinglesFor(s, d)
         .select(col("doc_id").as("corp_id"), col("s").as("corp_s"))
-        .join(broadcast(corpIds), Seq("corp_id"), "left_semi")
+        .join(corpIds, Seq("corp_id"), "left_semi")
       val incoming = graft.streaming.EventStream.streamReader(s, d, "documents.parquet")
         .filter(col("source") === "src0")
       val pairs = OpsQueries.stagedBandsWithShingles(incoming)

@@ -19,18 +19,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Every query awaitDone has replayed, in order: the plan-guard seam.
+    * Micro-batch plans live only on the StreamingQuery object after
+    * termination, so a guard spec that wants to walk them must get the
+    * reference from the one choke point every runner already passes
+    * through (r13 verdict #5: s01–s27's batch plans were the last
+    * unguarded plan surface). Drained by the reader; bounded in practice
+    * by one entry per replay. */
+  private[graft] val replayed =
+    new java.util.concurrent.ConcurrentLinkedQueue[StreamingQuery]()
+
   /** Block until an AvailableNow replay terminates; a timeout means the
     * memory sink is PARTIAL, and folding a partial table into a final
     * answer turns missing rows into wrong verdicts (an admission gate
     * like s25 would report every unprocessed doc as admitted). Fail
     * loudly instead of returning a silent partial pass. */
-  def awaitDone(q: StreamingQuery, timeoutMs: Long = 300000L): Unit =
+  def awaitDone(q: StreamingQuery, timeoutMs: Long = 300000L): Unit = {
+    replayed.add(q)
     if (!q.awaitTermination(timeoutMs)) {
       q.stop()
       throw new IllegalStateException(
         s"streaming replay '${q.name}' still active after $timeoutMs ms; " +
           "its sink table is partial and must not be read as final")
     }
+  }
 
   // Streaming-source schemas per (dir, glob): the schema probe is a batch
   // file-listing + footer read, a fixed ~50-100 ms repaid on every runner
@@ -738,13 +750,17 @@ object EventStream {
   }
 
   /** Stream-static enrichment join + aggregate: the events stream joined to
-    * a static dimension (per micro-batch broadcast hash join — the static
-    * side is a plain DataFrame, never streaming state) and aggregated per
-    * segment. The dimension re-reads per batch at most; at scale pin it with
-    * `.persist` or rely on the broadcast being segment-count sized. */
+    * a static dimension (plain equi-join per micro-batch — the static side
+    * is a DataFrame, never streaming state) and aggregated per segment.
+    * UNHINTED on purpose: customer is a corpus-scaling table (ScaleUp
+    * clones it; TPC-H grows it with SF), so a broadcast hint here is the
+    * deferred-OOM class the plan guard exists for — r14's new streaming
+    * guard caught exactly that hint on this join. AQE still broadcasts the
+    * dim per batch while it measures small; at 100 TB the join shuffles on
+    * user_id like any fact-dim join too big to ship. */
   def enrichedAgg(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(
-        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        customer.select(col("c_custkey"), col("c_mktsegment")),
         events("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),

@@ -29,83 +29,13 @@ import graft.SparkSpec
   *     exchanges): orderBy+limit must plan as TakeOrderedAndProject — a
   *     full global sort for a top-k is the classic scale killer.
   *
-  * Streaming queries (s01–s16) are excluded: their runners execute a
-  * micro-batch query with its own stateful plan shape; the batch plans
-  * here are the 100-TB surface. */
+  * Streaming queries (s01–s27) are excluded HERE: their runners execute
+  * micro-batch plans that never pass through a DataFrame's queryExecution
+  * — [[StreamPlanGuardSpec]] walks one captured micro-batch execution per
+  * runner with the same shared rules (PlanGuards). */
 class PlanGuardSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-
-  /** Corpus-scaling base tables: a broadcast of anything derived from these
-    * without a bounded-key reduction is the "fine at sf0.1, OOM at 100×"
-    * class (r10: pagerankScores broadcast two rep-sized frames). */
-  private val CorpusTables = Seq("documents", "embeddings", "events",
-    "customer", "lineitem", "orders", "supplier", "part")
-
-  /** NO grouping key earns boundedness credit by NAME (r11 hole: the old
-    * id-like-key regex missed `cluster_id` — one row per dup cluster, which
-    * grows linearly with the corpus — so x65/x77's cluster-frame broadcasts
-    * slipped through; `token`/`band_hash`/`fp` are equally corpus-scaling
-    * vocabularies, and any key is one rename away from invisibility).
-    * The ONLY lineage cuts are machine-visible: a scalar aggregate (1 row),
-    * a GlobalLimit (maxRows), or an explicit [[BroadcastWhitelist]] entry
-    * carrying the human boundedness argument. Genuinely k-bounded frames
-    * (k=8 kmeans cells, fixed bucket grids) must say so with a no-op
-    * `limit(k)` at the build site. */
-
-  private def isCorpusLeaf(p: LogicalPlan): Boolean = p match {
-    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-      lr.relation match {
-        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          fs.location.rootPaths.exists(rp =>
-            CorpusTables.exists(t => rp.toString.contains(t + ".parquet")))
-        case _ => false
-      }
-    // Cached shared stages must not launder corpus lineage: an
-    // InMemoryRelation whose cached plan has an UNCUT path to a corpus
-    // scan is still corpus-sized. Walk its physical plan with the same
-    // bounded-reduction rule (value-keyed aggregates and global limits cut).
-    case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-      unboundedCorpusPhysical(imr.cachedPlan)
-    case _ => false
-  }
-
-  /** The physical-plan twin of [[unboundedCorpusLineage]], for walking
-    * inside cached stages (their logical lineage is gone by cache time). */
-  private def unboundedCorpusPhysical(p: SparkPlan): Boolean = p match {
-    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-      // Scalar aggregate (1 row) cuts; ANY keyed aggregate gets no credit —
-      // key cardinality is invisible to static analysis (see header note).
-      if (a.groupingExpressions.isEmpty) false
-      else a.children.exists(unboundedCorpusPhysical)
-    case _: GlobalLimitExec => false
-    // A persisted frame whose plan ENDS in limit(k) plans that root-level
-    // limit as CollectLimitExec (GlobalLimitExec only appears mid-plan) —
-    // both are the same machine-visible k-bound. TakeOrdered is top-k.
-    case _: org.apache.spark.sql.execution.CollectLimitExec => false
-    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => false
-    case adaptive: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      unboundedCorpusPhysical(adaptive.executedPlan)
-    case scan: org.apache.spark.sql.execution.FileSourceScanExec =>
-      scan.relation.location.rootPaths.exists(rp =>
-        CorpusTables.exists(t => rp.toString.contains(t + ".parquet")))
-    case ims: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-      unboundedCorpusPhysical(ims.relation.cachedPlan)
-    case other => other.children.exists(unboundedCorpusPhysical)
-  }
-
-  /** True when `p` can reach a corpus-table leaf without passing through a
-    * scalar Aggregate or a GlobalLimit. Keyed aggregates do NOT cut —
-    * whether a grouping key's domain is bounded is a human argument, and
-    * humans sign it via limit(k) or the whitelist, never a key-name regex. */
-  private def unboundedCorpusLineage(p: LogicalPlan): Boolean = p match {
-    case a: Aggregate =>
-      if (a.groupingExpressions.isEmpty) false // scalar aggregate: 1 row
-      else a.children.exists(unboundedCorpusLineage) // keyed: no credit
-    case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => false
-    case leaf if leaf.children.isEmpty => isCorpusLeaf(leaf)
-    case other => other.children.exists(unboundedCorpusLineage)
-  }
 
   /** Author-signed exceptions to the broadcast-lineage check, each with
     * its boundedness argument. Keep this SHORT: every other bounded
@@ -188,17 +118,10 @@ class PlanGuardSpec extends SparkSpec {
         // visible — the optimized plan hides hints inside persisted stages
         // behind InMemoryRelation (the r11 blind spot: x90's hot-bucket
         // hints sat inside a cached subtree and were never seen).
-        qe.analyzed.foreach {
-          case rh: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-              if rh.hints.strategy
-                .contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
-            val side = rh.child
-            if (!side.maxRows.exists(_ <= 4096) && unboundedCorpusLineage(side)) {
-              broadcastHits += 1
-              broadcastDetail += s"  ${q.name} hinted side: " +
-                side.treeString.linesIterator.take(6).mkString(" | ").take(400)
-            }
-          case _ =>
+        PlanGuards.corpusBroadcastHints(qe.analyzed).foreach { side =>
+          broadcastHits += 1
+          broadcastDetail += s"  ${q.name} hinted side: " +
+            side.treeString.linesIterator.take(6).mkString(" | ").take(400)
         }
         if (broadcastHits > BroadcastWhitelist.getOrElse(q.name, 0))
           failures += s"${q.name}: $broadcastHits broadcast hint(s) over unreduced corpus lineage " +
@@ -208,51 +131,11 @@ class PlanGuardSpec extends SparkSpec {
         // blind spot the hint scan had until r11: a join built inside a
         // persisted SharedStages frame hides behind InMemoryRelation once
         // the cache substitutes in. Re-run the no-condition-join check on
-        // the ANALYZED plan, where lineage is still whole. Analyzed-plan
-        // quirks handled here: hints are still ResolvedHint NODES (JoinHint
-        // is only attached by the optimizer), and a condition supplied via
-        // .where()/.filter() sits as a Filter ABOVE the join. A filter only
-        // CONDITIONS the join if it references attributes from BOTH sides
-        // (r13 ADVICE: a one-sided predicate above a crossJoin leaves the
-        // cartesian intact — for cached lineage the optimizedPlan walk
-        // cannot verify the pushdown, so the exemption must be earned
-        // here). Conditions are carried through Projects with aliases
-        // substituted, so a filter on a derived column still credits the
-        // sides its inputs came from.
-        def scanAnalyzedJoins(p: LogicalPlan,
-                              filtersAbove: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit = p match {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            scanAnalyzedJoins(f.child, filtersAbove :+ f.condition)
-          case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
-            val aliasMap = pr.projectList.collect {
-              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-                a.toAttribute.exprId -> a.child
-            }.toMap
-            scanAnalyzedJoins(pr.child, filtersAbove.map(_.transform {
-              case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
-                  if aliasMap.contains(ar.exprId) => aliasMap(ar.exprId)
-            }))
-          case j: Join =>
-            val conditioned = filtersAbove.exists { c =>
-              c.references.intersect(j.left.outputSet).nonEmpty &&
-                c.references.intersect(j.right.outputSet).nonEmpty
-            }
-            if (j.condition.isEmpty && !conditioned) {
-              val bounded = j.left.maxRows.exists(_ <= 64) || j.right.maxRows.exists(_ <= 64)
-              val hinted = Seq(j.left, j.right).exists(_.exists {
-                case rh: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
-                  rh.hints.strategy
-                    .contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
-                case _ => false
-              })
-              if (!bounded && !hinted)
-                failures += s"${q.name}: no-condition join in ANALYZED plan, both sides " +
-                  s"unbounded, no broadcast hint (${j.left.nodeName} x ${j.right.nodeName})"
-            }
-            j.children.foreach(scanAnalyzedJoins(_, Nil))
-          case other => other.children.foreach(scanAnalyzedJoins(_, filtersAbove))
-        }
-        scanAnalyzedJoins(qe.analyzed, Nil)
+        // the ANALYZED plan, where lineage is still whole (the shared
+        // rule also enforces the r13 two-sided-filter exemption — see
+        // PlanGuards.analyzedJoinFailures).
+        PlanGuards.analyzedJoinFailures(qe.analyzed)
+          .foreach(m => failures += s"${q.name}: $m")
         var windowHits = 0
         qe.sparkPlan.foreach {
           case _: CartesianProductExec => failures += s"${q.name}: CartesianProductExec"
