@@ -856,5 +856,157 @@ object ExtraQueries {
           (abs(col("bslope") - col("num").cast("double") / col("den").cast("double"))
             <= greatest(abs(col("num").cast("double") / col("den").cast("double")), lit(1.0))
               * 1e-6).as("builtin_within_1e6"))
+    },
+
+    // Approximate string join (x145) — the entity-resolution / data-
+    // cleaning primitive the suite lacked: fuzzy-match part names by edit
+    // distance WITHOUT an all-pairs scan. The standard blocked shape: (1)
+    // collapse to the DISTINCT name vocabulary first (value-keyed — the
+    // rep-collapse discipline applied to strings: a billion part rows with
+    // the same 64 names pay 64 name comparisons); (2) block on a cheap
+    // key (last token — production: length band + first token) with a
+    // length-difference prune folded into the join condition (|len a −
+    // len b| > d_max proves lev > d_max, so the pair never materializes);
+    // (3) verify survivors with codegen'd levenshtein(≤3) — identical
+    // unit-cost semantics in Spark and DuckDB; (4) expand winners back by
+    // a name-keyed join. Hot blocks (a vocabulary sharing one noun) get
+    // the x90/x36 treatment: a whole-partition count window inside the
+    // block shuffle drops blocks over 4096 names before the self-join —
+    // no second pass, no broadcast. Output per distinct name: part count,
+    // match count, best match by (distance, name) — struct-min, identical
+    // lexicographic compare in both engines.
+    QueryDef("x145_fuzzy_name_join",
+      """WITH n AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+         b AS (SELECT p_name, n_parts, string_split(p_name, ' ')[-1] AS blk,
+                 length(p_name) AS ln FROM n
+               QUALIFY count(*) OVER (PARTITION BY string_split(p_name, ' ')[-1]) <= 4096),
+         p AS (SELECT a.p_name AS na, c.p_name AS nb,
+                 levenshtein(a.p_name, c.p_name) AS d
+               FROM b a JOIN b c ON a.blk = c.blk AND a.p_name <> c.p_name
+                 AND abs(a.ln - c.ln) <= 3),
+         f AS (SELECT na, nb, d FROM p WHERE d <= 3),
+         agg AS (SELECT na, count(*) AS n_matches,
+                   min({'d': d, 'nb': nb}) AS bst
+                 FROM f GROUP BY 1)
+         SELECT n.p_name, CAST(n.n_parts AS BIGINT) AS n_parts,
+           CAST(coalesce(agg.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(agg.bst.d AS BIGINT) AS best_d, agg.bst.nb AS best_match
+         FROM n LEFT JOIN agg ON agg.na = n.p_name""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = t(s, d, "part").groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      val b = n.select(col("p_name"), col("n_parts"),
+          element_at(split(col("p_name"), " "), -1).as("blk"),
+          length(col("p_name")).as("ln"))
+        .withColumn("__bn", count(lit(1)).over(Window.partitionBy("blk")))
+        .filter(col("__bn") <= 4096).drop("__bn")
+      val pairs = b.select(col("p_name").as("na"), col("blk"), col("ln"))
+        .join(b.select(col("p_name").as("nb"), col("blk"), col("ln").as("lnb")),
+          Seq("blk"))
+        .filter(col("na") =!= col("nb") && abs(col("ln") - col("lnb")) <= 3)
+        .select(col("na"), col("nb"), levenshtein(col("na"), col("nb")).as("d"))
+        .filter(col("d") <= 3)
+      val agg = pairs.groupBy("na").agg(count(lit(1)).as("n_matches"),
+        min(struct(col("d"), col("nb"))).as("bst"))
+      n.join(agg, n("p_name") === agg("na"), "left")
+        .select(col("p_name"), col("n_parts").cast("long").as("n_parts"),
+          coalesce(col("n_matches"), lit(0L)).cast("long").as("n_matches"),
+          col("bst.d").cast("long").as("best_d"), col("bst.nb").as("best_match"))
+    },
+
+    // Deterministic uniform corpus sample (x146) — the reproducible
+    // "give me k docs per source" every pipeline stage needs (eyeball QA,
+    // labeling batches, prompt-eval slices), done WITHOUT `ORDER BY
+    // rand()` (non-deterministic, full sort) and WITHOUT a per-source
+    // window sort over the corpus: rank = the x141 60-bit md5 hash (a
+    // uniform deterministic permutation of doc ids), and the k smallest
+    // per source ride the bounded topk_min heap — k structs per
+    // (partition, source) cross the shuffle, mergeable, so 1000 executors
+    // never materialize more than k rows per source each. Bottom-k of a
+    // uniform hash IS a uniform k-sample without replacement, and the
+    // same sample on every engine and every run.
+    QueryDef("x146_hash_sample",
+      """WITH h AS (SELECT source, doc_id,
+             CAST(list_sum(list_transform(generate_series(1, 15), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5('smp|' || doc_id::VARCHAR), i, 1)) - 1 AS BIGINT)
+               << (4 * (15 - i)))) AS BIGINT) AS hv
+           FROM documents),
+         rk AS (SELECT source, doc_id, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rnk FROM h)
+         SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, hv
+         FROM rk WHERE rnk <= 16""") { (s, d) =>
+      val h = t(s, d, "documents").select(col("source"),
+        col("doc_id"),
+        conv(substring(md5(concat(lit("smp|"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long").as("hv"))
+      h.groupBy("source")
+        .agg(graft.ops.TopK.topk_min(struct(col("hv"), col("doc_id")), 16).as("bk"))
+        .select(col("source"), posexplode(col("bk")).as(Seq("i", "r")))
+        .select(col("source"), (col("i") + 1).cast("long").as("rnk"),
+          col("r.doc_id").as("doc_id"), col("r.hv").as("hv"))
+    },
+
+    // STREAMING KMV distinct-token sketch (s28) — x141's bottom-k
+    // estimator maintained AT ARRIVAL per source (see
+    // EventStream.runKmvDistinct for the state/monotonicity argument:
+    // bottom-k of a set is an arrival-order-free fold, so the streamed
+    // sketch equals the batch bottom-k bitwise and the ESTIMATE itself is
+    // value-compared, not just bound-checked). Read-back: latest row per
+    // source (rows_seen is strictly increasing), estimate = (k−1)·2⁶⁰/h_k
+    // in exact decimal division; exact distinct tokens join in batch-side
+    // for the 3σ audit column (σ≈1/√62≈12.7%, gate at 40%) — the audit
+    // consumes the batch count, the gauge itself never does.
+    QueryDef("s28_stream_kmv_distinct",
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         dt AS (SELECT DISTINCT source, tok FROM tk WHERE length(tok) > 0),
+         h AS (SELECT DISTINCT source,
+             CAST(list_sum(list_transform(generate_series(1, 15), i ->
+               CAST(strpos('0123456789abcdef',
+                 substr(md5('kmv|' || tok), i, 1)) - 1 AS BIGINT)
+               << (4 * (15 - i)))) AS BIGINT) AS hv
+           FROM dt),
+         rk AS (SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+         a AS (SELECT source, count(*) AS n_distinct FROM h GROUP BY 1),
+         hks AS (SELECT source, hv AS hk FROM rk WHERE rn = 64)
+         SELECT a.source,
+           CAST(least(a.n_distinct, 64) AS BIGINT) AS sketch_size,
+           CAST(CASE WHEN hks.hk IS NULL THEN a.n_distinct
+             ELSE (63::HUGEINT * 1152921504606846976) // hks.hk END AS BIGINT) AS kmv_est,
+           CAST(a.n_distinct AS BIGINT) AS exact_tokens,
+           CASE WHEN hks.hk IS NULL THEN true
+             ELSE abs((63::HUGEINT * 1152921504606846976) // hks.hk - a.n_distinct) * 5
+                  <= 2 * a.n_distinct END AS within_3sigma
+         FROM a LEFT JOIN hks USING (source)""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val name = "s28_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runKmvDistinct(s, d, name)
+      graft.streaming.EventStream.awaitDone(q)
+      val sess = q.sparkSession
+      val last = sess.table(name)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("rows_seen").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("source"), col("sketch_size").cast("long").as("sketch_size"),
+          when(col("hk") < 0, lit(null)).otherwise(col("hk")).as("hk"))
+      val exact = sess.read.parquet(new java.io.File(d, "documents.parquet").getPath)
+        .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("source"),
+          conv(substring(md5(concat(lit("kmv|"), col("tok"))), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+        .distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      last.join(exact, Seq("source"))
+        .withColumn("kmv_est",
+          when(col("hk").isNull, col("n_distinct").cast("long"))
+            .otherwise(expr(
+              s"CAST((CAST(63 AS $dec) * CAST(1152921504606846976 AS $dec)) div CAST(hk AS $dec) AS BIGINT)")))
+        .select(col("source"), col("sketch_size"), col("kmv_est"),
+          col("n_distinct").cast("long").as("exact_tokens"),
+          (col("hk").isNull
+            || abs(col("kmv_est") - col("n_distinct")) * 5 <= col("n_distinct") * 2)
+            .as("within_3sigma"))
     })
 }

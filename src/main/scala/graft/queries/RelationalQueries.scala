@@ -460,5 +460,47 @@ object RelationalQueries {
           when(col("c_custkey").isNotNull && col("user_id").isNotNull, "both")
             .when(col("c_custkey").isNotNull, "customer_only")
             .otherwise("events_only").as("status"))
+    },
+
+    // Correlated scalar subqueries, exact-integer form (q33). q18/q19
+    // cover scalar + correlated-EXISTS decorrelation already, but both
+    // compare against a float avg() — a cross-engine boundary hazard the
+    // suite otherwise bans. This is the exact twin: TWO top-level
+    // correlated scalars (per-customer order count and cents sum,
+    // cross-multiplied — "orders above the customer's OWN average" with no
+    // float average crossing engines) plus a correlated EXISTS on a
+    // second table (returned line item). Written as SQL on purpose: the surface
+    // under test is Catalyst's decorrelation — RewriteCorrelatedScalarSubquery
+    // turns each scalar into a keyed aggregate + join and EXISTS plans as
+    // a left-semi join. Measured plan (explain, sf0.1): three equi-joins +
+    // two map-side-combined custkey aggregates over orders — Catalyst did
+    // NOT merge the two scalar aggregates (MergeScalarSubqueries leaves
+    // decorrelated joins alone), so orders scans twice; still nothing
+    // per-row, nothing nested-loop, and every join key-partitioned — the
+    // shape survives 1000 executors, paying one extra orders scan vs the
+    // hand-fused q-join form the rest of the suite uses.
+    QueryDef("q33_correlated_subqueries",
+      """SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o.o_custkey AS BIGINT) AS o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders o
+         WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+             * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""") { (s, d) =>
+      s.sql(
+        s"""SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+              CAST(o.o_custkey AS BIGINT) AS o_custkey,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM parquet.`$d/orders.parquet` o
+            WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+                * (SELECT count(*) FROM parquet.`$d/orders.parquet` o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+                 FROM parquet.`$d/orders.parquet` o2 WHERE o2.o_custkey = o.o_custkey)
+              AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""")
     })
 }

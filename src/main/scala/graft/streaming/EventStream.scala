@@ -1225,6 +1225,64 @@ object EventStream {
       .start()
   }
 
+  /** Streaming KMV bottom-k distinct sketch (s28): x141's deterministic
+    * distinct-count estimator maintained AT ARRIVAL, per source — the
+    * "how many distinct tokens has each feed shipped so far" gauge an
+    * ingest dashboard actually watches, at O(k) state where the exact
+    * answer needs unbounded state. Per batch each arriving doc explodes
+    * to its distinct tokens, tokens hash to the x141 60-bit md5 value,
+    * and flatMapGroupsWithState folds them into ONE sorted bottom-k
+    * array per source (set semantics — KMV needs distinct values; the
+    * TreeSet merge dedups and trims in the same pass). Bottom-k of a set
+    * is a MONOTONE, arrival-order-free fold, so the final state equals
+    * the batch bottom-k exactly — the estimate is value-comparable
+    * against the batch oracle, the property HLL lacks (x141's argument,
+    * streamed). Emits (source, rows_seen, sketch_size, h_k) per updated
+    * group per batch; rows_seen is strictly increasing per source, so
+    * the read-back's "latest row wins" rank needs no sink ordering.
+    * Scale: state = k longs per source, sharded by source; per-batch
+    * group work is one merge of the batch's hashes. */
+  def runKmvDistinct(spark: SparkSession, dir: String, queryName: String,
+                     k: Int = 64,
+                     glob: String = "documents.parquet",
+                     statePartitions: Option[Int] = Some(4),
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = replaySession(spark, statePartitions)
+    import session.implicits._
+    val hashed = streamReader(session, dir, glob, maxFilesPerTrigger)
+      .repartition(16) // single-file source: restore scan parallelism (s06 lesson)
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv|"), col("tok"))), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .as[(String, Long)]
+    val out = hashed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Long), (String, Long, Int, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long)], state: GroupState[(Array[Long], Long)]) =>
+          val (prior, seen) = state.getOption.getOrElse((Array.empty[Long], 0L))
+          val set = scala.collection.mutable.TreeSet.empty[Long] ++ prior
+          var n = seen
+          rows.foreach { r =>
+            n += 1
+            if (set.size < k || r._2 < set.last) {
+              set += r._2
+              if (set.size > k) set -= set.last
+            }
+          }
+          state.update((set.toArray, n))
+          Iterator.single((src, n, set.size,
+            if (set.size >= k) set.last else -1L))
+      }
+      .toDF("source", "rows_seen", "sketch_size", "hk")
+    out.writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming embedding-drift gate (s22): x117's codebook-drift check AT
     * ARRIVAL — every incoming embedding is scored against the codebooks
     * trained on the label-0 slice ("yesterday's data"), and flagged when
