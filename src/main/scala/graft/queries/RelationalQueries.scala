@@ -502,5 +502,34 @@ object RelationalQueries {
                  FROM parquet.`$d/orders.parquet` o2 WHERE o2.o_custkey = o.o_custkey)
               AND EXISTS (SELECT 1 FROM parquet.`$d/lineitem.parquet` l
                           WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""")
+    },
+
+    // LATERAL join (q34) — the correlated table subquery verb: each
+    // customer's top-3 orders by value, written as `, LATERAL (ORDER BY
+    // .. LIMIT 3)` rather than the window-rank idiom the rest of the
+    // suite uses (q05). The surface is Catalyst's correlated-LIMIT
+    // decorrelation, and the measured plan (explain, sf0.1) is BETTER
+    // than the hand-built q05 shape: the lateral rewrites to
+    // WindowGroupLimit → Exchange → WindowGroupLimit → Window(rank) →
+    // Filter → equi-join — the optimizer inserts a MAP-SIDE top-3-per-
+    // group prune BEFORE the custkey shuffle, so only ≤3 rows per
+    // (partition, customer) ever cross the wire. Ties broken by
+    // o_orderkey so the top-3 set is deterministic. Nothing nested-loop.
+    QueryDef("q34_lateral_topk",
+      """SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(t.o_orderkey AS BIGINT) AS o_orderkey, t.price_cents
+         FROM customer c, LATERAL (
+           SELECT o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders o WHERE o.o_custkey = c.c_custkey
+           ORDER BY price_cents DESC, o_orderkey LIMIT 3) t""") { (s, d) =>
+      s.sql(
+        s"""SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+              CAST(t.o_orderkey AS BIGINT) AS o_orderkey, t.price_cents
+            FROM parquet.`$d/customer.parquet` c, LATERAL (
+              SELECT o_orderkey,
+                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM parquet.`$d/orders.parquet` o WHERE o.o_custkey = c.c_custkey
+              ORDER BY price_cents DESC, o_orderkey LIMIT 3) t""")
     })
 }

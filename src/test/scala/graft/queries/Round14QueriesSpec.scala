@@ -33,6 +33,21 @@ class Round14QueriesSpec extends SparkSpec {
     assert(orders.map(_._1).toSet.diff(got).nonEmpty, "and the negative branch")
   }
 
+  test("q34 organic: lateral top-3 replicates a driver-side sort-take per customer") {
+    val got = SparkEntry.queries("q34_lateral_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        math.round(r.getDouble(2) * 100)))
+    val expect = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.sortBy(t => (-t._3, t._2)).take(3).map(t => (ck, t._2, t._3)).toSeq
+    }.toSet
+    assert(got.toSet == expect)
+    assert(got.length == got.toSet.size, "no duplicate (customer, order) rows")
+    assert(expect.groupBy(_._1).values.exists(_.size == 3), "limit binds somewhere")
+  }
+
   test("x145 planted: block + length-prune + levenshtein verify; zero-match names survive") {
     val dir = java.nio.file.Files.createTempDirectory("x145").toString
     import spark.implicits._
