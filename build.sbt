@@ -35,4 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full suite JIT-compiles thousands of Janino codegen classes per
+  // pass; the JVM default 240 MB code cache fills mid-suite and
+  // UseCodeCacheFlushing then thrashes hot methods in and out of
+  // compiled state. The interpreted-expression paths (HOF folds,
+  // stateful stream operators) are hit hardest — r14 measured s17 at
+  // 82 s in-suite vs 6 s isolated at 10x with a flat spin probe, and
+  // the whole streaming family read 2-3x its isolated warm numbers.
+  // 1 GiB is reserved virtual address space, committed only as used.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -54,12 +54,25 @@ object Dedup {
     // side — and the shingle frame feeds two verify joins.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val b = graft.util.PersistScope.track(bands(docs, idCol, textCol).persist(lvl))
+    val sh = graft.util.PersistScope.track(docs.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)))).as("s")).persist(lvl))
+    nearDuplicatePairsFromFrames(b, sh, threshold)
+  }
+
+  /** [[nearDuplicatePairs]] over PREBUILT frames — `bands` (id, band,
+    * band_hash) and `sh` (id, s: distinct shingle set). The day-2 shape:
+    * a caller that already holds the pass-wide band/shingle artifacts
+    * (or a union of stored artifacts + a freshly-staged delta, x82's
+    * augmented corpus) pairs WITHOUT re-running the corpus MinHash —
+    * the same stored-band posture the s08 ingest stream takes. Callers
+    * own persisting the inputs; both sides of the band self-join and
+    * both verify joins read them. */
+  def nearDuplicatePairsFromFrames(b: DataFrame, sh: DataFrame,
+                                   threshold: Double): DataFrame = {
     val candidates = b.as("a").join(b.as("b"),
       col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
         && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-    val sh = graft.util.PersistScope.track(docs.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)))).as("s")).persist(lvl))
     candidates
       .join(sh.as("s1"), col("id1") === col("s1.id"))
       .join(sh.as("s2"), col("id2") === col("s2.id"))

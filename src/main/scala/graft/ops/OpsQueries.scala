@@ -73,6 +73,12 @@ object OpsQueries {
   private[graft] def stagedBands(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bandsDf(docs)
 
+  /** Staged shingle sets over an arbitrary doc frame — the delta-side twin
+    * of [[stagedBands]] (x82 stages its 20 planted twins through the exact
+    * batch chain and unions them with the stored shared frames). */
+  private[graft] def stagedShingles(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    shingleSets(docs)
+
   /** Staged doc → (doc_id, s: distinct shingle set). */
   private def shingleSets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.withColumn("toks", tokens(col("text")))
