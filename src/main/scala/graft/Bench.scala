@@ -37,6 +37,34 @@ object Bench {
     Seq.fill(3)(once()).min
   }
 
+  /** The 1-core probe run on EVERY core at once (one thread per available
+    * processor, same fixed work each): wall time ≈ the single-thread spin
+    * on an idle box, and ≈ (cores / effectively-available cores) × spin
+    * when multi-core throughput is degraded. Catches the contention mode
+    * the 1-thread probe is blind to — r14 measured a suite pass 1.5×
+    * slower with the single spin FLAT (249 ms in both runs): neighbor
+    * load/steal hits parallel phases long before it collides with one
+    * spinning thread. */
+  private def spinAllCoresMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { _ =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 200000000) {
+            x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+          }
+          if (x == 42L) System.err.print("")
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    Seq.fill(2)(once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     // Optional first arg: comma-separated query names — iterate on one
     // query's timing without paying the whole suite (same idiom as Verify).
@@ -63,6 +91,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val spinStart = spinProbeMs()
+    val spinParStart = spinAllCoresMs()
     // Pre-build every cross-query shared stage under its own named timer
     // BEFORE the query loop. Whichever query first touches a SharedStages
     // frame otherwise absorbs its whole build, so per-query numbers
@@ -188,11 +217,24 @@ object Bench {
     // mid-run). Absolute spin values are emitted too so same-box runs can
     // be compared directly.
     val spinEnd = spinProbeMs()
-    val boxHot = (results.nonEmpty && coldTotal / math.max(total, 1e-9) > 2.0) ||
-      spinEnd / math.max(spinStart, 1e-9) > 1.5
+    val spinParEnd = spinAllCoresMs()
+    // Parallel-throughput guard: the all-cores probe should track the
+    // 1-thread probe within SMT overhead (~1.3x idle). A ratio beyond 2x
+    // means fewer cores are effectively available than the suite assumes
+    // (neighbor load / steal) - the mode that made an r14 pass read 1.5x
+    // slow while the single spin stayed flat.
+    val parRatio = math.max(
+      spinParStart / math.max(spinStart, 1e-9),
+      spinParEnd / math.max(spinEnd, 1e-9))
+    // cold/warm only judges suite-sized runs: a handful of queries is
+    // dominated by first-execution JIT and always reads "cold-slow".
+    val boxHot = (results.length >= 20 && coldTotal / math.max(total, 1e-9) > 2.0) ||
+      spinEnd / math.max(spinStart, 1e-9) > 1.5 || parRatio > 2.0
     val loadJson =
       s""""spin_ms_start":${math.round(spinStart * 10) / 10.0},""" +
-      s""""spin_ms_end":${math.round(spinEnd * 10) / 10.0},"box_hot":$boxHot"""
+      s""""spin_ms_end":${math.round(spinEnd * 10) / 10.0},""" +
+      s""""spin_par_ms_start":${math.round(spinParStart * 10) / 10.0},""" +
+      s""""spin_par_ms_end":${math.round(spinParEnd * 10) / 10.0},"box_hot":$boxHot"""
     // "queries"/"value" stay the WARM pass (measures plans); "cold" is the
     // same queries' first execution at this SF (includes Janino + JIT).
     // The full line is written to a file (/tmp/BENCH_LOCAL.json, or
