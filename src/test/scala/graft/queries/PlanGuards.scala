@@ -88,7 +88,7 @@ object PlanGuards {
     * derived column still credits the sides its inputs came from). */
   def analyzedJoinFailures(root: LogicalPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Project}
+    import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Distinct, Filter, Generate, Join, Project, Window => LWindow}
     val out = scala.collection.mutable.ArrayBuffer[String]()
     def scan(p: LogicalPlan, filtersAbove: Seq[Expression]): Unit = p match {
       case f: Filter => scan(f.child, filtersAbove :+ f.condition)
@@ -100,6 +100,18 @@ object PlanGuards {
           case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
             aliasMap(ar.exprId)
         }))
+      // Filter credit stops where Filter pushdown stops (r14 ADVICE): a
+      // two-sided predicate ABOVE an Aggregate/Window/Generate/Distinct
+      // does not reduce a join BELOW it — the cartesian fully materializes
+      // to feed the aggregate before the filter ever runs. Mirroring the
+      // optimizer (which only pushes through these nodes in special cases
+      // we don't want to credit), drop accumulated filters and keep
+      // scanning the subtree fresh.
+      case a: Aggregate => a.children.foreach(scan(_, Nil))
+      case w: LWindow => w.children.foreach(scan(_, Nil))
+      case g: Generate => g.children.foreach(scan(_, Nil))
+      case d: Distinct => d.children.foreach(scan(_, Nil))
+      case d: Deduplicate => d.children.foreach(scan(_, Nil))
       case j: Join =>
         val conditioned = filtersAbove.exists { c =>
           c.references.intersect(j.left.outputSet).nonEmpty &&

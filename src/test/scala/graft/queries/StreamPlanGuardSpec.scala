@@ -5,14 +5,24 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 import graft.SparkSpec
 
-/** Plan-regression guard for the STREAMING runners (s01–s27): each runner's
+/** Plan-regression guard for the STREAMING runners (s01–s28): each runner's
   * foreachBatch / replay builds real batch plans (s17's broadcast gram row,
   * s26's explode) that no DataFrame.queryExecution ever exposes — until
   * r14 they were the one unguarded plan surface (r13 verdict #5). Every
-  * streaming query in the suite is replayed once at sf0.001; the LAST
-  * micro-batch execution is captured through the [[graft.streaming
-  * .EventStream.awaitDone]] seam and walked with the SAME shared rules as
-  * the batch guard ([[PlanGuards]]):
+  * streaming query in the suite is replayed once at sf0.001 with the
+  * [[graft.streaming.EventStream.awaitDone]] capture hook armed: the hook
+  * fires once per 50 ms poll while batches execute plus once after
+  * termination, snapshotting the live IncrementalExecution each time, so
+  * EVERY micro-batch plan that runs long enough to matter is walked — not
+  * just the final one (r14 ADVICE: a hint or cartesian appearing only in a
+  * non-final batch used to pass). Snapshots dedupe on (runId, batchId);
+  * the final batch is guaranteed captured (post-termination hook call),
+  * earlier batches are captured on a 50 ms cadence — a sub-50 ms interior
+  * batch can slip the poll, but every batch family in this suite either
+  * runs once (AvailableNow over one file) or repeats the same plan shape
+  * per trigger, and the guaranteed final batch pins that shape. Each
+  * snapshot is walked with the SAME shared rules as the batch guard
+  * ([[PlanGuards]]):
   *
   *  1. No CartesianProductExec in the executed micro-batch plan.
   *  2. No condition-less analyzed join with both sides unbounded, unhinted,
@@ -24,13 +34,14 @@ import graft.SparkSpec
   *     length, not corpus size).
   *
   * The wrapped StreamExecution is private[sql], so the capture goes
-  * through reflection (streamingQuery → lastExecution) — test-only code,
-  * no production surface touched. */
+  * through reflection (streamingQuery → lastExecution → currentBatchId) —
+  * test-only code, no production surface touched. */
 class StreamPlanGuardSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Streaming twin of PlanGuardSpec.BroadcastWhitelist. */
+  /** Streaming twin of PlanGuardSpec.BroadcastWhitelist: max whitelisted
+    * corpus-lineage broadcast hints PER MICRO-BATCH PLAN. */
   private val BroadcastWhitelist: Map[String, Int] = Map(
     // Benchmark gram-set row (doc_id < 10): eval-sized by contract — the
     // benchmark suite is a fixed external artifact that does not grow with
@@ -43,45 +54,55 @@ class StreamPlanGuardSpec extends SparkSpec {
       .map(_.asInstanceOf[QueryExecution])
   }
 
+  private def batchIdOf(le: QueryExecution): Long =
+    le.getClass.getMethod("currentBatchId").invoke(le).asInstanceOf[Long]
+
   test("every streaming micro-batch plan: no cartesian, no unbounded cross join, no corpus broadcast") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     val streams = graft.SparkEntry.all.filter(_.name.matches("s\\d.*"))
     assert(streams.length >= 27, s"guard should cover the stream suite, saw ${streams.length}")
-    for (q <- streams) {
-      graft.streaming.EventStream.replayed.clear()
-      try {
-        // Force the runner: the replay happens inside fn; the returned
-        // read-back frame itself is already guarded by the batch rules.
-        q.fn(spark, sf).write.format("noop").mode("overwrite").save()
-      } catch {
-        case e: Throwable => failures += s"${q.name}: runner failed: ${e.getMessage}"
-      } finally graft.util.PersistScope.releaseAll()
-      val captured = Iterator.continually(graft.streaming.EventStream.replayed.poll())
-        .takeWhile(_ != null).toSeq
-      if (captured.isEmpty)
-        failures += s"${q.name}: no streaming replay captured through awaitDone"
-      for (sq <- captured) {
-        lastExecutionOf(sq) match {
-          case None =>
-            failures += s"${q.name}: replay '${sq.name}' ran zero micro-batches"
-          case Some(le) =>
-            le.executedPlan.foreach {
-              case _: CartesianProductExec =>
-                failures += s"${q.name}: CartesianProductExec in micro-batch plan"
-              case _ =>
-            }
-            PlanGuards.analyzedJoinFailures(le.analyzed)
-              .foreach(m => failures += s"${q.name}: $m")
-            val hints = PlanGuards.corpusBroadcastHints(le.analyzed)
-            if (hints.length > BroadcastWhitelist.getOrElse(q.name, 0))
-              failures += s"${q.name}: ${hints.length} broadcast hint(s) over unreduced " +
-                s"corpus lineage (whitelisted: ${BroadcastWhitelist.getOrElse(q.name, 0)})\n" +
-                hints.map(h => "  " + h.treeString.linesIterator.take(6)
-                  .mkString(" | ").take(400)).mkString("\n")
-        }
-      }
-      graft.util.SharedStages.releaseAll()
+    // Hook state, refilled per runner: every replay the runner awaits, and
+    // every (runId, batchId) plan snapshot the 50 ms poll catches.
+    val queries = new java.util.LinkedHashMap[java.util.UUID, org.apache.spark.sql.streaming.StreamingQuery]()
+    val plans = scala.collection.mutable.LinkedHashMap[(java.util.UUID, Long), QueryExecution]()
+    graft.streaming.EventStream.awaitHook = { q =>
+      queries.put(q.runId, q)
+      lastExecutionOf(q).foreach(le => plans((q.runId, batchIdOf(le))) = le)
     }
+    try {
+      for (q <- streams) {
+        queries.clear(); plans.clear()
+        try {
+          // Force the runner: the replay happens inside fn; the returned
+          // read-back frame itself is already guarded by the batch rules.
+          q.fn(spark, sf).write.format("noop").mode("overwrite").save()
+        } catch {
+          case e: Throwable => failures += s"${q.name}: runner failed: ${e.getMessage}"
+        } finally graft.util.PersistScope.releaseAll()
+        if (queries.isEmpty)
+          failures += s"${q.name}: no streaming replay captured through awaitDone"
+        queries.forEach { (runId, _) =>
+          if (!plans.keysIterator.exists(_._1 == runId))
+            failures += s"${q.name}: replay $runId ran zero micro-batches"
+        }
+        for (((_, batchId), le) <- plans) {
+          le.executedPlan.foreach {
+            case _: CartesianProductExec =>
+              failures += s"${q.name} batch $batchId: CartesianProductExec in micro-batch plan"
+            case _ =>
+          }
+          PlanGuards.analyzedJoinFailures(le.analyzed)
+            .foreach(m => failures += s"${q.name} batch $batchId: $m")
+          val hints = PlanGuards.corpusBroadcastHints(le.analyzed)
+          if (hints.length > BroadcastWhitelist.getOrElse(q.name, 0))
+            failures += s"${q.name} batch $batchId: ${hints.length} broadcast hint(s) over unreduced " +
+              s"corpus lineage (whitelisted: ${BroadcastWhitelist.getOrElse(q.name, 0)})\n" +
+              hints.map(h => "  " + h.treeString.linesIterator.take(6)
+                .mkString(" | ").take(400)).mkString("\n")
+        }
+        graft.util.SharedStages.releaseAll()
+      }
+    } finally graft.streaming.EventStream.awaitHook = null
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
