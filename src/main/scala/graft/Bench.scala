@@ -65,6 +65,41 @@ object Bench {
     Seq.fill(2)(once()).min
   }
 
+  /** All-cores memory-BANDWIDTH probe (aggregate GB/s streaming 64 MiB of
+    * longs per core, well past LLC): the blind spot both spin probes share
+    * is neighbor load that steals memory bandwidth rather than cycles —
+    * r15 measured the SAME tree at 210 vs 266 s suite-warm hours apart
+    * with every spin probe flat (250 ms single, par-ratio ≤ 1.29), and a
+    * Spark suite is bandwidth-bound (scans, shuffles, hash tables) long
+    * before it is ALU-bound. Absolute GB/s is emitted start + end so
+    * artifacts from the same box are directly comparable; there is no
+    * portable "idle" constant, so this feeds cross-run comparison, not
+    * the box_hot flag. Max-of-2 (bandwidth dips on contention, so the max
+    * is the optimistic "what the box can do" bound). */
+  private def memBandwidthGbps(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val words = (64 << 20) / 8 // 64 MiB of longs per core
+    val arrays = Array.fill(n)(Array.tabulate(words)(i => i.toLong * 0x9E3779B9L))
+    def once(): Double = {
+      val sink = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map { t =>
+        new Thread(() => {
+          val a = arrays(t)
+          var s = 0L
+          var i = 0
+          while (i < words) { s += a(i); i += 1 }
+          sink.addAndGet(s)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (sink.get == 42L) System.err.print("")
+      n.toDouble * words * 8.0 / (1L << 30) / dt
+    }
+    Seq.fill(2)(once()).max
+  }
+
   def main(args: Array[String]): Unit = {
     // Optional first arg: comma-separated query names — iterate on one
     // query's timing without paying the whole suite (same idiom as Verify).
@@ -92,6 +127,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val spinStart = spinProbeMs()
     val spinParStart = spinAllCoresMs()
+    val memStart = memBandwidthGbps()
     // Pre-build every cross-query shared stage under its own named timer
     // BEFORE the query loop. Whichever query first touches a SharedStages
     // frame otherwise absorbs its whole build, so per-query numbers
@@ -218,6 +254,7 @@ object Bench {
     // be compared directly.
     val spinEnd = spinProbeMs()
     val spinParEnd = spinAllCoresMs()
+    val memEnd = memBandwidthGbps()
     // Parallel-throughput guard: the all-cores probe should track the
     // 1-thread probe within SMT overhead (~1.3x idle). A ratio beyond 2x
     // means fewer cores are effectively available than the suite assumes
@@ -243,6 +280,8 @@ object Bench {
       s""""spin_ms_end":${math.round(spinEnd * 10) / 10.0},""" +
       s""""spin_par_ms_start":${math.round(spinParStart * 10) / 10.0},""" +
       s""""spin_par_ms_end":${math.round(spinParEnd * 10) / 10.0},""" +
+      s""""mem_gbps_start":${math.round(memStart * 10) / 10.0},""" +
+      s""""mem_gbps_end":${math.round(memEnd * 10) / 10.0},""" +
       s""""par_ratio":${math.round(parRatio * 100) / 100.0},""" +
       s""""box_hot":$boxHot,"box_warm":$boxWarm"""
     // "queries"/"value" stay the WARM pass (measures plans); "cold" is the
