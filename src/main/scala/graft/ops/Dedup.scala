@@ -918,12 +918,8 @@ object Dedup {
     // (doc_id, r): one row per full runTokens-window position, r = label.
     val windows =
       if (viaSuffixRanks) suffixRankWindows(toks, runTokens)
-      else
-        toks.select(col("doc_id"),
-          explode(when(size(col("tk")) >= runTokens,
-            transform(sequence(lit(0), size(col("tk")) - runTokens),
-              j => md5(concat_ws(" ", slice(col("tk"), j + 1, lit(runTokens))))))
-            .otherwise(array().cast("array<string>"))).as("r"))
+      else toks.select(col("doc_id"),
+        explode(windowLabelsOfTokens(col("tk"), runTokens)).as("r"))
     val shared = windows.select("r", "doc_id").distinct()
       .groupBy("r").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("r"), lit(true).as("sh"))
@@ -937,6 +933,22 @@ object Dedup {
         coalesce(col("shared_windows"), lit(0L)).as("shared_windows"),
         (coalesce(col("shared_windows"), lit(0L)) > 0).as("has_shared_run"))
   }
+
+  /** In-row runTokens-window md5 labels over a capped token ARRAY (x147's
+    * map-side construction, shared with the s29 streaming gate): one label
+    * per full window position, built transiently inside codegen; empty
+    * array when the capped doc is shorter than runTokens. Two docs share
+    * a label iff they share an exact runTokens-token run (md5-equivalence;
+    * space-joining space-free tokens is injective). */
+  def windowLabelsOfTokens(tk: Column, runTokens: Int): Column =
+    when(size(tk) >= runTokens,
+      transform(sequence(lit(0), size(tk) - runTokens),
+        j => md5(concat_ws(" ", slice(tk, j + 1, lit(runTokens))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** [[windowLabelsOfTokens]] straight off a text column. */
+  def windowLabels(text: Column, runTokens: Int, capTokens: Int): Column =
+    windowLabelsOfTokens(slice(tokens(text), 1, capTokens), runTokens)
 
   /** The prefix-doubling window labeler behind
     * [[sharedRunStats]](viaSuffixRanks = true) — see that scaladoc for the

@@ -1040,5 +1040,39 @@ object ExtraQueries {
          FROM documents d LEFT JOIN per USING (doc_id)""") { (s, d) =>
       graft.ops.Dedup.sharedRunStats(t(s, d, "documents"), "doc_id", "text",
         runTokens = 16, capTokens = 128)
+    },
+
+    // STREAMING exact-substring admission gate (s29) — x147's criterion AT
+    // ARRIVAL against the STORED corpus (Lee et al. dedup at ingest; the
+    // suffix-granularity member of the s25/s26/s17 admission family). The
+    // arriving doc's window labels are built in-row on the stream side;
+    // one stream-static equi-join against the stored corpus's distinct
+    // label set (corpus-sized, deliberately UNHINTED — shuffles on the
+    // label key at scale) marks hits; stateless append, per-(doc, distinct
+    // label) verdict rows folded per-doc batch-side. See
+    // EventStream.runSubstringGate for the full scale posture.
+    QueryDef("s29_stream_substring_gate",
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ')[1:128] AS tk FROM documents),
+         win AS (SELECT doc_id, source, array_to_string(tk[(j+1):(j+16)], ' ') AS w
+                 FROM tk, unnest(generate_series(0, len(tk) - 16)) AS t(j)),
+         stored AS (SELECT DISTINCT w FROM win WHERE source <> 'src0'),
+         nw AS (SELECT doc_id, count(*) AS n_windows FROM win WHERE source = 'src0' GROUP BY 1),
+         hits AS (SELECT win.doc_id, count(DISTINCT win.w) AS n_hit_classes
+                  FROM win JOIN stored USING (w) WHERE win.source = 'src0' GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(hits.n_hit_classes, 0) AS BIGINT) AS n_hit_classes,
+           coalesce(hits.n_hit_classes, 0) = 0 AS admitted
+         FROM documents d LEFT JOIN nw USING (doc_id) LEFT JOIN hits USING (doc_id)
+         WHERE d.source = 'src0'""") { (s, d) =>
+      val name = "s29_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.EventStream.runSubstringGate(s, d, name)
+      graft.streaming.EventStream.awaitDone(q)
+      q.sparkSession.table(name)
+        .groupBy("doc_id")
+        .agg(max(col("n_windows")).as("n_windows"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_classes"))
+        .select(col("doc_id"), col("n_windows"), col("n_hit_classes"),
+          (col("n_hit_classes") === 0).as("admitted"))
     })
 }

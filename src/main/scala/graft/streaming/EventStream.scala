@@ -1305,6 +1305,64 @@ object EventStream {
       .start()
   }
 
+  /** Streaming exact-substring ADMISSION gate (s29): x147's criterion AT
+    * ARRIVAL against the STORED corpus — Lee et al. 2022's exact-substring
+    * dedup applied at ingest, the suffix-granularity member of the
+    * admission family (s25 = MinHash bands, s26 = perceptual hash, s17 =
+    * benchmark n-grams). An arriving doc (source 'src0') is admitted iff
+    * NONE of its 16-token windows matches any window of the stored
+    * (non-src0) corpus.
+    *
+    * Shape: the doc's window labels are built IN-ROW on the stream side
+    * (the x147 map-side construction — zero joins, no explode-regroup
+    * before the verdict), deduped to distinct label classes per doc, then
+    * ONE stream-static equi-join against the stored corpus's distinct
+    * label set marks hits. Wholly STATELESS — no state store, no
+    * watermark; one verdict row per (doc, distinct label) appends to the
+    * sink (explode_outer keeps short zero-window docs as a null-label
+    * row, admitted by construction), and the batch-side read-back folds
+    * them to the per-doc decision — the s25 "verdict rows, read-back
+    * folds" contract.
+    *
+    * Scale posture: the stored label table is corpus-sized and therefore
+    * UNHINTED (the r14 guard class: billions of distinct windows at
+    * 100 TB) — the join shuffles on the label key like the stored-artifact
+    * lookup it stands in for; AQE may broadcast per batch while it
+    * measures small. Stream-side shuffle ships one constant-width label
+    * per distinct window class, never window text. In production the
+    * stored side is a bucketed label table maintained by the batch x147
+    * pass; here it derives from the same parquet, persisted across
+    * micro-batches. */
+  def runSubstringGate(spark: SparkSession, dir: String, queryName: String,
+                       runTokens: Int = 16, capTokens: Int = 128,
+                       glob: String = "documents.parquet",
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val session = spark.newSession()
+    session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val stored = graft.util.PersistScope.track(
+      session.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
+        .filter(col("source") =!= "src0")
+        .select(explode(graft.ops.Dedup.windowLabels(col("text"), runTokens, capTokens)).as("r"))
+        .distinct()
+        .withColumn("hit", lit(true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val incoming = streamReader(session, dir, glob, maxFilesPerTrigger)
+      .filter(col("source") === "src0")
+      .repartition(16) // single-file source: restore label-hash parallelism
+      .select(col("doc_id"),
+        graft.ops.Dedup.windowLabels(col("text"), runTokens, capTokens).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_windows"),
+        explode_outer(array_distinct(col("ws"))).as("r"))
+    val verdicts = incoming.join(stored, Seq("r"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("hit"), lit(false)).as("hit"))
+    verdicts.writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .option("checkpointLocation", Ckpt.fresh(queryName))
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming embedding-drift gate (s22): x117's codebook-drift check AT
     * ARRIVAL — every incoming embedding is scored against the codebooks
     * trained on the label-0 slice ("yesterday's data"), and flagged when

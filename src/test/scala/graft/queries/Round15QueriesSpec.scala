@@ -93,4 +93,37 @@ class Round15QueriesSpec extends SparkSpec {
       assert(r.getBoolean(3) == (r.getLong(2) > 0))
     }
   }
+
+  test("s29 organic: gate verdicts replicate a driver-side stored-corpus window check") {
+    val got = SparkEntry.queries("s29_stream_substring_gate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def windows(text: String): Seq[Seq[String]] = {
+      val tk = text.split(" ", -1).take(128).toSeq
+      (0 to tk.length - 16).map(j => tk.slice(j, j + 16))
+    }
+    val stored = texts.filter(_._2 != "src0").flatMap(t => windows(t._3)).toSet
+    val expect = texts.filter(_._2 == "src0").map { case (id, _, text) =>
+      val ws = windows(text)
+      val hits = ws.distinct.count(stored.contains)
+      (id, ws.length.toLong, hits.toLong, hits == 0)
+    }.sortBy(_._1)
+    assert(got.sameElements(expect))
+    assert(got.count(!_._4) > 0, "blocked branch exercised (planted cross-source dups)")
+    assert(got.count(_._4) > 0, "admitted branch exercised")
+  }
+
+  test("s29: streamed gate agrees with the batch x147 criterion restricted to cross-source pairs") {
+    // A blocked src0 doc shares a window with SOME doc; x147's flag is the
+    // corpus-wide version, so blocked(s29) implies has_shared_run(x147).
+    val s29 = SparkEntry.queries("s29_stream_substring_gate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val x147 = SparkEntry.queries("x147_substring_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    s29.foreach { case (id, admitted) =>
+      if (!admitted) assert(x147(id), s"doc $id blocked by s29 must be flagged by x147")
+    }
+  }
 }
