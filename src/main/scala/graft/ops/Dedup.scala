@@ -902,35 +902,59 @@ object Dedup {
     *    range-sort entirely (4 shuffles/round → 1).
     *
     * Shared finale: two keyed aggregates (per-label distinct-doc count,
-    * then per-doc window counts). No broadcast, no window function, no
-    * pair materialization — a clone family of B docs costs its per-label
+    * then per-doc window counts) plus one per-DOC gaps-and-islands window
+    * for `longest_run` — the quantity Lee et al. actually cut on:
+    * consecutive shared window positions p..p+k−1 compose into one shared
+    * token run of length runTokens+k−1, so the longest run is
+    * max(island size)+runTokens−1 (the x95 idiom, corpus-wide instead of
+    * vs-benchmark). The window partitions by doc_id with ≤ capTokens rows
+    * per doc — never a corpus-wide sort. No broadcast, no pair
+    * materialization — a clone family of B docs costs its per-label
     * doc count, never B² pairs. `capTokens` bounds per-doc work (the
     * reference point for prose dedup is a few hundred tokens; raise it
-    * for long docs — cost is linear). */
+    * for long docs — cost is linear).
+    *
+    * `runTokens` is ANY length ≥ 2 — Lee et al.'s convention is L=50. The
+    * in-row path is length-agnostic; the doubling path handles general L
+    * with the standard sparse-table trick (see [[suffixRankWindows]]). */
   def sharedRunStats(docs: DataFrame, idCol: String, textCol: String,
                      runTokens: Int = 16, capTokens: Int = 128,
                      viaSuffixRanks: Boolean = false): DataFrame = {
-    require(runTokens >= 2 && (runTokens & (runTokens - 1)) == 0,
-      s"runTokens must be a power of two, got $runTokens")
+    require(runTokens >= 2, s"runTokens must be >= 2, got $runTokens")
     require(capTokens >= runTokens, s"capTokens ($capTokens) < runTokens ($runTokens)")
     val toks = docs.select(col(idCol).as("doc_id"),
       slice(tokens(col(textCol)), 1, capTokens).as("tk"))
-    // (doc_id, r): one row per full runTokens-window position, r = label.
+    // (doc_id, pos, r): one row per full runTokens-window position (pos is
+    // 0-based), r = the window's label.
     val windows =
       if (viaSuffixRanks) suffixRankWindows(toks, runTokens)
       else toks.select(col("doc_id"),
-        explode(windowLabelsOfTokens(col("tk"), runTokens)).as("r"))
+        posexplode(windowLabelsOfTokens(col("tk"), runTokens)).as(Seq("pos", "r")))
     val shared = windows.select("r", "doc_id").distinct()
       .groupBy("r").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("r"), lit(true).as("sh"))
-    val per = windows.join(shared, Seq("r"), "left")
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_windows"),
-        count(col("sh")).as("shared_windows"))
+    val marked = graft.util.PersistScope.track(
+      windows.join(shared, Seq("r"), "left")
+        .select(col("doc_id"), col("pos"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val per = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_windows"),
+      count(col("sh")).as("shared_windows"))
+    // Gaps-and-islands over SHARED positions only: pos − row_number is
+    // constant within a maximal consecutive block.
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val longest = marked.filter(col("sh"))
+      .withColumn("grp", col("pos") - row_number().over(pw))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("ilen"))
+      .groupBy("doc_id")
+      .agg((max("ilen") + lit(runTokens - 1)).cast("long").as("longest_run"))
     docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .join(longest, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("shared_windows"), lit(0L)).as("shared_windows"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
         (coalesce(col("shared_windows"), lit(0L)) > 0).as("has_shared_run"))
   }
 
@@ -952,32 +976,46 @@ object Dedup {
 
   /** The prefix-doubling window labeler behind
     * [[sharedRunStats]](viaSuffixRanks = true) — see that scaladoc for the
-    * algorithm and when to prefer it. Returns (doc_id, r) rows, one per
-    * full runTokens-window position. */
+    * algorithm and when to prefer it. Returns (doc_id, pos, r) rows, one
+    * per full runTokens-window position.
+    *
+    * General (non-power-of-two) L uses the sparse-table trick: double to
+    * level m = the largest power of two ≤ L, then ONE extra fold of the
+    * two OVERLAPPING m-windows at pos and pos+L−m. They cover [pos, pos+L)
+    * jointly, so (modulo md5 collision, the suite's standing exactness
+    * convention) the folded label is equal iff the full L-window is equal
+    * — log₂L rounds + 1, same as the textbook ⌈log₂L⌉. */
   private def suffixRankWindows(toks: DataFrame, runTokens: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = graft.util.PersistScope.track(
       toks.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("pos"), md5(col("tok")).as("r"))
         .persist(lvl))
-    var span = 1
-    while (span < runTokens) {
-      val ahead = cur.select(col("doc_id"), (col("pos") - span).as("pos"),
+    // One fold of cur's span-window labels at pos and pos+step: afterwards
+    // each row's r labels the (span+step)-token window at pos.
+    def fold(step: Int): Unit = {
+      val ahead = cur.select(col("doc_id"), (col("pos") - step).as("pos"),
         col("r").as("r2"))
       cur = graft.util.PersistScope.track(
         cur.join(ahead, Seq("doc_id", "pos"), "left")
           .select(col("doc_id"), col("pos"),
             // '#' sentinel: suffixes too short for the span stay distinct
             // from every real continuation. Never reached by full windows
-            // (pos + 2^(k+1) ≤ pos + runTokens ≤ ntok), only by the short
-            // suffix tail the final filter drops.
+            // (every fold keeps span+step ≤ runTokens ≤ ntok − pos), only
+            // by the short suffix tail the final filter drops.
             md5(concat(col("r"), lit("|"), coalesce(col("r2"), lit("#")))).as("r"))
           .persist(lvl))
-      span *= 2
     }
+    var span = 1
+    while (span * 2 <= runTokens) { fold(span); span *= 2 }
+    // span = largest power of two ≤ runTokens; for general L one final
+    // OVERLAPPING fold (step = L − span < span) finishes the window. The
+    // two m-window labels being equal pins both halves of the cover, so
+    // overlap changes nothing about the equivalence.
+    if (span < runTokens) fold(runTokens - span)
     val lens = toks.select(col("doc_id"), size(col("tk")).as("ntok"))
     cur.join(lens, "doc_id")
       .filter(col("pos") + runTokens <= col("ntok"))
-      .select(col("doc_id"), col("r"))
+      .select(col("doc_id"), col("pos"), col("r"))
   }
 }

@@ -1032,14 +1032,54 @@ object ExtraQueries {
          per AS (SELECT win.doc_id,
                    count(*) AS n_windows,
                    count(g.w) AS shared_windows
-                 FROM win LEFT JOIN g USING (w) GROUP BY win.doc_id)
+                 FROM win LEFT JOIN g USING (w) GROUP BY win.doc_id),
+         isl AS (SELECT win.doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY win.doc_id ORDER BY pos) AS grp
+                 FROM win JOIN g USING (w)),
+         lr AS (SELECT doc_id, max(ilen) + 15 AS longest_run FROM (
+                  SELECT doc_id, grp, count(*) AS ilen FROM isl GROUP BY 1, 2)
+                GROUP BY 1)
          SELECT d.doc_id,
            CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
            CAST(coalesce(per.shared_windows, 0) AS BIGINT) AS shared_windows,
+           CAST(coalesce(lr.longest_run, 0) AS BIGINT) AS longest_run,
            coalesce(per.shared_windows, 0) > 0 AS has_shared_run
-         FROM documents d LEFT JOIN per USING (doc_id)""") { (s, d) =>
+         FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN lr USING (doc_id)""") { (s, d) =>
       graft.ops.Dedup.sharedRunStats(t(s, d, "documents"), "doc_id", "text",
         runTokens = 16, capTokens = 128)
+    },
+
+    // Exact substring dedup at Lee et al.'s published convention (x148) —
+    // the same operator at L=50/capTokens=256 (the paper's cut length;
+    // x147 keeps the shorter L=16 that exercises dense overlap). L=50 is
+    // NOT a power of two: the in-row path is length-agnostic, and the
+    // doubling fallback finishes with one overlapping sparse-table fold
+    // (Dedup.suffixRankWindows) — a spec asserts both paths bit-identical
+    // at this L. Same two-aggregate shape, same per-doc longest-run
+    // gaps-and-islands; cost is corpus-linear in capTokens.
+    QueryDef("x148_substring_dedup_l50",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ')[1:256] AS tk FROM documents),
+         win AS (SELECT doc_id, j AS pos, array_to_string(tk[(j+1):(j+50)], ' ') AS w
+                 FROM tk, unnest(generate_series(0, len(tk) - 50)) AS t(j)),
+         g AS (SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT win.doc_id,
+                   count(*) AS n_windows,
+                   count(g.w) AS shared_windows
+                 FROM win LEFT JOIN g USING (w) GROUP BY win.doc_id),
+         isl AS (SELECT win.doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY win.doc_id ORDER BY pos) AS grp
+                 FROM win JOIN g USING (w)),
+         lr AS (SELECT doc_id, max(ilen) + 49 AS longest_run FROM (
+                  SELECT doc_id, grp, count(*) AS ilen FROM isl GROUP BY 1, 2)
+                GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(per.shared_windows, 0) AS BIGINT) AS shared_windows,
+           CAST(coalesce(lr.longest_run, 0) AS BIGINT) AS longest_run,
+           coalesce(per.shared_windows, 0) > 0 AS has_shared_run
+         FROM documents d LEFT JOIN per USING (doc_id) LEFT JOIN lr USING (doc_id)""") { (s, d) =>
+      graft.ops.Dedup.sharedRunStats(t(s, d, "documents"), "doc_id", "text",
+        runTokens = 50, capTokens = 256)
     },
 
     // STREAMING exact-substring admission gate (s29) — x147's criterion AT

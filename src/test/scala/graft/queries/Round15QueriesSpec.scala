@@ -41,31 +41,32 @@ class Round15QueriesSpec extends SparkSpec {
       (5L, (1 to 20).map(i => s"lone$i").mkString(" "))
     ).toDF("doc_id", "text")
     val got = runStats(docs, via = false).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
-    // doc 1: 20 tokens -> 5 windows; exactly window@0 (the run) is shared
-    assert(got(1L) == ((5L, 1L, true)), s"doc1: ${got(1L)}")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 1: 20 tokens -> 5 windows; exactly window@0 (the run) is shared;
+    // one island of one window -> longest_run = 16
+    assert(got(1L) == ((5L, 1L, 16L, true)), s"doc1: ${got(1L)}")
     // doc 2: 19 tokens -> 4 windows; exactly window@3 (the run) is shared
-    assert(got(2L) == ((4L, 1L, true)), s"doc2: ${got(2L)}")
+    assert(got(2L) == ((4L, 1L, 16L, true)), s"doc2: ${got(2L)}")
     // doc 3: 33 tokens -> 18 windows, none shared cross-doc
-    assert(got(3L) == ((18L, 0L, false)), s"doc3: ${got(3L)}")
-    assert(got(4L) == ((0L, 0L, false)), s"doc4: ${got(4L)}")
-    assert(got(5L) == ((5L, 0L, false)), s"doc5: ${got(5L)}")
+    assert(got(3L) == ((18L, 0L, 0L, false)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L, false)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((5L, 0L, 0L, false)), s"doc5: ${got(5L)}")
   }
 
   test("x147: in-row and prefix-doubling suffix-rank paths are bit-identical on organic data") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val a = runStats(docs, via = false).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).sortBy(_._1)
     val b = runStats(docs, via = true).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).sortBy(_._1)
     assert(a.sameElements(b))
-    assert(a.count(_._4) > 0, "organic corpus has shared runs (planted clones)")
-    assert(a.count(!_._4) > 0, "and unshared docs")
+    assert(a.count(_._5) > 0, "organic corpus has shared runs (planted clones)")
+    assert(a.count(!_._5) > 0, "and unshared docs")
   }
 
   test("x147 organic: flags replicate a driver-side brute-force window count") {
     val got = SparkEntry.queries("x147_substring_dedup")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).sortBy(_._1)
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -78,11 +79,15 @@ class Round15QueriesSpec extends SparkSpec {
       (id, ws)
     }
     val expect = perDoc.map { case (id, ws) =>
-      val sharedW = ws.count(w => wins(w).size >= 2)
-      (id, ws.length.toLong, sharedW.toLong, sharedW > 0)
+      val shPos = ws.zipWithIndex.collect { case (w, j) if wins(w).size >= 2 => j }
+      val longest =
+        if (shPos.isEmpty) 0L
+        else shPos.zipWithIndex.groupBy { case (p, i) => p - i }
+          .values.map(_.size).max.toLong + 15L
+      (id, ws.length.toLong, shPos.length.toLong, longest, shPos.nonEmpty)
     }.sortBy(_._1)
     assert(got.sameElements(expect))
-    assert(got.count(_._4) > 0, "positive branch exercised")
+    assert(got.count(_._5) > 0, "positive branch exercised")
   }
 
   test("x147: invariants — shared_windows <= n_windows, short docs zero out") {
@@ -90,7 +95,10 @@ class Round15QueriesSpec extends SparkSpec {
     assert(rows.length == 500)
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1))
-      assert(r.getBoolean(3) == (r.getLong(2) > 0))
+      assert(r.getBoolean(4) == (r.getLong(2) > 0))
+      // a shared island of k windows spans k+15 tokens, bounded by the cap
+      assert(r.getLong(3) <= (if (r.getLong(2) > 0) r.getLong(2) + 15 else 0L))
+      assert((r.getLong(3) > 0) == r.getBoolean(4))
     }
   }
 
@@ -121,7 +129,7 @@ class Round15QueriesSpec extends SparkSpec {
     val s29 = SparkEntry.queries("s29_stream_substring_gate")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     val x147 = SparkEntry.queries("x147_substring_dedup")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     s29.foreach { case (id, admitted) =>
       if (!admitted) assert(x147(id), s"doc $id blocked by s29 must be flagged by x147")
     }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Round-16 additions: x147 generalized to Lee et al.'s L=50 convention
+  * (x148) with the per-doc longest-shared-run length — the quantity the
+  * paper actually cuts on — plus planted fixtures for the run-composition
+  * arithmetic. The DuckDB oracle gates values separately; these specs pin
+  * the hand-computable cases and the non-power-of-two path equivalence. */
+class Round16QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("longest_run planted: a 17-token shared run reads 17 (two overlapping windows, one island)") {
+    import spark.implicits._
+    val run = (1 to 17).map(i => s"tok$i").mkString(" ") // 17 shared tokens
+    val docs = Seq(
+      (1L, run + " za zb zc"),        // run at offset 0
+      (2L, "ya yb " + run),           // run at offset 2
+      // two DISJOINT 16-token runs shared with doc 4, split by a gap ->
+      // two islands, longest stays 16, shared_windows = 2
+      (3L, (1 to 16).map(i => s"a$i").mkString(" ") + " gapgap " +
+        (1 to 16).map(i => s"b$i").mkString(" ")),
+      (4L, (1 to 16).map(i => s"a$i").mkString(" ") + " other " +
+        (1 to 16).map(i => s"b$i").mkString(" ") + " tail")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sharedRunStats(docs, "doc_id", "text",
+      runTokens = 16, capTokens = 128).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 1: 20 tokens -> 5 windows; windows @0 and @1 are the two
+    // 16-windows inside the 17-run, both shared with doc 2 -> one island
+    // of 2 -> longest_run = 2 + 15 = 17
+    assert(got(1L) == ((5L, 2L, 17L, true)), s"doc1: ${got(1L)}")
+    // doc 2: 19 tokens -> 4 windows; windows @2,@3 shared -> 17 again
+    assert(got(2L) == ((4L, 2L, 17L, true)), s"doc2: ${got(2L)}")
+    // doc 3: 33 tokens -> 18 windows; exactly @0 and @17 shared (the gap
+    // token differs from doc 4's separator) -> two 1-window islands
+    assert(got(3L) == ((18L, 2L, 16L, true)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((19L, 2L, 16L, true)), s"doc4: ${got(4L)}")
+  }
+
+  test("x148: in-row and doubling paths bit-identical at the NON-power-of-two L=50") {
+    // Exercises the final overlapping sparse-table fold (span 32 + step 18)
+    // that power-of-two L never reaches.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(via: Boolean) = graft.ops.Dedup.sharedRunStats(docs, "doc_id", "text",
+      runTokens = 50, capTokens = 256, viaSuffixRanks = via).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    val a = run(false)
+    val b = run(true)
+    assert(a.sameElements(b))
+    assert(a.count(_._5) > 0, "organic corpus has shared 50-token runs (planted clones)")
+    assert(a.count(!_._5) > 0, "and unshared docs")
+  }
+
+  test("x148 organic: L=50 stats replicate a driver-side brute force") {
+    val got = SparkEntry.queries("x148_substring_dedup_l50")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = scala.collection.mutable.HashMap
+      .empty[Seq[String], scala.collection.mutable.HashSet[Long]]
+    val perDoc = texts.map { case (id, text) =>
+      val tk = text.split(" ", -1).take(256).toSeq
+      val ws = (0 to tk.length - 50).map(j => tk.slice(j, j + 50))
+      ws.foreach(w => wins.getOrElseUpdate(w, scala.collection.mutable.HashSet.empty) += id)
+      (id, ws)
+    }
+    val expect = perDoc.map { case (id, ws) =>
+      val shPos = ws.zipWithIndex.collect { case (w, j) if wins(w).size >= 2 => j }
+      val longest =
+        if (shPos.isEmpty) 0L
+        else shPos.zipWithIndex.groupBy { case (p, i) => p - i }
+          .values.map(_.size).max.toLong + 49L
+      (id, ws.length.toLong, shPos.length.toLong, longest, shPos.nonEmpty)
+    }.sortBy(_._1)
+    assert(got.sameElements(expect))
+    assert(got.count(_._5) > 0, "positive branch exercised at L=50")
+  }
+}
