@@ -1018,4 +1018,62 @@ object Dedup {
       .filter(col("pos") + runTokens <= col("ntok"))
       .select(col("doc_id"), col("pos"), col("r"))
   }
+
+  // Built substring-label artifacts, keyed on (dir, filter, runTokens,
+  // capTokens). Unlike SharedStages frames these survive the JVM (they are
+  // parquet on disk), so the map only prevents duplicate same-JVM builds;
+  // running the one Spark action inside computeIfAbsent is safe because
+  // the builder never re-enters this map.
+  private val labelArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The STORED-CORPUS distinct window-label table as a persisted parquet
+    * artifact — the batch x147 pass's natural output and the production
+    * shape of [[graft.streaming.EventStream.runSubstringGate]]'s static
+    * side (the gate's scaladoc promise, r15 verdict #1): build the
+    * corpus's label set ONCE per pipeline run, let every gate invocation
+    * read it instead of re-tokenizing/re-hashing/re-distincting the
+    * corpus per stream start. Returns the artifact path; idempotent per
+    * (dir, runTokens, capTokens) within AND across JVMs — a finished
+    * artifact (marked by Spark's _SUCCESS) is reused as-is, a torn one
+    * (crash mid-write) is rebuilt into a fresh temp dir and atomically
+    * renamed into place. At 100 TB this table is corpus-sized; production
+    * writes it bucketed on the label key so the gate's stream-static join
+    * co-locates without a shuffle of the stored side — locally plain
+    * parquet (bucketed tables need a metastore-managed path). */
+  def substringLabelArtifact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             runTokens: Int = 16, capTokens: Int = 128,
+                             excludeSource: String = "src0"): String = {
+    // Source fingerprint (total length + max mtime over the parquet
+    // file/dir): a REgenerated corpus at the same path — the 10x stress
+    // dir — must not serve a stale artifact from a previous generation.
+    val src = new java.io.File(dir, "documents.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.filter(_.isFile) else Seq(src)
+    val fp = s"${parts.map(_.length).sum}-${parts.map(_.lastModified).max}"
+    val key = s"$dir|$fp|$excludeSource|$runTokens|$capTokens"
+    labelArtifacts.computeIfAbsent(key, _ => {
+      val base = new java.io.File("target/stage_artifacts")
+      base.mkdirs()
+      val name = "substring_labels_" + java.lang.Integer.toHexString(key.hashCode)
+      val dst = new java.io.File(base, name)
+      if (!new java.io.File(dst, "_SUCCESS").isFile) {
+        val tmp = new java.io.File(base, name + ".tmp" + System.nanoTime())
+        spark.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
+          .filter(col("source") =!= excludeSource)
+          .select(explode(windowLabels(col("text"), runTokens, capTokens)).as("r"))
+          .distinct()
+          .write.mode("overwrite").parquet(tmp.getPath)
+        // Clear a TORN prior artifact (dir without _SUCCESS: crash
+        // mid-write) so the publish rename can land, then publish
+        // atomically; a concurrent JVM that won the race leaves dst
+        // complete and this rename fails harmlessly — drop the temp copy.
+        if (dst.exists && !new java.io.File(dst, "_SUCCESS").isFile)
+          org.apache.commons.io.FileUtils.deleteDirectory(dst)
+        if (!tmp.renameTo(dst))
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
+      dst.getPath
+    })
+  }
 }

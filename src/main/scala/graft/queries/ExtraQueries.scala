@@ -1089,8 +1089,12 @@ object ExtraQueries {
     // one stream-static equi-join against the stored corpus's distinct
     // label set (corpus-sized, deliberately UNHINTED — shuffles on the
     // label key at scale) marks hits; stateless append, per-(doc, distinct
-    // label) verdict rows folded per-doc batch-side. See
-    // EventStream.runSubstringGate for the full scale posture.
+    // label) verdict rows folded per-doc batch-side. The stored side reads
+    // the PERSISTED label artifact the batch x147 pass maintains
+    // (Dedup.substringLabelArtifact — built once per corpus, reused by
+    // every gate start; r15 verdict #1: the per-invocation rebuild was
+    // 3.7 s of the 3.7 s in-suite cost). See EventStream.runSubstringGate
+    // for the full scale posture.
     QueryDef("s29_stream_substring_gate",
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ')[1:128] AS tk FROM documents),
          win AS (SELECT doc_id, source, array_to_string(tk[(j+1):(j+16)], ' ') AS w
@@ -1106,7 +1110,9 @@ object ExtraQueries {
          FROM documents d LEFT JOIN nw USING (doc_id) LEFT JOIN hits USING (doc_id)
          WHERE d.source = 'src0'""") { (s, d) =>
       val name = "s29_sink_" + math.abs(d.hashCode).toString
-      val q = graft.streaming.EventStream.runSubstringGate(s, d, name)
+      val art = graft.ops.Dedup.substringLabelArtifact(s, d)
+      val q = graft.streaming.EventStream.runSubstringGate(s, d, name,
+        storedLabelsPath = Some(art))
       graft.streaming.EventStream.awaitDone(q)
       q.sparkSession.table(name)
         .groupBy("doc_id")

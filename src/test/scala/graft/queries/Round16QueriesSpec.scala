@@ -80,4 +80,32 @@ class Round16QueriesSpec extends SparkSpec {
     assert(got.sameElements(expect))
     assert(got.count(_._5) > 0, "positive branch exercised at L=50")
   }
+
+  test("s29: gate verdicts from the stored label artifact equal fresh in-session derivation") {
+    val art = graft.ops.Dedup.substringLabelArtifact(spark, sf)
+    assert(new java.io.File(art, "_SUCCESS").isFile, "artifact published with _SUCCESS")
+    // Idempotent: a second call reuses the published artifact.
+    assert(graft.ops.Dedup.substringLabelArtifact(spark, sf) == art)
+    def run(path: Option[String], tag: String) = {
+      val name = s"s29ab_$tag"
+      val q = graft.streaming.EventStream.runSubstringGate(spark, sf, name,
+        storedLabelsPath = path)
+      graft.streaming.EventStream.awaitDone(q)
+      q.sparkSession.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    }
+    val fresh = run(None, "fresh")
+    val stored = run(Some(art), "stored")
+    assert(fresh.sameElements(stored))
+    assert(fresh.exists(_._3), "blocked verdicts present")
+    // The artifact IS the fresh derivation's label set.
+    val fromArtifact = spark.read.parquet(art).collect().map(_.getString(0)).sorted
+    val derived = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.Dedup.windowLabels(
+          org.apache.spark.sql.functions.col("text"), 16, 128)).as("r"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(fromArtifact.sameElements(derived))
+  }
 }
