@@ -172,6 +172,62 @@ object PqQueries {
       acc + floor(dmin * Fp + 0.5).cast("long")
     })
 
+  /** The three frames of one IVF-PQ search: the query set (qid, qv), the
+    * IVF candidate fan-out (qid, vec_id), and the ADC top-[[TopN]]
+    * (qid, vec_id, rank, adc). */
+  private[ops] case class IvfpqSearch(q: DataFrame, cand: DataFrame, topk: DataFrame)
+
+  /** One IVF-PQ search over the shared index stages, parameterized by the
+    * derived query set (vec_id % qMod == 0 AND vec_id < qCap; qMax = its
+    * exact id-count bound, carried into maxRows via limit for PlanGuard).
+    * Factored from x116 so x149's hybrid fusion can run the SAME composed
+    * index against ITS query set (the BM25 one) without duplicating the
+    * probe/LUT/ADC chain. Scale shape unchanged: probes, LUTs and top-k
+    * are |Q|-sized broadcasts; the corpus is touched once via the cell
+    * assignment join. */
+  private[ops] def ivfpqSearch(s: SparkSession, d: String,
+                               qMod: Int, qCap: Int, qMax: Int): IvfpqSearch = {
+    val asg = ClusterQueries.sharedKmeans(s, d) // (vec_id, qv, cid, dist2)
+    val ccent = asg
+      .select(col("cid"), posexplode_outer(col("qv")).as(Seq("pos", "v")))
+      .filter(col("pos").isNotNull)
+      .groupBy("cid", "pos").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
+        (col("sv").cast("double") / col("n")).as("val")))).as("pv"))
+      .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
+      // limit(64): no-op — one row per coarse k-means cell (k=8 here,
+      // bounded by the index config); machine-visible PlanGuard bound.
+      .limit(64)
+    val q = ClusterQueries.sharedInt8(s, d)
+      .filter(col("vec_id") % qMod === 0 && col("vec_id") < qCap)
+      .limit(qMax) // no-op on the predicate rows; PlanGuard-visible bound
+      .select(col("vec_id").as("qid"), col("qv"))
+    val d2full = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
+    val pw = Window.partitionBy("qid").orderBy(col("pd2"), col("cid"))
+    val probe = q.crossJoin(broadcast(ccent))
+      .withColumn("pd2", d2full(col("qv"), col("ce")))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+      .select("qid", "cid")
+    val cand = asg.select("vec_id", "cid").join(broadcast(probe), "cid")
+      .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
+    val qpq = sharedPqCodes(s, d)
+      .filter(col("vec_id") % qMod === 0 && col("vec_id") < qCap)
+      .limit(qMax * M) // no-op on the predicate rows; PlanGuard-visible bound
+      .select(col("vec_id").as("qid"), col("sub"), col("sq"))
+    val lut = qpq.join(broadcast(sharedCodebooks(s, d)), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        floor(d2(col("sq"), col("ce")) * Fp + 0.5).cast("long").as("ld"))
+    val adc = sharedPqCodes(s, d).select("vec_id", "sub", "cid")
+      .join(cand, "vec_id")
+      .join(broadcast(lut), Seq("qid", "sub", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
+    val rw = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
+    val topk = adc.withColumn("rank", row_number().over(rw)).filter(col("rank") <= TopN)
+    IvfpqSearch(q, cand, topk)
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle CTE chain (mirrors the engine exactly)
   // ---------------------------------------------------------------------
@@ -209,6 +265,40 @@ object PqQueries {
     FROM ${p}sv v JOIN ${p}c1 c ON c.sub = v.sub) WHERE rn = 1)"""
 
   private val PqCte = s"${ClusterQueries.QuantCte},\n ${pqBody("")}"
+
+  /** The full IVF-PQ search CTE chain (coarse k-means + PQ training +
+    * probe/LUT/ADC), parameterized by the derived query set — the SQL
+    * twin of [[ivfpqSearch]], ending at `topk` = (qid, vec_id, adc, rank)
+    * with `q`, `cand`, `qb`, `pa2` etc. in scope for downstream CTEs
+    * (x116 appends its exact-recall audit; x149 appends the RRF fusion). */
+  private[ops] def ivfpqSearchCte(qMod: Int, qCap: Int): String =
+    s"""${ClusterQueries.kmeansCte(false)},
+          ${pqBody("p")},
+          ccent AS (SELECT cid, list(val ORDER BY pos) AS ce FROM (
+               SELECT cid, pos, sum(qv[pos])::DOUBLE / count(*) AS val
+               FROM a2, (SELECT unnest(generate_series(1, 64)) AS pos)
+               GROUP BY 1, 2) GROUP BY 1),
+          q AS (SELECT vec_id AS qid, qv FROM qb WHERE vec_id % $qMod = 0 AND vec_id < $qCap),
+          probe AS (SELECT qid, cid FROM (
+               SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_sum(list_transform(generate_series(1, 64),
+                     i -> (q.qv[i]::DOUBLE - c.ce[i]) * (q.qv[i]::DOUBLE - c.ce[i]))),
+                   c.cid) AS rn
+               FROM q CROSS JOIN ccent c) WHERE rn <= 2),
+          cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN a2 a ON a.cid = p.cid
+               WHERE a.vec_id <> p.qid),
+          qpq AS (SELECT vec_id AS qid, sub, sq FROM psv WHERE vec_id % $qMod = 0 AND vec_id < $qCap),
+          lut AS (SELECT qpq.qid, c.sub, c.cid,
+               CAST(floor(${bD2("qpq.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS ld
+             FROM qpq JOIN pc1 c USING (sub)),
+          adc AS (SELECT cand.qid, cand.vec_id, sum(l.ld) AS adc
+             FROM cand JOIN pa2 a ON a.vec_id = cand.vec_id
+             JOIN lut l ON l.qid = cand.qid AND l.sub = a.sub AND l.cid = a.cid
+             GROUP BY 1, 2),
+          rk AS (SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+             FROM adc),
+          topk AS (SELECT * FROM rk WHERE rank <= $TopN)"""
 
   /** The drift-model chain (x117 / s22): codebooks trained on the label-0
     * slice (seeds = its K smallest ids), every vector encoded under them,
@@ -360,33 +450,7 @@ object PqQueries {
     // audit (the audit is the expensive half and exists for the gate; a
     // production run drops it).
     QueryDef("x116_ivfpq_search",
-      s"""WITH ${ClusterQueries.kmeansCte(false)},
-          ${pqBody("p")},
-          ccent AS (SELECT cid, list(val ORDER BY pos) AS ce FROM (
-               SELECT cid, pos, sum(qv[pos])::DOUBLE / count(*) AS val
-               FROM a2, (SELECT unnest(generate_series(1, 64)) AS pos)
-               GROUP BY 1, 2) GROUP BY 1),
-          q AS (SELECT vec_id AS qid, qv FROM qb WHERE vec_id % $QMod = 0 AND vec_id < $QCap),
-          probe AS (SELECT qid, cid FROM (
-               SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
-                   ORDER BY list_sum(list_transform(generate_series(1, 64),
-                     i -> (q.qv[i]::DOUBLE - c.ce[i]) * (q.qv[i]::DOUBLE - c.ce[i]))),
-                   c.cid) AS rn
-               FROM q CROSS JOIN ccent c) WHERE rn <= 2),
-          cand AS (SELECT p.qid, a.vec_id FROM probe p JOIN a2 a ON a.cid = p.cid
-               WHERE a.vec_id <> p.qid),
-          qpq AS (SELECT vec_id AS qid, sub, sq FROM psv WHERE vec_id % $QMod = 0 AND vec_id < $QCap),
-          lut AS (SELECT qpq.qid, c.sub, c.cid,
-               CAST(floor(${bD2("qpq.sq", "c.ce")} * ${Fp} + 0.5) AS BIGINT) AS ld
-             FROM qpq JOIN pc1 c USING (sub)),
-          adc AS (SELECT cand.qid, cand.vec_id, sum(l.ld) AS adc
-             FROM cand JOIN pa2 a ON a.vec_id = cand.vec_id
-             JOIN lut l ON l.qid = cand.qid AND l.sub = a.sub AND l.cid = a.cid
-             GROUP BY 1, 2),
-          rk AS (SELECT qid, vec_id, adc,
-               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
-             FROM adc),
-          topk AS (SELECT * FROM rk WHERE rank <= $TopN),
+      s"""WITH ${ivfpqSearchCte(QMod, QCap)},
           exd AS (SELECT q.qid, b.vec_id,
                CAST(list_sum(list_transform(generate_series(1, 64),
                  i -> (q.qv[i]::BIGINT - b.qv[i]::BIGINT) * (q.qv[i]::BIGINT - b.qv[i]::BIGINT)))
@@ -406,44 +470,7 @@ object PqQueries {
             coalesce(hits.h, 0)::DOUBLE / $TopN AS recall_at10
           FROM q LEFT JOIN nc USING (qid) LEFT JOIN t1 USING (qid)
           LEFT JOIN hits USING (qid)""") { (s, d) =>
-      val asg = ClusterQueries.sharedKmeans(s, d) // (vec_id, qv, cid, dist2)
-      val ccent = asg
-        .select(col("cid"), posexplode_outer(col("qv")).as(Seq("pos", "v")))
-        .filter(col("pos").isNotNull)
-        .groupBy("cid", "pos").agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"),
-          (col("sv").cast("double") / col("n")).as("val")))).as("pv"))
-        .select(col("cid"), transform(col("pv"), x => x.getField("val")).as("ce"))
-        // limit(64): no-op — one row per coarse k-means cell (k=8 here,
-        // bounded by the index config); machine-visible PlanGuard bound.
-        .limit(64)
-      val q = ClusterQueries.sharedInt8(s, d)
-        .filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
-        .limit(QMax) // no-op on the predicate rows; PlanGuard-visible bound
-        .select(col("vec_id").as("qid"), col("qv"))
-      val d2full = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-        aggregate(zip_with(a, b, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (acc, v) => acc + v)
-      val pw = Window.partitionBy("qid").orderBy(col("pd2"), col("cid"))
-      val probe = q.crossJoin(broadcast(ccent))
-        .withColumn("pd2", d2full(col("qv"), col("ce")))
-        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
-        .select("qid", "cid")
-      val cand = asg.select("vec_id", "cid").join(broadcast(probe), "cid")
-        .filter(col("vec_id") =!= col("qid")).select("qid", "vec_id")
-      val qpq = sharedPqCodes(s, d)
-        .filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
-        .limit(QMax * M) // no-op on the predicate rows; PlanGuard-visible bound
-        .select(col("vec_id").as("qid"), col("sub"), col("sq"))
-      val lut = qpq.join(broadcast(sharedCodebooks(s, d)), "sub")
-        .select(col("qid"), col("sub"), col("cid"),
-          floor(d2(col("sq"), col("ce")) * Fp + 0.5).cast("long").as("ld"))
-      val adc = sharedPqCodes(s, d).select("vec_id", "sub", "cid")
-        .join(cand, "vec_id")
-        .join(broadcast(lut), Seq("qid", "sub", "cid"))
-        .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
-      val rw = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
-      val topk = adc.withColumn("rank", row_number().over(rw)).filter(col("rank") <= TopN)
+      val IvfpqSearch(q, cand, topk) = ivfpqSearch(s, d, QMod, QCap, QMax)
       // Exact brute-force audit: |Q| broadcast over the code frame, one
       // int8 kernel per (query, vector) — the recall ground truth.
       val exd = graft.util.PersistScope.track(

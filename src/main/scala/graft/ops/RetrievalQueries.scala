@@ -98,63 +98,11 @@ object RetrievalQueries {
     // (fan-out bounded by Σ df over the ≤8 query terms — the WAND/maxscore
     // pruning a production engine adds changes cost, not results).
     QueryDef("x110_bm25_search",
-      """WITH wc AS (SELECT doc_id, token, count(*) AS c
-             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-             GROUP BY 1, 2),
-          dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM wc GROUP BY 1),
-          nt AS (SELECT (SELECT count(*) FROM documents) AS n,
-               (SELECT CAST(sum(c) AS BIGINT) FROM wc) AS tt),
-          q AS (SELECT doc_id AS qid, token FROM (
-               SELECT doc_id, token,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, token) AS r
-               FROM wc WHERE doc_id % 97 = 0 AND doc_id < 1000) WHERE r <= 8),
-          dfq AS (SELECT w.token, CAST(count(*) AS BIGINT) AS df
-             FROM wc w JOIN (SELECT DISTINCT token FROM q) qt USING (token) GROUP BY 1),
-          cand AS (SELECT q.qid, w.doc_id,
-               CAST(floor(ln(1 + (nt.n - dfq.df + 0.5) / (dfq.df + 0.5))
-                 * (w.c * 2.2) / (w.c + 1.2 * (0.25 + 0.75 * ((dl.dl * nt.n)::DOUBLE / nt.tt)))
-                 * 1000000000.0 + 0.5) AS BIGINT) AS term
-             FROM q JOIN wc w USING (token)
-             JOIN dfq ON dfq.token = w.token
-             JOIN dl ON dl.doc_id = w.doc_id, nt
-             WHERE w.doc_id <> q.qid),
-          sc AS (SELECT qid, doc_id, sum(term) AS s FROM cand GROUP BY 1, 2),
-          rk AS (SELECT qid, doc_id, s,
-               row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
-             FROM sc)
+      s"""WITH ${bm25Cte("")}
           SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
             round(s / 1000000000.0, 6) AS score
           FROM rk WHERE rank <= 10""") { (s, d) =>
-      val wc = OpsQueries.sharedWordCounts(s, d)
-      val dl = wc.groupBy("doc_id").agg(sum("c").cast("long").as("dl"))
-      val nt = t(s, d, "documents").agg(count(lit(1)).as("n"))
-        .crossJoin(wc.agg(sum("c").cast("long").as("tt")))
-      val rw = Window.partitionBy("doc_id").orderBy(col("c").desc, col("token"))
-      // limit(88): no-op on the ≤11 query docs × 8 tokens the predicates
-      // admit; makes the bound machine-visible to PlanGuard's check.
-      val q = wc.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000)
-        .withColumn("r", row_number().over(rw)).filter(col("r") <= 8)
-        .limit(88)
-        .select(col("doc_id").as("qid"), col("token"))
-      // limit(88): no-op — one df row per DISTINCT QUERY TOKEN (≤ the 88
-      // query rows above); machine-visible bound for PlanGuard.
-      val dfq = wc.join(broadcast(q.select("token").distinct()), "token")
-        .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
-        .limit(88)
-      val dlr = (col("dl") * col("n")).cast("double") / col("tt")
-      val idf = log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val term = floor(idf * (col("c") * lit(2.2)) /
-        (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * dlr)) * lit(B) + lit(0.5))
-        .cast("long")
-      val sc = wc.join(broadcast(q), "token")
-        .filter(col("doc_id") =!= col("qid"))
-        .join(broadcast(dfq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(nt))
-        .select(col("qid"), col("doc_id"), term.as("term"))
-        .groupBy("qid", "doc_id").agg(sum("term").as("s"))
-      val rk = Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))
-      sc.withColumn("rank", row_number().over(rk)).filter(col("rank") <= 10)
+      bm25TopK(s, d)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("doc_id"),
           round(col("s") / lit(B), 6).as("score"))
     },
@@ -457,6 +405,140 @@ object RetrievalQueries {
             .as("mean_jaccard"),
           (col("mn").cast("double") / 1000000).as("min_jaccard"),
           (col("mx").cast("double") / 1000000).as("max_jaccard"))
+    },
+
+    // Hybrid retrieval fusion (x149) — reciprocal-rank fusion (Cormack et
+    // al. 2009, k=60) of the suite's two oracle-green retrieval paths:
+    // x110's lexical BM25 top-10 and x116's IVF-PQ ANN top-10, run against
+    // the SAME query set (the BM25 one: doc/vec id % 97 == 0, id < 1000 —
+    // the testdata keeps doc_id and vec_id aligned). This is the
+    // production RAG retrieval shape: neither signal alone ranks a doc
+    // that is mid-list in both above a doc that is top-1 in one and
+    // absent in the other; RRF does, with no score normalization across
+    // incomparable scales (BM25 nanos vs ADC micros). Determinism: each
+    // list contributes floor(1e9/(60+rank)) — an int64 snapped per ROW,
+    // so the fused score is an exact integer sum, never a float
+    // accumulation across rows; ranking ties break on doc_id. Scale:
+    // both inputs are |Q|-bounded top-k frames (≤ 10 rows/query); the
+    // fusion is a tiny full-outer equi-join plus a window over ≤ 20
+    // rows/query — free next to the retrieval passes it composes, which
+    // themselves ride the pass-wide shared stages.
+    QueryDef("x149_rrf_fusion",
+      s"""WITH ${PqQueries.ivfpqSearchCte(97, 1000)},
+          ${bm25Cte("l")}
+          , ltop AS (SELECT qid, doc_id, rank FROM lrk WHERE rank <= 10),
+          stop AS (SELECT qid, vec_id AS doc_id, rank FROM topk),
+          fused AS (SELECT coalesce(a.qid, b.qid) AS qid,
+               coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(CAST(floor(1000000000.0 / (60 + a.rank)) AS BIGINT), 0)
+                 + coalesce(CAST(floor(1000000000.0 / (60 + b.rank)) AS BIGINT), 0) AS rrf_nano,
+               CAST(coalesce(a.rank, 0) AS BIGINT) AS rank_lex,
+               CAST(coalesce(b.rank, 0) AS BIGINT) AS rank_sem
+             FROM ltop a FULL OUTER JOIN stop b
+               ON a.qid = b.qid AND a.doc_id = b.doc_id),
+          fr AS (SELECT qid, doc_id, rrf_nano, rank_lex, rank_sem,
+               row_number() OVER (PARTITION BY qid ORDER BY rrf_nano DESC, doc_id) AS rank
+             FROM fused)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+            CAST(rrf_nano AS BIGINT) AS rrf_nano, rank_lex, rank_sem
+          FROM fr WHERE rank <= 10""") { (s, d) =>
+      val lex = bm25TopK(s, d).select(col("qid"), col("doc_id"), col("rank"))
+      val sem = PqQueries.ivfpqSearch(s, d, 97, 1000, 11).topk
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+      rrfFuse(lex, sem)
     }
   )
+
+  /** BM25 ranked retrieval (x110's engine body): (qid, doc_id, rank, s)
+    * rows, rank ≤ 10 per query, s = the exact int64 nano-scaled score.
+    * Factored so x149's fusion reuses the identical ranking. */
+  private[ops] def bm25TopK(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val wc = OpsQueries.sharedWordCounts(s, d)
+    val dl = wc.groupBy("doc_id").agg(sum("c").cast("long").as("dl"))
+    val nt = t(s, d, "documents").agg(count(lit(1)).as("n"))
+      .crossJoin(wc.agg(sum("c").cast("long").as("tt")))
+    val rw = Window.partitionBy("doc_id").orderBy(col("c").desc, col("token"))
+    // limit(88): no-op on the ≤11 query docs × 8 tokens the predicates
+    // admit; makes the bound machine-visible to PlanGuard's check.
+    val q = wc.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000)
+      .withColumn("r", row_number().over(rw)).filter(col("r") <= 8)
+      .limit(88)
+      .select(col("doc_id").as("qid"), col("token"))
+    // limit(88): no-op — one df row per DISTINCT QUERY TOKEN (≤ the 88
+    // query rows above); machine-visible bound for PlanGuard.
+    val dfq = wc.join(broadcast(q.select("token").distinct()), "token")
+      .groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+      .limit(88)
+    val dlr = (col("dl") * col("n")).cast("double") / col("tt")
+    val idf = log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val term = floor(idf * (col("c") * lit(2.2)) /
+      (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * dlr)) * lit(B) + lit(0.5))
+      .cast("long")
+    val sc = wc.join(broadcast(q), "token")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nt))
+      .select(col("qid"), col("doc_id"), term.as("term"))
+      .groupBy("qid", "doc_id").agg(sum("term").as("s"))
+    val rk = Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))
+    sc.withColumn("rank", row_number().over(rk)).filter(col("rank") <= 10)
+  }
+
+  /** The BM25 CTE chain, `p`-prefixed for collision-free composition
+    * (x149 combines it with the IVF-PQ chain, whose names include q/cand/
+    * rk), ending at `<p>rk` = (qid, doc_id, s, rank). p = "" reproduces
+    * x110's standalone names. */
+  private[ops] def bm25Cte(p: String): String =
+    s"""${p}wc AS (SELECT doc_id, token, count(*) AS c
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             GROUP BY 1, 2),
+          ${p}dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM ${p}wc GROUP BY 1),
+          ${p}nt AS (SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT CAST(sum(c) AS BIGINT) FROM ${p}wc) AS tt),
+          ${p}q AS (SELECT doc_id AS qid, token FROM (
+               SELECT doc_id, token,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, token) AS r
+               FROM ${p}wc WHERE doc_id % 97 = 0 AND doc_id < 1000) WHERE r <= 8),
+          ${p}dfq AS (SELECT w.token, CAST(count(*) AS BIGINT) AS df
+             FROM ${p}wc w JOIN (SELECT DISTINCT token FROM ${p}q) qt USING (token) GROUP BY 1),
+          ${p}cand AS (SELECT ${p}q.qid, w.doc_id,
+               CAST(floor(ln(1 + (${p}nt.n - ${p}dfq.df + 0.5) / (${p}dfq.df + 0.5))
+                 * (w.c * 2.2) / (w.c + 1.2 * (0.25 + 0.75 * ((${p}dl.dl * ${p}nt.n)::DOUBLE / ${p}nt.tt)))
+                 * 1000000000.0 + 0.5) AS BIGINT) AS term
+             FROM ${p}q JOIN ${p}wc w USING (token)
+             JOIN ${p}dfq ON ${p}dfq.token = w.token
+             JOIN ${p}dl ON ${p}dl.doc_id = w.doc_id, ${p}nt
+             WHERE w.doc_id <> ${p}q.qid),
+          ${p}sc AS (SELECT qid, doc_id, sum(term) AS s FROM ${p}cand GROUP BY 1, 2),
+          ${p}rk AS (SELECT qid, doc_id, s,
+               row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+             FROM ${p}sc)"""
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists,
+    * both (qid, doc_id, rank): each list contributes
+    * floor(1e9/(k+rank)) — snapped to int64 PER ROW, so the fused score
+    * is an exact integer sum (no float accumulation across rows) — and
+    * the fused ranking re-ranks by that sum, ties on doc_id. Output:
+    * (qid, rank, doc_id, rrf_nano, rank_lex, rank_sem) with 0 marking
+    * absence from a list. Both inputs are top-k frames, so everything
+    * here is |Q|·k-bounded. */
+  def rrfFuse(lex: org.apache.spark.sql.DataFrame, sem: org.apache.spark.sql.DataFrame,
+              k: Int = 60, topN: Int = 10): org.apache.spark.sql.DataFrame = {
+    def snap(r: org.apache.spark.sql.Column) =
+      floor(lit(1e9) / (lit(k) + r)).cast("long")
+    val a = lex.select(col("qid"), col("doc_id"),
+      snap(col("rank")).as("sl"), col("rank").as("rl"))
+    val b = sem.select(col("qid"), col("doc_id"),
+      snap(col("rank")).as("ss"), col("rank").as("rs"))
+    val fused = a.join(b, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(col("sl"), lit(0L)) + coalesce(col("ss"), lit(0L))).as("rrf_nano"),
+        coalesce(col("rl"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rs"), lit(0)).cast("long").as("rank_sem"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_nano").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topN)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("doc_id"),
+        col("rrf_nano"), col("rank_lex"), col("rank_sem"))
+  }
 }

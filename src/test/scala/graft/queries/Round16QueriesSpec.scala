@@ -108,4 +108,47 @@ class Round16QueriesSpec extends SparkSpec {
       .distinct().collect().map(_.getString(0)).sorted
     assert(fromArtifact.sameElements(derived))
   }
+
+  test("rrfFuse planted: consensus rank-2 outranks either list's rank-1") {
+    import spark.implicits._
+    // doc 7 is rank 2 in BOTH lists; each list's rank 1 is absent from
+    // the other — the case where fusion must beat either signal alone:
+    // 2·floor(1e9/62) = 32_258_064 > floor(1e9/61) = 16_393_442.
+    val lex = Seq((1L, 100L, 1), (1L, 7L, 2), (1L, 3L, 3)).toDF("qid", "doc_id", "rank")
+    val sem = Seq((1L, 200L, 1), (1L, 7L, 2), (1L, 4L, 3)).toDF("qid", "doc_id", "rank")
+    val got = graft.ops.RetrievalQueries.rrfFuse(lex, sem).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    // (rank, doc_id, rrf_nano, rank_lex, rank_sem)
+    assert(got(0) == ((1L, 7L, 32258064L, 2L, 2L)), s"winner: ${got(0)}")
+    // the two solo rank-1s tie on score; doc_id breaks the tie
+    assert(got(1) == ((2L, 100L, 16393442L, 1L, 0L)))
+    assert(got(2) == ((3L, 200L, 16393442L, 0L, 1L)))
+    // solo rank-3s trail: floor(1e9/63) = 15_873_015
+    assert(got(3) == ((4L, 3L, 15873015L, 3L, 0L)))
+    assert(got(4) == ((5L, 4L, 15873015L, 0L, 3L)))
+  }
+
+  test("x149 organic: fused scores are the exact snapped sum of the input ranks") {
+    val rows = SparkEntry.queries("x149_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    def snap(rank: Long): Long = if (rank == 0) 0L else math.floor(1e9 / (60 + rank)).toLong
+    rows.foreach { case (_, rank, _, nano, rl, rs) =>
+      assert(rank >= 1 && rank <= 10)
+      assert(nano == snap(rl) + snap(rs), s"rrf_nano mismatch: $nano vs ${snap(rl) + snap(rs)}")
+      assert(rl > 0 || rs > 0)
+    }
+    assert(rows.exists(_._5 > 0), "lexical side contributes")
+    assert(rows.exists(_._6 > 0), "semantic side contributes")
+    // per qid, ranks are dense from 1 and scores non-increasing
+    rows.groupBy(_._1).foreach { case (_, rs0) =>
+      val sorted = rs0.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+  }
 }
