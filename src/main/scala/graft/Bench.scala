@@ -77,8 +77,14 @@ object Bench {
     * the box_hot flag. Max-of-2 (bandwidth dips on contention, so the max
     * is the optimistic "what the box can do" bound). */
   private def memBandwidthGbps(): Double = {
-    val n = Runtime.getRuntime.availableProcessors()
-    val words = (64 << 20) / 8 // 64 MiB of longs per core
+    // Cap at 16 streams: enough to saturate any one socket's memory
+    // controllers, and it bounds the probe's footprint at 1 GiB — on a
+    // high-core box, one 64 MiB buffer per core (held across both passes,
+    // twice per bench run) would otherwise approach the 8g driver heap on
+    // top of suite state and GC-skew the very reading it takes (r15
+    // ADVICE). Each buffer stays far past LLC.
+    val n = math.min(Runtime.getRuntime.availableProcessors(), 16)
+    val words = (64 << 20) / 8 // 64 MiB of longs per stream
     val arrays = Array.fill(n)(Array.tabulate(words)(i => i.toLong * 0x9E3779B9L))
     def once(): Double = {
       val sink = new java.util.concurrent.atomic.AtomicLong

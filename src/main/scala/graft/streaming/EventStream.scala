@@ -22,15 +22,30 @@ object EventStream {
   /** Plan-capture seam for the streaming guard ([[StreamPlanGuardSpec]]):
     * the one choke point every runner passes through (r13 verdict #5:
     * s01–s28's micro-batch plans were the last unguarded plan surface).
-    * When set, awaitDone invokes the hook with its query once on entry,
-    * once per 50 ms poll while batches run, and once after termination —
-    * so the guard can snapshot EVERY micro-batch plan as it executes
-    * (r14 ADVICE: the final lastExecution alone misses non-final batches
-    * whose AQE/broadcast decisions can differ). Null everywhere else:
-    * Bench/Verify/stress runs retain NOTHING (r14 ADVICE: the previous
-    * always-on queue pinned every terminated query's retained plan trees
-    * for the JVM lifetime). */
+    * When armed, awaitDone invokes the hook with its query once on entry,
+    * once per 50 ms poll while batches run, once from a
+    * StreamingQueryListener at EVERY batch completion (r15 ADVICE: the
+    * poll alone could slip a sub-50 ms interior batch; the listener fires
+    * at the batch boundary, while that batch's lastExecution is still
+    * current), and once after termination — so the guard can snapshot
+    * every micro-batch plan as it executes. The hook MUST be thread-safe:
+    * listener calls arrive on the streams bus thread concurrently with
+    * the poll. Null everywhere else: Bench/Verify/stress runs retain
+    * NOTHING (r14 ADVICE: the previous always-on queue pinned every
+    * terminated query's retained plan trees for the JVM lifetime).
+    * Arm/disarm through [[armAwaitHook]]/[[disarmAwaitHook]] — arming
+    * over a live hook throws (r15 ADVICE: the seam is a process-global;
+    * two concurrent owners would silently cross-pollute guard state). */
   @volatile private[graft] var awaitHook: StreamingQuery => Unit = null
+
+  /** Install the capture hook; fails fast if another owner holds it. */
+  private[graft] def armAwaitHook(h: StreamingQuery => Unit): Unit = synchronized {
+    require(awaitHook == null,
+      "awaitHook already armed — concurrent guard owners would cross-pollute")
+    awaitHook = h
+  }
+
+  private[graft] def disarmAwaitHook(): Unit = synchronized { awaitHook = null }
 
   /** Block until an AvailableNow replay terminates; a timeout means the
     * memory sink is PARTIAL, and folding a partial table into a final
@@ -42,14 +57,32 @@ object EventStream {
     val done =
       if (hook == null) q.awaitTermination(timeoutMs)
       else {
-        hook(q)
-        val deadline = System.nanoTime + timeoutMs * 1000000L
-        var terminated = false
-        while (!terminated && System.nanoTime < deadline) {
-          terminated = q.awaitTermination(50L)
-          hook(q) // snapshot the batch in flight (or the final one)
+        // Batch-boundary capture: onQueryProgress(batch N) is posted right
+        // after N commits, while lastExecution still holds N's plan (N+1
+        // replaces it only after its own construction) — so even batches
+        // far shorter than the poll cadence get a snapshot. Registered on
+        // the CHILD session owning the query; removed before returning so
+        // a terminated replay leaks no listener.
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            if (e.progress.id == q.id) hook(q)
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
         }
-        terminated
+        q.sparkSession.streams.addListener(listener)
+        try {
+          hook(q)
+          val deadline = System.nanoTime + timeoutMs * 1000000L
+          var terminated = false
+          while (!terminated && System.nanoTime < deadline) {
+            terminated = q.awaitTermination(50L)
+            hook(q) // snapshot the batch in flight (or the final one)
+          }
+          terminated
+        } finally q.sparkSession.streams.removeListener(listener)
       }
     if (!done) {
       q.stop()

@@ -101,15 +101,25 @@ object PlanGuards {
             aliasMap(ar.exprId)
         }))
       // Filter credit stops where Filter pushdown stops (r14 ADVICE): a
-      // two-sided predicate ABOVE an Aggregate/Window/Generate/Distinct
-      // does not reduce a join BELOW it — the cartesian fully materializes
-      // to feed the aggregate before the filter ever runs. Mirroring the
+      // two-sided predicate ABOVE an Aggregate/Window/Distinct does not
+      // reduce a join BELOW it — the cartesian fully materializes to feed
+      // the aggregate before the filter ever runs. Mirroring the
       // optimizer (which only pushes through these nodes in special cases
       // we don't want to credit), drop accumulated filters and keep
       // scanning the subtree fresh.
       case a: Aggregate => a.children.foreach(scan(_, Nil))
       case w: LWindow => w.children.foreach(scan(_, Nil))
-      case g: Generate => g.children.foreach(scan(_, Nil))
+      // Generate is NOT a pushdown barrier for predicates that only
+      // reference the CHILD's attributes: the optimizer
+      // (PushPredicateThroughNonJoin) pushes exactly those through, so a
+      // join under an explode conditioned by such a filter is genuinely
+      // reduced — keep their credit; drop only filters touching the
+      // generated output, which cannot exist below the Generate
+      // (r15 ADVICE: clearing unconditionally false-flagged legitimately
+      // filtered joins under explodes).
+      case g: Generate =>
+        val genOut = org.apache.spark.sql.catalyst.expressions.AttributeSet(g.generatorOutput)
+        scan(g.child, filtersAbove.filter(_.references.intersect(genOut).isEmpty))
       case d: Distinct => d.children.foreach(scan(_, Nil))
       case d: Deduplicate => d.children.foreach(scan(_, Nil))
       case j: Join =>

@@ -11,18 +11,18 @@ import graft.SparkSpec
   * r14 they were the one unguarded plan surface (r13 verdict #5). Every
   * streaming query in the suite is replayed once at sf0.001 with the
   * [[graft.streaming.EventStream.awaitDone]] capture hook armed: the hook
-  * fires once per 50 ms poll while batches execute plus once after
-  * termination, snapshotting the live IncrementalExecution each time, so
-  * EVERY micro-batch plan that runs long enough to matter is walked — not
-  * just the final one (r14 ADVICE: a hint or cartesian appearing only in a
-  * non-final batch used to pass). Snapshots dedupe on (runId, batchId);
-  * the final batch is guaranteed captured (post-termination hook call),
-  * earlier batches are captured on a 50 ms cadence — a sub-50 ms interior
-  * batch can slip the poll, but every batch family in this suite either
-  * runs once (AvailableNow over one file) or repeats the same plan shape
-  * per trigger, and the guaranteed final batch pins that shape. Each
-  * snapshot is walked with the SAME shared rules as the batch guard
-  * ([[PlanGuards]]):
+  * fires on entry, once per 50 ms poll while batches execute, at every
+  * batch COMPLETION via a StreamingQueryListener (r15 ADVICE — the
+  * boundary event lands while that batch's lastExecution is still
+  * current, so even sub-50 ms interior batches get a snapshot), and once
+  * after termination, snapshotting the live IncrementalExecution each
+  * time — so EVERY micro-batch plan is walked, not just the final one
+  * (r14 ADVICE: a hint or cartesian appearing only in a non-final batch
+  * used to pass). Snapshots dedupe on (runId, batchId), and a
+  * post-termination coverage check against recentProgress turns any
+  * batch that still slipped every capture path into a loud failure
+  * instead of a silent pass. Each snapshot is walked with the SAME
+  * shared rules as the batch guard ([[PlanGuards]]):
   *
   *  1. No CartesianProductExec in the executed micro-batch plan.
   *  2. No condition-less analyzed join with both sides unbounded, unhinted,
@@ -62,12 +62,17 @@ class StreamPlanGuardSpec extends SparkSpec {
     val streams = graft.SparkEntry.all.filter(_.name.matches("s\\d.*"))
     assert(streams.length >= 27, s"guard should cover the stream suite, saw ${streams.length}")
     // Hook state, refilled per runner: every replay the runner awaits, and
-    // every (runId, batchId) plan snapshot the 50 ms poll catches.
+    // every (runId, batchId) plan snapshot captured by the entry/poll/
+    // batch-boundary-listener/final hook calls. Synchronized: the
+    // listener path delivers on the streams bus thread, concurrent with
+    // the poll (r15 ADVICE).
     val queries = new java.util.LinkedHashMap[java.util.UUID, org.apache.spark.sql.streaming.StreamingQuery]()
     val plans = scala.collection.mutable.LinkedHashMap[(java.util.UUID, Long), QueryExecution]()
-    graft.streaming.EventStream.awaitHook = { q =>
-      queries.put(q.runId, q)
-      lastExecutionOf(q).foreach(le => plans((q.runId, batchIdOf(le))) = le)
+    graft.streaming.EventStream.armAwaitHook { q =>
+      plans.synchronized {
+        queries.put(q.runId, q)
+        lastExecutionOf(q).foreach(le => plans((q.runId, batchIdOf(le))) = le)
+      }
     }
     try {
       for (q <- streams) {
@@ -81,9 +86,18 @@ class StreamPlanGuardSpec extends SparkSpec {
         } finally graft.util.PersistScope.releaseAll()
         if (queries.isEmpty)
           failures += s"${q.name}: no streaming replay captured through awaitDone"
-        queries.forEach { (runId, _) =>
+        queries.forEach { (runId, sq) =>
           if (!plans.keysIterator.exists(_._1 == runId))
             failures += s"${q.name}: replay $runId ran zero micro-batches"
+          // LOUD coverage check (r15 ADVICE): recentProgress is the
+          // authoritative post-termination list of executed batches — any
+          // batch that slipped all four capture paths is a guard MISS,
+          // reported instead of silently passing.
+          val captured = plans.keysIterator.collect { case (r, b) if r == runId => b }.toSet
+          val missed = sq.recentProgress.map(_.batchId).filterNot(captured)
+          if (missed.nonEmpty)
+            failures += s"${q.name}: replay $runId batches ${missed.mkString(",")} " +
+              "executed but were never plan-captured"
         }
         for (((_, batchId), le) <- plans) {
           le.executedPlan.foreach {
@@ -102,7 +116,7 @@ class StreamPlanGuardSpec extends SparkSpec {
         }
         graft.util.SharedStages.releaseAll()
       }
-    } finally graft.streaming.EventStream.awaitHook = null
+    } finally graft.streaming.EventStream.disarmAwaitHook()
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
