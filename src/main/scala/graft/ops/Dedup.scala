@@ -1019,6 +1019,70 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("r"))
   }
 
+  /** The CUT MANIFEST of exact substring dedup (x150) — the actionable
+    * output of Lee et al. 2022: not just WHETHER a doc shares runs
+    * ([[sharedRunStats]]) but exactly WHICH token spans to remove. One row
+    * per maximal removable span: shared window positions compose into
+    * islands (consecutive positions = one run), island token ranges
+    * [start, start+n+L−1) can still overlap or touch ACROSS islands (two
+    * shared runs separated by < L−1 unshared windows), so a second
+    * interval-merge pass (running-max of range ends) unions them into
+    * disjoint spans — the ranges an editor would actually cut. Output per
+    * span: (doc_id, span_idx, start_tok, end_tok (exclusive),
+    * span_tokens, n_tokens, kept_tokens), kept = capped length − total
+    * cut. Docs with no shared runs emit nothing.
+    *
+    * Scale: identical wide shape to [[sharedRunStats]] (map-side in-row
+    * labels — or the doubling path via `viaSuffixRanks` — then one
+    * label-keyed aggregate); everything after runs in per-DOC windows
+    * over ≤ capTokens rows — islands, interval merge, and span indexing
+    * never sort the corpus. */
+  def sharedRunManifest(docs: DataFrame, idCol: String, textCol: String,
+                        runTokens: Int = 16, capTokens: Int = 128,
+                        viaSuffixRanks: Boolean = false): DataFrame = {
+    require(runTokens >= 2, s"runTokens must be >= 2, got $runTokens")
+    require(capTokens >= runTokens, s"capTokens ($capTokens) < runTokens ($runTokens)")
+    val pw = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      slice(tokens(col(textCol)), 1, capTokens).as("tk"))
+    val windows = graft.util.PersistScope.track(
+      (if (viaSuffixRanks) suffixRankWindows(toks, runTokens)
+       else toks.select(col("doc_id"),
+         posexplode(windowLabelsOfTokens(col("tk"), runTokens)).as(Seq("pos", "r"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sharedLabels = windows.select("r", "doc_id").distinct()
+      .groupBy("r").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("r")
+    val sp = windows.join(sharedLabels, Seq("r")).select("doc_id", "pos")
+    val islands = sp
+      .withColumn("grp", col("pos") -
+        row_number().over(pw.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), (max("pos") + lit(runTokens)).as("e"))
+    // Interval merge: a run starting at or before the running max end of
+    // its predecessors joins their span (touching ranges merge too — the
+    // cut is contiguous); s is unique per doc so the order is total.
+    val prevMax = max("e").over(pw.partitionBy("doc_id").orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val merged = islands
+      .withColumn("isnew", when(col("s") > coalesce(prevMax, lit(-1L)), 1).otherwise(0))
+      .withColumn("mgrp", sum("isnew").over(pw.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "mgrp")
+      .agg(min("s").as("start_tok"), max("e").as("end_tok"))
+    val nt = toks.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+    merged.join(nt, "doc_id")
+      .select(col("doc_id"),
+        row_number().over(pw.partitionBy("doc_id").orderBy("start_tok"))
+          .cast("long").as("span_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        (col("end_tok") - col("start_tok")).cast("long").as("span_tokens"),
+        col("n_tokens"),
+        (col("n_tokens") - sum(col("end_tok") - col("start_tok"))
+          .over(pw.partitionBy("doc_id"))).cast("long").as("kept_tokens"))
+  }
+
   // Built substring-label artifacts, keyed on (dir, filter, runTokens,
   // capTokens). Unlike SharedStages frames these survive the JVM (they are
   // parquet on disk), so the map only prevents duplicate same-JVM builds;

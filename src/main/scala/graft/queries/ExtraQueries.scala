@@ -1082,6 +1082,50 @@ object ExtraQueries {
         runTokens = 50, capTokens = 256)
     },
 
+    // Substring-dedup CUT MANIFEST (x150) — the actionable output of Lee
+    // et al. 2022 that x147/x148 only summarize: the exact token spans to
+    // REMOVE. Shared window positions → islands (gaps-and-islands) →
+    // island token ranges → a second interval-merge pass (running-max of
+    // ends) because runs separated by < L−1 unshared windows overlap or
+    // touch in token space — one row per maximal disjoint cut span with
+    // per-doc kept-token accounting. All post-aggregate work is per-doc
+    // windows over ≤ capTokens rows (see Dedup.sharedRunManifest).
+    QueryDef("x150_substring_cut_manifest",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ')[1:128] AS tk FROM documents),
+         win AS (SELECT doc_id, j AS pos, array_to_string(tk[(j+1):(j+16)], ' ') AS w
+                 FROM tk, unnest(generate_series(0, len(tk) - 16)) AS t(j)),
+         g AS (SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+         sp AS (SELECT win.doc_id, pos FROM win JOIN g USING (w)),
+         isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM sp),
+         runs AS (SELECT doc_id, min(pos) AS s, max(pos) + 16 AS e
+                 FROM isl GROUP BY doc_id, grp),
+         mk AS (SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS isnew
+               FROM runs),
+         mg AS (SELECT doc_id, s, e,
+                 sum(isnew) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mgrp
+               FROM mk),
+         spans AS (SELECT doc_id, mgrp, min(s) AS start_tok, max(e) AS end_tok
+               FROM mg GROUP BY 1, 2),
+         nt AS (SELECT doc_id, len(tk) AS n_tokens FROM tk)
+         SELECT sp2.doc_id,
+           CAST(row_number() OVER (PARTITION BY sp2.doc_id ORDER BY sp2.start_tok) AS BIGINT) AS span_idx,
+           CAST(sp2.start_tok AS BIGINT) AS start_tok,
+           CAST(sp2.end_tok AS BIGINT) AS end_tok,
+           CAST(sp2.end_tok - sp2.start_tok AS BIGINT) AS span_tokens,
+           CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(nt.n_tokens - sum(sp2.end_tok - sp2.start_tok)
+             OVER (PARTITION BY sp2.doc_id) AS BIGINT) AS kept_tokens
+         FROM spans sp2 JOIN nt USING (doc_id)""") { (s, d) =>
+      graft.ops.Dedup.sharedRunManifest(t(s, d, "documents"), "doc_id", "text",
+        runTokens = 16, capTokens = 128)
+    },
+
     // STREAMING exact-substring admission gate (s29) — x147's criterion AT
     // ARRIVAL against the STORED corpus (Lee et al. dedup at ingest; the
     // suffix-granularity member of the s25/s26/s17 admission family). The

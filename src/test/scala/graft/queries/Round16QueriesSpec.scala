@@ -109,6 +109,75 @@ class Round16QueriesSpec extends SparkSpec {
     assert(fromArtifact.sameElements(derived))
   }
 
+  test("x150 planted: overlapping and touching runs merge into single cut spans") {
+    import spark.implicits._
+    val t = (0 to 18).map(i => s"t$i") // 19 shared-pool tokens
+    val x = (0 to 15).map(i => s"x$i")
+    val y = (0 to 15).map(i => s"y$i")
+    val docs = Seq(
+      // A: shared windows at pos 0 (with B) and pos 3 (with C), 1-2 unshared
+      //    -> islands [0,16) and [3,19) OVERLAP -> ONE span [0,19), kept 0
+      (1L, t.mkString(" ")),
+      (2L, t.take(16).mkString(" ")),          // B = A[0..15]
+      (3L, t.drop(3).mkString(" ")),           // C = A[3..18]
+      // D: X++Y, windows @0 (=X, shared with E) and @16 (=Y, shared with F),
+      //    boundary-crossing windows unshared -> ranges [0,16) and [16,32)
+      //    TOUCH -> one contiguous span [0,32), kept 0
+      (4L, (x ++ y).mkString(" ")),
+      (5L, x.mkString(" ")),                   // E = X
+      (6L, y.mkString(" ")),                   // F = Y
+      // G: no sharing -> absent from the manifest
+      (7L, (1 to 20).map(i => s"g$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.sharedRunManifest(docs, "doc_id", "text",
+      runTokens = 16, capTokens = 128).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(r => (r._1, r._2))
+    val expect = Array(
+      (1L, 1L, 0L, 19L, 19L, 19L, 0L),
+      (2L, 1L, 0L, 16L, 16L, 16L, 0L),
+      (3L, 1L, 0L, 16L, 16L, 16L, 0L),
+      (4L, 1L, 0L, 32L, 32L, 32L, 0L),
+      (5L, 1L, 0L, 16L, 16L, 16L, 0L),
+      (6L, 1L, 0L, 16L, 16L, 16L, 0L))
+    assert(got.sameElements(expect), got.mkString(", "))
+  }
+
+  test("x150 organic: cut spans replicate a driver-side interval-union brute force") {
+    val got = SparkEntry.queries("x150_substring_cut_manifest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(r => (r._1, r._2))
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wins = scala.collection.mutable.HashMap
+      .empty[Seq[String], scala.collection.mutable.HashSet[Long]]
+    val perDoc = texts.map { case (id, text) =>
+      val tk = text.split(" ", -1).take(128).toSeq
+      val ws = (0 to tk.length - 16).map(j => tk.slice(j, j + 16))
+      ws.foreach(w => wins.getOrElseUpdate(w, scala.collection.mutable.HashSet.empty) += id)
+      (id, tk.length, ws)
+    }
+    val expect = perDoc.flatMap { case (id, n, ws) =>
+      val shPos = ws.zipWithIndex.collect { case (w, j) if wins(w).size >= 2 => j }
+      // interval union of [p, p+16) over shared positions
+      val spans = shPos.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p <= e0 => (s0, math.max(e0, p + 16)) :: rest
+        case (acc, p) => (p, p + 16) :: acc
+      }.reverse
+      val cut = spans.map { case (s0, e0) => e0 - s0 }.sum
+      spans.zipWithIndex.map { case ((s0, e0), i) =>
+        (id, (i + 1).toLong, s0.toLong, e0.toLong, (e0 - s0).toLong, n.toLong, (n - cut).toLong)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.sameElements(expect))
+    assert(got.nonEmpty, "manifest has organic rows (planted clones)")
+    // cross-check: manifest docs == x147's flagged docs
+    val flagged = SparkEntry.queries("x147_substring_dedup")(spark, sf).collect()
+      .collect { case r if r.getBoolean(4) => r.getLong(0) }.toSet
+    assert(got.map(_._1).toSet == flagged)
+  }
+
   test("rrfFuse planted: consensus rank-2 outranks either list's rank-1") {
     import spark.implicits._
     // doc 7 is rank 2 in BOTH lists; each list's rank 1 is absent from
