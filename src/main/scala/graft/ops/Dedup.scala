@@ -1084,12 +1084,41 @@ object Dedup {
   }
 
   // Built substring-label artifacts, keyed on (dir, filter, runTokens,
-  // capTokens). Unlike SharedStages frames these survive the JVM (they are
-  // parquet on disk), so the map only prevents duplicate same-JVM builds;
-  // running the one Spark action inside computeIfAbsent is safe because
-  // the builder never re-enters this map.
+  // capTokens). Strictly PER-JVM, like every SharedStages frame: the
+  // parquet lives in a process-unique dir deleted on JVM exit, so no
+  // bench/verify invocation can ever read an artifact a PREVIOUS run
+  // built — every invocation computes it from the parquet inputs, on the
+  // clock (Bench times the build under its own "sublabels" stage name and
+  // releases it between the warmup and timed passes, the exact
+  // SharedStages discipline). Running the one Spark action inside
+  // computeIfAbsent is safe because the builder never re-enters this map.
   private val labelArtifacts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Process-unique artifact base, removed by a shutdown hook: artifacts
+    * must not outlive the JVM (a later run reusing one would be
+    * cross-run precomputation, not pipeline work). */
+  private lazy val artifactBase: java.io.File = {
+    val d = new java.io.File(s"target/stage_artifacts/jvm-${ProcessHandle.current().pid()}")
+    d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(d)
+      catch { case _: Throwable => () }))
+    d
+  }
+
+  /** Forget and delete every built label artifact (Bench calls this
+    * between its warmup and timed passes so the timed pass pays the build
+    * exactly once, under the "sublabels" stage timer). */
+  def releaseSubstringArtifacts(): Unit = {
+    labelArtifacts.clear()
+    if (artifactBase.exists()) {
+      artifactBase.listFiles().foreach { f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
 
   /** The STORED-CORPUS distinct window-label table as a persisted parquet
     * artifact — the batch x147 pass's natural output and the production
@@ -1098,10 +1127,11 @@ object Dedup {
     * corpus's label set ONCE per pipeline run, let every gate invocation
     * read it instead of re-tokenizing/re-hashing/re-distincting the
     * corpus per stream start. Returns the artifact path; idempotent per
-    * (dir, runTokens, capTokens) within AND across JVMs — a finished
-    * artifact (marked by Spark's _SUCCESS) is reused as-is, a torn one
-    * (crash mid-write) is rebuilt into a fresh temp dir and atomically
-    * renamed into place. At 100 TB this table is corpus-sized; production
+    * (dir, runTokens, capTokens) WITHIN one JVM only — the artifact dir is
+    * process-unique and deleted on exit, so every harness invocation
+    * builds it fresh from the parquet inputs (in production the pipeline
+    * run owns the artifact's lifetime; in this harness the JVM is the
+    * run). At 100 TB this table is corpus-sized; production
     * writes it bucketed on the label key so the gate's stream-static join
     * co-locates without a shuffle of the stored side — locally plain
     * parquet (bucketed tables need a metastore-managed path). */
@@ -1117,26 +1147,13 @@ object Dedup {
     val fp = s"${parts.map(_.length).sum}-${parts.map(_.lastModified).max}"
     val key = s"$dir|$fp|$excludeSource|$runTokens|$capTokens"
     labelArtifacts.computeIfAbsent(key, _ => {
-      val base = new java.io.File("target/stage_artifacts")
-      base.mkdirs()
-      val name = "substring_labels_" + java.lang.Integer.toHexString(key.hashCode)
-      val dst = new java.io.File(base, name)
-      if (!new java.io.File(dst, "_SUCCESS").isFile) {
-        val tmp = new java.io.File(base, name + ".tmp" + System.nanoTime())
-        spark.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
-          .filter(col("source") =!= excludeSource)
-          .select(explode(windowLabels(col("text"), runTokens, capTokens)).as("r"))
-          .distinct()
-          .write.mode("overwrite").parquet(tmp.getPath)
-        // Clear a TORN prior artifact (dir without _SUCCESS: crash
-        // mid-write) so the publish rename can land, then publish
-        // atomically; a concurrent JVM that won the race leaves dst
-        // complete and this rename fails harmlessly — drop the temp copy.
-        if (dst.exists && !new java.io.File(dst, "_SUCCESS").isFile)
-          org.apache.commons.io.FileUtils.deleteDirectory(dst)
-        if (!tmp.renameTo(dst))
-          org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-      }
+      val dst = new java.io.File(artifactBase,
+        "substring_labels_" + java.lang.Integer.toHexString(key.hashCode))
+      spark.read.parquet(new java.io.File(dir, "documents.parquet").getPath)
+        .filter(col("source") =!= excludeSource)
+        .select(explode(windowLabels(col("text"), runTokens, capTokens)).as("r"))
+        .distinct()
+        .write.mode("overwrite").parquet(dst.getPath)
       dst.getPath
     })
   }

@@ -170,7 +170,16 @@ object OpsQueries {
     "repedges" -> (sharedRepEdges(_, _)),
     "edges08" -> (sharedEdges(_, _)),
     "components" -> (sharedComponents(_, _)),
-    "bpe3" -> (sharedBpeSegs(_, _)))
+    "bpe3" -> (sharedBpeSegs(_, _)),
+    // The stored-corpus substring-label artifact (s29's static side): the
+    // build runs eagerly inside the call (a parquet write action); the
+    // returned scan of the artifact is the noop-timed remainder. Per-JVM
+    // like every other stage — Bench releases it between passes so the
+    // timed pass pays the build exactly once, under this name.
+    "sublabels" -> ((s, d) => {
+      val p = Dedup.substringLabelArtifact(s, d)
+      s.read.parquet(p)
+    }))
 
   /** Exact-duplicate representative map (doc_id → rep = min doc_id of its
     * exact-text group). The standard collapse a boilerplate-heavy crawl
