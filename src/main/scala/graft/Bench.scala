@@ -146,7 +146,7 @@ object Bench {
     def stagePass(): Seq[(String, Double)] =
       if (only.isDefined) Seq.empty
       else (ops.OpsQueries.stageBuilders ++ ops.ClusterQueries.stageBuilders ++
-        ops.PqQueries.stageBuilders).map {
+        ops.PqQueries.stageBuilders ++ ops.GraphQueries.stageBuilders).map {
         case (name, build) =>
           val t0 = System.nanoTime()
           try build(spark, sfDir).write.format("noop").mode("overwrite").save()

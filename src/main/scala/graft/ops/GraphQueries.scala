@@ -38,8 +38,28 @@ object GraphQueries {
   /** Clone-collapsed PageRank scores (doc_id, degree, pr_fp) — the x115
     * computation as a reusable stage (x120 composes it with the dup
     * components for canonical selection). See x115's Scaladoc for the
-    * exactness argument; the doc-space oracle is the bitwise proof. */
-  private[ops] def pagerankScores(s: SparkSession, d: String): DataFrame = {
+    * exactness argument; the doc-space oracle is the bitwise proof.
+    *
+    * SharedStages-cached (r16): x115 and x120 both consume this frame, and
+    * before r16 each rebuilt the full three-iteration rank chain (~4-5 s
+    * apiece at sf0.1 — the two slowest batch queries in BENCH_r15). As a
+    * named bench stage the suite pays the iteration once, under its own
+    * timer, exactly like components/bands; production materializes the
+    * score table once per pipeline run the same way. */
+  private[ops] def pagerankScores(s: SparkSession, d: String): DataFrame =
+    graft.util.SharedStages.cached(
+      s"documents-pagerank|$d|${System.identityHashCode(s)}")(
+      pagerankScoresUncached(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Shared-stage builders for the bench's separately-timed pre-build pass
+    * (see OpsQueries.stageBuilders). Depends on repmap/repcands/bands —
+    * listed after OpsQueries' builders in Bench's stage pass. */
+  private[graft] def stageBuilders
+      : Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "pagerank" -> (pagerankScores(_, _)))
+
+  private def pagerankScoresUncached(s: SparkSession, d: String): DataFrame = {
     val rm = OpsQueries.sharedRepMapFor(s, d) // (doc_id, rep)
     val mult = rm.groupBy("rep").agg(count(lit(1)).as("m"))
     // Shared rep-level band-collision pairs (one band self-join per pass,
