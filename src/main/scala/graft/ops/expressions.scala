@@ -618,3 +618,104 @@ object Int8DotExpr {
       Int8DotExpr(org.apache.spark.sql.graftshim.shims.expression(a),
         org.apache.spark.sql.graftshim.shims.expression(b)))
 }
+
+/** `markov_stationary(edges, iters)` → array<struct<state, n_out, p>>: the
+  * x133 power iteration over a BOUNDED transition matrix, run imperatively
+  * inside one expression evaluation.
+  *
+  * Input is the collected (f, t, n) edge array (|types|²-bounded upstream
+  * by x133's limit(4096)); output is one struct per state surviving the
+  * third iteration, exactly the row set and masses of the row-frame
+  * unrolling it replaces: π₀ = uniform 1e6 div k over (distinct f ∪
+  * distinct t); each step moves (π_f·n) div tn_f along every edge whose
+  * source is still in π (Java Long division truncates toward zero =
+  * Spark `div` = DuckDB `//` on the non-negatives here) and HOLDS states
+  * with no outgoing edges; states that receive nothing and hold nothing
+  * drop out — the same survival decay the union-groupBy produced. All
+  * cross-row sums are exact Long adds (order-free). The row-frame form
+  * planned ~300 exchanges across the three unrolled steps (3.7 s isolated
+  * at sf0.1, pure tiny-stage churn); this is one projection. Output is
+  * sorted by state for a deterministic array order. */
+case class MarkovStationaryExpr(child: Expression, iters: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("state", StringType, nullable = false),
+    StructField("n_out", LongType, nullable = false),
+    StructField("p", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(edgesIn: Any): Any = {
+    val arr = edgesIn.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val fs = new Array[UTF8String](n)
+    val ts = new Array[UTF8String](n)
+    val ns = new Array[Long](n)
+    // java.lang.Long values throughout: a scala.Long-valued map unboxes
+    // get(absentKey)'s null to 0, which silently turns "state dropped from
+    // π" into "state present with zero mass" (extra output rows).
+    val tot = new java.util.HashMap[UTF8String, java.lang.Long]()
+    val states = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      fs(i) = row.getUTF8String(0)
+      ts(i) = row.getUTF8String(1)
+      ns(i) = row.getLong(2)
+      tot.merge(fs(i), java.lang.Long.valueOf(ns(i)),
+        (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      i += 1
+    }
+    i = 0
+    while (i < n) { states.add(fs(i)); i += 1 }
+    i = 0
+    while (i < n) { states.add(ts(i)); i += 1 }
+    val k = states.size.toLong
+    if (k == 0L) return new GenericArrayData(Array.empty[Any])
+    var pi = new java.util.HashMap[UTF8String, java.lang.Long]()
+    states.forEach(s => { pi.put(s, java.lang.Long.valueOf(1000000L / k)); () })
+    var it = 0
+    while (it < iters) {
+      val next = new java.util.HashMap[UTF8String, java.lang.Long]()
+      i = 0
+      while (i < n) {
+        val p = pi.get(fs(i))
+        if (p != null) // source still in π: move (p·n) div tn along the edge
+          next.merge(ts(i),
+            java.lang.Long.valueOf(p.longValue() * ns(i) / tot.get(fs(i)).longValue()),
+            (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        i += 1
+      }
+      pi.forEach((s, p) => if (!tot.containsKey(s)) {
+        next.merge(s, p,
+          (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue())); ()
+      })
+      pi = next
+      it += 1
+    }
+    val out = new Array[AnyRef](pi.size)
+    var j = 0
+    val entries = pi.entrySet().iterator()
+    while (entries.hasNext) {
+      val e = entries.next()
+      val s = e.getKey
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        s.clone(), if (tot.containsKey(s)) tot.get(s).longValue() else 0L,
+        e.getValue.longValue())
+      j += 1
+    }
+    val sorted = out.sortBy(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      .getUTF8String(0))(Ordering.fromLessThan[UTF8String]((a, b) => a.compareTo(b) < 0))
+    new GenericArrayData(sorted)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MarkovStationaryExpr =
+    copy(child = c)
+  override def prettyName: String = "markov_stationary"
+}
+
+object MarkovStationaryExpr {
+  def markov_stationary(edges: Column, iters: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      MarkovStationaryExpr(
+        org.apache.spark.sql.graftshim.shims.expression(edges), iters))
+}

@@ -779,32 +779,31 @@ object AnalyticsQueries {
       val seq = QueryDef.events(s, d)
         .select(col("user_id"), col("event_type").as("f"),
           lead(col("event_type"), 1).over(w).as("t"))
-      // limit(4096): no-ops — |types|² transition cells / |types| rows
-      // (a product-defined enum); machine-visible PlanGuard bounds.
-      // Persisted: the matrix feeds m2/st and all three iteration steps —
-      // unpersisted, every branch re-runs the corpus lag window.
-      val m = graft.util.PersistScope.track(
-        seq.filter(col("t").isNotNull)
-          .groupBy("f", "t").agg(count(lit(1)).as("n")).limit(4096)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val tot = m.groupBy("f").agg(sum("n").as("tn")).limit(4096)
-      val m2 = m.join(tot, "f")
-      val st = m.select(col("f").as("state"))
-        .unionByName(m.select(col("t").as("state"))).distinct().limit(4096)
-      val k = st.agg(count(lit(1)).as("k"))
-      val i0 = st.crossJoin(broadcast(k))
-        .select(col("state"), expr("1000000 div k").as("p"))
-      def step(pi: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val moved = pi.join(m2, pi("state") === m2("f"))
-          .select(col("t").as("state"), expr("(p * n) div tn").as("p"))
-        val held = pi.join(tot, pi("state") === tot("f"), "left_anti")
-        moved.unionByName(held).groupBy("state").agg(sum("p").as("p")).limit(4096)
-      }
-      val i3 = step(step(step(i0)))
-      i3.join(broadcast(tot.select(col("f").as("state"), col("tn"))), Seq("state"), "left")
-        .select(col("state").as("event_type"),
-          coalesce(col("tn"), lit(0L)).cast("long").as("n_out"),
-          (col("p").cast("double") / 1000000).as("p_stationary"))
+      // limit(4096): no-op — |types|² transition cells (a product-defined
+      // enum); machine-visible PlanGuard bound.
+      val m = seq.filter(col("t").isNotNull)
+        .groupBy("f", "t").agg(count(lit(1)).as("n")).limit(4096)
+      // ONE-ROW iteration (r16): the matrix is |types|²-bounded, yet the
+      // row-frame unrolling planned ~300 exchanges across the three steps
+      // (each step's moved/held/group chain re-planned per iteration —
+      // 3.7 s isolated at sf0.1, pure tiny-stage churn; the corpus lag
+      // window itself is <1 s). The bounded matrix collapses into ONE
+      // collected array row and the whole three-step iteration runs
+      // imperatively inside [[graft.ops.MarkovStationaryExpr]] — identical
+      // surviving-state decay and identical div-truncated integer masses
+      // (see its Scaladoc), in a 3-exchange linear plan. This is the
+      // broadcast-a-bounded-model posture the PQ/drift queries already
+      // take, applied to the iteration state itself; the unchanged
+      // row-frame oracle is the equivalence proof. (A higher-order-
+      // function form was tried first and abandoned: interpreted HOFs
+      // have no common-subexpression elimination, so the nested steps
+      // re-evaluated each other exponentially.)
+      val one = m.agg(collect_list(struct(col("f"), col("t"), col("n"))).as("es"))
+      one.select(explode(graft.ops.MarkovStationaryExpr
+          .markov_stationary(col("es"), 3)).as("x"))
+        .select(col("x.state").as("event_type"),
+          col("x.n_out").cast("long").as("n_out"),
+          (col("x.p").cast("double") / 1000000).as("p_stationary"))
     },
 
     // Inter-arrival burstiness audit (x131) — the traffic-shape read that
