@@ -223,8 +223,15 @@ object PqQueries {
       .join(cand, "vec_id")
       .join(broadcast(lut), Seq("qid", "sub", "cid"))
       .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
-    val rw = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
-    val topk = adc.withColumn("rank", row_number().over(rw)).filter(col("rank") <= TopN)
+    // Bounded-heap top-k (r16): same (adc, vec_id) total order as the
+    // row_number window this replaces — posexplode position + 1 IS the
+    // row_number — but only k rows per (map partition, qid) cross the
+    // shuffle where the window sorted every candidate row per query.
+    val topk = adc.groupBy("qid")
+      .agg(TopK.topk_min(struct(col("adc"), col("vec_id")), TopN).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "hit")))
+      .select(col("qid"), col("hit.vec_id").as("vec_id"),
+        col("hit.adc").as("adc"), (col("p") + 1).as("rank"))
     IvfpqSearch(q, cand, topk)
   }
 
@@ -417,12 +424,18 @@ object PqQueries {
         .join(broadcast(lut), Seq("sub", "cid"))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy("qid", "vec_id").agg(sum("ld").as("adc"))
-      val w = Window.partitionBy("qid").orderBy(col("adc"), col("vec_id"))
-      // limit(QMax·TopN): no-op on the rank-filtered winners (≤TopN rows
-      // per capped query id), makes every winner-derived broadcast bound
-      // machine-visible to PlanGuard — no whitelist entry needed.
-      val top = adc.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopN).limit(QMax * TopN)
+      // Bounded-heap top-k (r16): same (adc, vec_id) total order as the
+      // row_number window it replaces (posexplode position + 1 = rank);
+      // k rows per (map partition, qid) cross the shuffle instead of the
+      // whole corpus-sized ADC frame sorting per query. limit(QMax·TopN):
+      // no-op on the ≤TopN rows per capped query id, makes every
+      // winner-derived broadcast bound machine-visible to PlanGuard.
+      val top = adc.groupBy("qid")
+        .agg(TopK.topk_min(struct(col("adc"), col("vec_id")), TopN).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("p", "hit")))
+        .select(col("qid"), col("hit.vec_id").as("vec_id"),
+          col("hit.adc").as("adc"), (col("p") + 1).as("rank"))
+        .limit(QMax * TopN)
       // Exact re-rank kernels: |Q|·10 winner rows vs the corpus code frame —
       // the winners are the broadcast side, both times.
       val qb = ClusterQueries.sharedInt8(s, d)
@@ -472,26 +485,38 @@ object PqQueries {
           LEFT JOIN hits USING (qid)""") { (s, d) =>
       val IvfpqSearch(q, cand, topk) = ivfpqSearch(s, d, QMod, QCap, QMax)
       // Exact brute-force audit: |Q| broadcast over the code frame, one
-      // int8 kernel per (query, vector) — the recall ground truth.
-      val exd = graft.util.PersistScope.track(
-        ClusterQueries.sharedInt8(s, d)
-          .crossJoin(broadcast(q.select(col("qid"), col("qv").as("qqv"))))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), KMeans.int8Dist2(col("qqv"), col("qv")).as("d2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val gw = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
-      val gt = exd.withColumn("rn", row_number().over(gw)).filter(col("rn") <= TopN)
-        .select("qid", "vec_id")
+      // int8 kernel per (query, vector) — the recall ground truth. r16:
+      // the kernel output feeds a bounded topk_min heap directly (same
+      // (d2, vec_id) total order as the row_number window it replaces),
+      // so the |Q|·corpus distance frame is never materialized, persisted
+      // or window-sorted — TopN rows per (map partition, qid) shuffle.
+      val qb0 = ClusterQueries.sharedInt8(s, d)
+      val gt = qb0
+        .crossJoin(broadcast(q.select(col("qid"), col("qv").as("qqv"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), KMeans.int8Dist2(col("qqv"), col("qv")).as("d2"))
+        .groupBy("qid")
+        .agg(TopK.topk_min(struct(col("d2"), col("vec_id")), TopN).as("top"))
+        .select(col("qid"), explode(col("top")).as("hit"))
+        .select(col("qid"), col("hit.vec_id").as("vec_id"))
       // limit(QMax): no-ops — one row per capped query id;
       // machine-visible PlanGuard bounds.
       val hits = topk.join(gt, Seq("qid", "vec_id")).groupBy("qid")
         .agg(count(lit(1)).as("h")).limit(QMax)
       val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_cand")).limit(QMax)
+      // Exact top-1 distance: one kernel per rank-1 (qid, vec_id) pair via
+      // two broadcast lookups into the int8 frame (the x113 re-rank shape)
+      // — identical value to probing the old materialized distance frame.
       // limit(QMax): no-op on the one rank-1 row per capped query id;
-      // PlanGuard-visible bound for the broadcast below.
-      val t1 = topk.filter(col("rank") === 1)
-        .join(exd.select(col("qid"), col("vec_id"), col("d2")), Seq("qid", "vec_id"))
-        .select(col("qid"), col("vec_id").as("top1_vec_id"), col("d2").as("top1_exact_d2"))
+      // PlanGuard-visible bound for the broadcasts below.
+      val r1 = topk.filter(col("rank") === 1).limit(QMax)
+      val t1 = qb0.select(col("vec_id").as("qid"), col("qv").as("qqv"))
+        .join(broadcast(r1.select("qid", "vec_id")), "qid")
+        .join(broadcast(qb0.select(col("vec_id"), col("qv").as("dqv"))
+          .join(broadcast(r1.select("vec_id").distinct()), "vec_id")
+          .limit(QMax)), "vec_id")
+        .select(col("qid"), col("vec_id").as("top1_vec_id"),
+          KMeans.int8Dist2(col("qqv"), col("dqv")).as("top1_exact_d2"))
         .limit(QMax)
       q.select("qid")
         .join(broadcast(nc), Seq("qid"), "left")

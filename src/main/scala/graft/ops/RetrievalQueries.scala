@@ -481,8 +481,17 @@ object RetrievalQueries {
       .crossJoin(broadcast(nt))
       .select(col("qid"), col("doc_id"), term.as("term"))
       .groupBy("qid", "doc_id").agg(sum("term").as("s"))
-    val rk = Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))
-    sc.withColumn("rank", row_number().over(rk)).filter(col("rank") <= 10)
+    // Bounded-heap top-10 (r16): struct(-s, doc_id) ascending = the
+    // (s DESC, doc_id ASC) total order of the row_number window this
+    // replaces (posexplode position + 1 = rank; s rides as a non-ordering
+    // third field — (-s, doc_id) is already unique). 10 rows per
+    // (map partition, qid) cross the shuffle instead of every candidate.
+    sc.groupBy("qid")
+      .agg(graft.ops.TopK.topk_min(
+        struct((-col("s")).as("ns"), col("doc_id"), col("s")), 10).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "hit")))
+      .select(col("qid"), col("hit.doc_id").as("doc_id"),
+        (col("p") + 1).as("rank"), col("hit.s").as("s"))
   }
 
   /** The BM25 CTE chain, `p`-prefixed for collision-free composition
