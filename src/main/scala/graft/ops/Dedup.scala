@@ -583,19 +583,17 @@ object Dedup {
     * expression-level (zero shuffle); hashes are md5 hex, minimized
     * lexicographically (= numerically for hex of equal length). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         window: Int = 4): DataFrame = {
-    val hs = col("__hs")
-    val nw = greatest(size(hs) - (window - 1), lit(1))
-    val fps = array_distinct(transform(sequence(lit(1), nw),
-      j => array_min(slice(hs, j, lit(window)))))
+                         window: Int = 4): DataFrame =
+    // Fused one-pass kernel (r16): the former shingle→transform(md5)→
+    // windowed array_min HOF chain evaluated interpreted per shingle per
+    // window; WinnowFpsExpr computes the identical distinct fingerprint
+    // array imperatively (see its Scaladoc for the equivalence argument —
+    // zero-shingle docs yield an empty array, which explode drops exactly
+    // like the old explode_outer+filter).
     docs
       .select(col(idCol), tokens(col(textCol)).as("__tk"))
-      .select(col(idCol), shingles(col("__tk")).as("__sh"))
-      .select(col(idCol), transform(col("__sh"), g => md5(g)).as("__hs"))
-      // outer+filter: keep the hash construction out of scan DataFilters
-      .select(col(idCol), explode_outer(when(size(hs) >= 1, fps)).as("fp"))
-      .filter(col("fp").isNotNull)
-  }
+      .select(col(idCol),
+        explode(WinnowFpsExpr.winnow_fps(col("__tk"), window)).as("fp"))
 
   /** Winnowing candidate pairs: docs sharing ≥ `minShared` winnowed
     * fingerprints, with the shared count as the overlap strength. The

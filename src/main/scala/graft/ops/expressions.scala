@@ -719,3 +719,81 @@ object MarkovStationaryExpr {
       MarkovStationaryExpr(
         org.apache.spark.sql.graftshim.shims.expression(edges), iters))
 }
+
+/** `winnow_fps(tokens, window)` → array<string>: the distinct winnowing
+  * fingerprints of the doc — md5 hex of each word 3-gram shingle, then the
+  * minimum over each `window` of consecutive shingle hashes (MOSS local
+  * selection), distinct in first-occurrence order.
+  *
+  * Semantically identical to the composable chain it replaces
+  * (`array_distinct(transform(sequence(1, greatest(nSh-(w-1),1)),
+  * j -> array_min(slice(md5-transformed shingles, j, w))))` guarded by
+  * `when(size >= 1, ...)`, and to its DuckDB oracle twin) — docs with zero
+  * shingles yield an EMPTY array (the chain's explode_outer+filter drops
+  * them; a plain explode of the empty array does too). One pass, one
+  * digest buffer: the HOF chain evaluates interpreted per shingle per
+  * window with no common-subexpression elimination, which made the winnow
+  * family (x36/x40/x86) pay an allocation per slice per window. Mins
+  * compare on raw digest bytes (hex encoding is order-preserving); only
+  * window winners are hex-encoded, at most once each. */
+case class WinnowFpsExpr(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 1)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val nSh = math.max(nTok - 2, 0)
+    if (nSh == 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = Array.tabulate(nTok)(i =>
+      if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes)
+    val space = " ".getBytes
+    val hs = new Array[Array[Byte]](nSh)
+    var i = 0
+    while (i < nSh) {
+      md.reset()
+      md.update(toks(i)); md.update(space)
+      md.update(toks(i + 1)); md.update(space)
+      md.update(toks(i + 2))
+      hs(i) = md.digest()
+      i += 1
+    }
+    val nw = math.max(nSh - (window - 1), 1)
+    // distinct in first-occurrence order = array_distinct semantics
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
+    var j = 0
+    while (j < nw) {
+      var m = hs(j)
+      var t = j + 1
+      val end = math.min(j + window, nSh)
+      while (t < end) {
+        if (MinHashFromTokensExpr.unsignedLt(hs(t), m)) m = hs(t)
+        t += 1
+      }
+      seen.add(java.nio.ByteBuffer.wrap(m))
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val dig = it.next().array()
+      out(k) = UTF8String.fromString(dig.map("%02x".format(_)).mkString)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFpsExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow_fps"
+}
+
+object WinnowFpsExpr {
+  def winnow_fps(tokens: Column, window: Int): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      WinnowFpsExpr(org.apache.spark.sql.graftshim.shims.expression(tokens), window))
+}

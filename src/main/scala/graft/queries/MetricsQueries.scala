@@ -71,21 +71,34 @@ object MetricsQueries {
       val q = q0.crossJoin(broadcast(ml))
         .select(col("vec_id"), slice(col("q"), lit(1), col("ml")).as("q"))
       val dec = "decimal(38,0)"
+      // ONE-PASS moments (r16, same rewrite as x132): the per-dim moment
+      // pass and the in-row pair-product HOF explode (corpus·d²/2
+      // interpreted struct rows) collapse into one corpus pass through
+      // [[graft.ops.VecAgg]] — Σx, the full d² outer-product sum (whose
+      // diagonal IS Σx² and whose upper triangle IS the pair Σxy), and n,
+      // off a single aggregate row. Exact order-free integer adds, same
+      // values; see VecAgg's overflow bound. Persisted: dm and pairs both
+      // derive from it.
+      val one = graft.util.PersistScope.track(
+        q.agg(count(lit(1)).as("n"), graft.ops.VecAgg.vec_sum(col("q")).as("sxv"),
+            graft.ops.VecAgg.outer_sum(col("q")).as("xyv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // Per-dim moments: d rows, broadcast back to the pair frame.
       // limit(4096): no-op — one row per embedding DIMENSION (64 here; a
       // model property, never corpus-scaling); machine-visible bound.
-      val dm = q.select(posexplode(col("q")).as(Seq("i0", "x")))
-        .groupBy((col("i0") + 1).as("i"))
-        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"),
-          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      val dm = one
+        .select(col("n"), size(col("sxv")).as("d"), col("xyv"),
+          posexplode(col("sxv")).as(Seq("i0", "x")))
+        .select((col("i0") + 1).as("i"), col("n"), col("x").cast(dec).as("sx"),
+          expr("xyv[i0 * d + i0]").cast(dec).as("sxx"))
         .limit(4096)
-      // Pair products generated in-row (slice keeps j > i), then one
-      // map-side-combined aggregation to the d²/2-cell frame.
-      val pairs = q.select(explode(flatten(transform(col("q"), (qi, i0) =>
-          transform(slice(col("q"), i0 + 2, lit(100000)), (qj, j0) =>
-            struct((i0 + 1).as("i"), (i0 + 2 + j0).as("j"), (qi * qj).as("xy")))))).as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-        .agg(sum(col("p.xy").cast(dec)).as("sxy"))
+      // Upper-triangle (i < j) cells of the outer-product sum = the pair
+      // Σxy frame the explode/groupBy used to build.
+      val pairs = one
+        .select(size(col("sxv")).as("d"), posexplode(col("xyv")).as(Seq("k", "xy")))
+        .select((expr("k div d") + 1).as("i"), (expr("k % d") + 1).as("j"),
+          col("xy").cast(dec).as("sxy"))
+        .filter(col("i") < col("j"))
       val di = dm.select(col("i"), col("n"), col("sx").as("sxi"), col("sxx").as("sxxi"))
       val dj = dm.select(col("i").as("j"), col("n").as("nj"),
         col("sx").as("sxj"), col("sxx").as("sxxj"))
@@ -284,16 +297,28 @@ object MetricsQueries {
       val ml = q0.agg(min(size(col("q"))).as("ml"))
       val q = q0.crossJoin(broadcast(ml))
         .select(slice(col("q"), lit(1), col("ml")).as("q"))
-      val sxf = q.select(posexplode(col("q")).as(Seq("i0", "x")))
-        .groupBy((col("i0") + 1).as("i"))
-        .agg(count(lit(1)).as("n"), sum(col("x").cast(dec)).as("sx"))
+      // ONE-PASS moments (r16): the posexplode/HOF form built corpus·d²
+      // interpreted struct rows (29 M at sf0.1) and hash-aggregated them to
+      // the d² cells; [[graft.ops.VecAgg]] folds each row's outer product
+      // into one long buffer map-side, so the corpus is read once and the
+      // shuffle carries one d²-cell array per partition. Sums are the same
+      // order-free exact integer adds (see VecAgg's overflow bound) —
+      // identical sxf/mom values, and both frames now come off ONE
+      // aggregate row instead of two corpus passes. Persisted: sxf and mom
+      // both derive from it, and `c` feeds v1/v2/diag three ways.
+      val one = graft.util.PersistScope.track(
+        q.agg(count(lit(1)).as("n"), graft.ops.VecAgg.vec_sum(col("q")).as("sxv"),
+            graft.ops.VecAgg.outer_sum(col("q")).as("xyv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sxf = one
+        .select(col("n"), posexplode(col("sxv")).as(Seq("i0", "x")))
+        .select((col("i0") + 1).as("i"), col("n"), col("x").cast(dec).as("sx"))
         // limit(4096): no-op — one row per embedding dimension.
         .limit(4096)
-      val mom = q.select(explode(flatten(transform(col("q"), (qi, i0) =>
-          transform(col("q"), (qj, j0) =>
-            struct((i0 + 1).as("i"), (j0 + 1).as("j"), (qi * qj).as("xy")))))).as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-        .agg(sum(col("p.xy").cast(dec)).as("sxy"))
+      val mom = one
+        .select(size(col("sxv")).as("d"), posexplode(col("xyv")).as(Seq("k", "xy")))
+        .select((expr("k div d") + 1).as("i"), (expr("k % d") + 1).as("j"),
+          col("xy").cast(dec).as("sxy"))
       val c = mom
         .join(broadcast(sxf.select(col("i"), col("n"), col("sx").as("sxi"))), "i")
         .join(broadcast(sxf.select(col("i").as("j"), col("sx").as("sxj"))), "j")
