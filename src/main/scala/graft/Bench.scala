@@ -195,6 +195,7 @@ object Bench {
     // the suite.
     util.SharedStages.releaseAll()
     ops.Dedup.releaseSubstringArtifacts()
+    ops.PqQueries.releaseDriftArtifacts()
     // Settle the heap BEFORE the warm stage pass, not after it: the warm
     // pass's first timers otherwise absorb the whole cold pass's + the
     // streaming warmup's accumulated debt plus the async unpersist churn

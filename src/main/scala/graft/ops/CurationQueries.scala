@@ -576,16 +576,18 @@ object CurationQueries {
         OpsQueries.sharedWordCounts(s, d).join(h, "doc_id")
           .groupBy("source", "half", "token").agg(sum("c").as("c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val va = hc.select("source", "token").distinct()
-      val vt = va.groupBy("source").agg(count(lit(1)).as("vv"))
       val nt = hc.groupBy("source", "half").agg(sum("c").as("n"))
-      val grid = va
-        .join(hc.filter(col("half") === 0)
-          .select(col("source"), col("token"), col("c").as("cf")), Seq("source", "token"), "left")
-        .join(hc.filter(col("half") === 1)
-          .select(col("source"), col("token"), col("c").as("cb")), Seq("source", "token"), "left")
-        .select(col("source"), col("token"),
-          coalesce(col("cf"), lit(0L)).as("cf"), coalesce(col("cb"), lit(0L)).as("cb"))
+      // ONE conditional aggregation (r16): the grid's row set is exactly
+      // the distinct (source, token) pairs of hc, and cf/cb are the half
+      // counts with 0 defaults — the former distinct + two left
+      // self-joins re-shuffled the wordcount-sized frame three times for
+      // what one pivot-style groupBy computes (identical rows and values:
+      // a half with no row sums to null → coalesce 0, exactly the old
+      // left-join miss).
+      val grid = hc.groupBy("source", "token")
+        .agg(coalesce(sum(when(col("half") === 0, col("c"))), lit(0L)).as("cf"),
+          coalesce(sum(when(col("half") === 1, col("c"))), lit(0L)).as("cb"))
+      val vt = grid.groupBy("source").agg(count(lit(1)).as("vv"))
       val qf = (col("cf") + 1).cast("double") / (col("nf") + col("vv"))
       val qb = (col("cb") + 1).cast("double") / (col("nb") + col("vv"))
       grid

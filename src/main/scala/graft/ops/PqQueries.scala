@@ -123,9 +123,63 @@ object PqQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** PQ shared stages for the bench's pre-build pass. */
+  /** PQ shared stages for the bench's pre-build pass. `driftmodel` builds
+    * the per-JVM drift-model artifact eagerly (a parquet write action);
+    * the returned scan is the noop-timed remainder — the sublabels
+    * discipline. */
   private[graft] def stageBuilders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "pq" -> (sharedPqCodes(_, _)))
+    "pq" -> (sharedPqCodes(_, _)),
+    "driftmodel" -> ((s, d) => s.read.parquet(driftModelArtifact(s, d))))
+
+  // Per-JVM drift-model artifact registry — the substring-label pattern
+  // (Dedup.labelArtifacts): strictly process-unique, deleted on JVM exit,
+  // released by Bench between its warmup and timed passes so the timed
+  // pass pays the build exactly once under the `driftmodel` stage timer.
+  private val driftArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val driftArtifactBase: java.io.File = {
+    val dir = new java.io.File(
+      s"target/stage_artifacts/jvm-${ProcessHandle.current().pid()}-drift")
+    dir.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      catch { case _: Throwable => () }))
+    dir
+  }
+
+  /** Forget and delete every built drift-model artifact (Bench calls this
+    * between passes, next to Dedup.releaseSubstringArtifacts). */
+  def releaseDriftArtifacts(): Unit = {
+    driftArtifacts.clear()
+    if (driftArtifactBase.exists()) {
+      driftArtifactBase.listFiles().foreach { f =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(f)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** The s22 drift model as a persisted per-JVM parquet artifact — the
+    * production shape (train once per pipeline run, every gate invocation
+    * reads the model table) and the cross-SESSION handoff the streaming
+    * gate needs: the model trains on the caller's batch session, and the
+    * gate's child replay session reads the file. Source-fingerprinted like
+    * the substring-label artifact so a regenerated corpus at the same path
+    * never serves a stale model. */
+  private[graft] def driftModelArtifact(spark: SparkSession, dir: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val parts: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.filter(_.isFile) else Seq(src)
+    val fp = s"${parts.map(_.length).sum}-${parts.map(_.lastModified).max}"
+    val key = s"$dir|$fp"
+    driftArtifacts.computeIfAbsent(key, _ => {
+      val dst = new java.io.File(driftArtifactBase,
+        "drift_model_" + java.lang.Integer.toHexString(key.hashCode))
+      driftModelRow(spark, dir).write.mode("overwrite").parquet(dst.getPath)
+      dst.getPath
+    })
+  }
 
   /** Drift-model training (x117 / s22): codebooks over the label-0 slice
     * only, seeds = its K smallest ids — "yesterday's data" for the gate. */
@@ -140,13 +194,23 @@ object PqQueries {
     update(assignOnce(sv0, init))
   }
 
+  /** SharedStages-cached drift codebooks (r16): x117 and the s22 drift
+    * model both train the identical label-0 codebooks; before r16 each
+    * rebuilt them privately. One persisted build per (session, dir) pass;
+    * the bench pays it inside the `driftmodel` stage timer. */
+  private[ops] def sharedDriftCodebooks(s: SparkSession, d: String): DataFrame =
+    graft.util.SharedStages.cached(
+      s"drift-codebooks|$d|${System.identityHashCode(s)}")(
+      driftCodebooks(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The drift model as ONE broadcastable row for the streaming gate
     * (s22): `cs` = the trained codebook entries, `base` = the training
     * slice's exact per-vector mean quantization error in micros, and a
     * literal join key. Empty when no label-0 slice exists (the stream
     * gate emits nothing then — matching the batch oracle). */
   private[graft] def driftModelRow(s: SparkSession, d: String): DataFrame = {
-    val c1 = driftCodebooks(s, d)
+    val c1 = sharedDriftCodebooks(s, d)
     val lb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
     val enc0 = assignOnce(
       subCodes(s, d).join(lb.filter(col("label") === 0).select("vec_id"), "vec_id"), c1)
@@ -552,7 +616,7 @@ object PqQueries {
             avg_micro * 10 > (SELECT base FROM b0) * 12 AS flagged
           FROM am""") { (s, d) =>
       val lb = t(s, d, "embeddings").select(col("vec_id"), col("label"))
-      val enc = assignOnce(subCodes(s, d), driftCodebooks(s, d))
+      val enc = assignOnce(subCodes(s, d), sharedDriftCodebooks(s, d))
       val vd = enc.groupBy("vec_id").agg(sum("d2i").as("vd2"))
       val pl = vd.join(lb, "vec_id").groupBy("label")
         .agg(count(lit(1)).as("n_vecs"), sum("vd2").as("s"))

