@@ -148,6 +148,10 @@ object Bench {
       else (ops.OpsQueries.stageBuilders ++ ops.ClusterQueries.stageBuilders ++
         ops.PqQueries.stageBuilders ++ ops.GraphQueries.stageBuilders).map {
         case (name, build) =>
+          // Guide §1.5: label every job so event logs / listener output
+          // attribute stages to their owner (the UI is disabled here, but
+          // the description rides the Spark listener bus and event logs).
+          spark.sparkContext.setJobDescription(s"stage:$name")
           val t0 = System.nanoTime()
           try build(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
@@ -171,6 +175,7 @@ object Bench {
     // to re-derive that from run-to-run variance.
     val stagesCold = stagePass()
     val cold = picked.map { q =>
+      spark.sparkContext.setJobDescription(s"warmup:${q.name}")
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -209,6 +214,7 @@ object Bench {
     System.gc()
     Thread.sleep(200)
     def timedPass(qs: Seq[queries.QueryDef]): Seq[(String, Double)] = qs.map { q =>
+      spark.sparkContext.setJobDescription(s"query:${q.name}")
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -30,6 +30,7 @@ object BenchOne {
     val fn = graft.SparkEntry.queries(name)
     if (doExplain) fn(spark, dir).explain("formatted")
     for (round <- 1 to 3) {
+      spark.sparkContext.setJobDescription(s"benchone:$name:round$round")
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"TIME $name round$round: ${(System.nanoTime() - t0) / 1e9}%.2fs")
