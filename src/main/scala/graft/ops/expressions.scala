@@ -797,3 +797,167 @@ object WinnowFpsExpr {
     org.apache.spark.sql.graftshim.shims.column(
       WinnowFpsExpr(org.apache.spark.sql.graftshim.shims.expression(tokens), window))
 }
+
+/** `decontam_verdict(tokens, bs)` → struct<hits:int, mr:int>: the s17
+  * per-doc contamination verdict — 5-gram xxhash64 hashes of the token
+  * array probed against each benchmark item's gram set, `hits` = how many
+  * items share ≥1 gram, `mr` = the longest consecutive run of positions
+  * hitting a single item (the max over items).
+  *
+  * Semantically identical to the composable stack it replaces (gramsOf →
+  * union-prefilter `array_intersect` → per-item `array_contains` +
+  * longestRun `aggregate` fold): same xxhash64 (catalyst XXH64, seed 42,
+  * over the space-joined UTF-8 bytes — the exact `xxhash64(concat_ws(...))`
+  * value), same <5-token/empty/null-token degenerate result (0, 0), same
+  * per-item gating (an item with no shared gram scores 0). The HOF stack
+  * evaluated interpreted per (gram × item) with an array_contains LINEAR
+  * SCAN per probe; here each item's gram set loads once per broadcast
+  * value into an open-addressing long set (cached by reference identity
+  * of the broadcast array — rebuilt transparently if the reference
+  * changes), and each doc pays one pass over its grams per touched item
+  * plus one union probe per gram.
+  */
+case class DecontamVerdictExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("hits", IntegerType, nullable = false),
+    StructField("mr", IntegerType, nullable = false)))
+
+  /** Minimal open-addressing set of non-zero longs (zero slot = empty;
+    * the zero KEY, if present, is tracked by a flag). */
+  private final class LongSet(capacityFor: Int) {
+    private val bits = {
+      var b = 4
+      while ((1 << b) < capacityFor * 2 + 2) b += 1
+      b
+    }
+    private val mask = (1 << bits) - 1
+    private val slots = new Array[Long](1 << bits)
+    private var hasZero = false
+    def add(v: Long): Unit = {
+      if (v == 0L) { hasZero = true; return }
+      var i = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+      while (slots(i) != 0L && slots(i) != v) i = (i + 1) & mask
+      slots(i) = v
+    }
+    def contains(v: Long): Boolean = {
+      if (v == 0L) return hasZero
+      var i = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+      while (slots(i) != 0L) {
+        if (slots(i) == v) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+  }
+
+  /** Per-broadcast-value prepared sets: (union, per-item). Keyed on the
+    * ArrayData reference — stable within a partition's broadcast row;
+    * a changed reference just rebuilds (correctness never depends on the
+    * cache hitting). */
+  @transient private var cachedRef: AnyRef = null
+  @transient private var cachedUnion: LongSet = null
+  @transient private var cachedItems: Array[LongSet] = null
+
+  private def prepare(bs: ArrayData): (LongSet, Array[LongSet]) = {
+    if (cachedRef eq bs) return (cachedUnion, cachedItems)
+    val n = bs.numElements()
+    val items = new Array[LongSet](n)
+    var total = 0
+    val rows = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = bs.getStruct(i, 2).getArray(1)
+      total += rows(i).numElements()
+      i += 1
+    }
+    val union = new LongSet(math.max(total, 1))
+    i = 0
+    while (i < n) {
+      val set = new LongSet(math.max(rows(i).numElements(), 1))
+      var j = 0
+      while (j < rows(i).numElements()) {
+        val g = rows(i).getLong(j)
+        set.add(g); union.add(g)
+        j += 1
+      }
+      items(i) = set
+      i += 1
+    }
+    cachedRef = bs; cachedUnion = union; cachedItems = items
+    (union, items)
+  }
+
+  private val zero = org.apache.spark.sql.catalyst.InternalRow(0, 0)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bsAny = right.eval(input)
+    if (bsAny == null) return zero
+    val tkAny = left.eval(input)
+    // null/short token arrays: the old gramsOf when-guard yielded an empty
+    // gram array, and every per-item score read 0
+    val (union, items) = prepare(bsAny.asInstanceOf[ArrayData])
+    if (tkAny == null || items.length == 0) return zero
+    val tk = tkAny.asInstanceOf[ArrayData]
+    val nTok = tk.numElements()
+    val nG = nTok - 4
+    if (nG <= 0) return zero
+    // grams once per doc (exactly xxhash64(concat_ws(' ', tk[i..i+4])))
+    val toks = Array.tabulate(nTok)(i =>
+      if (tk.isNullAt(i)) Array.emptyByteArray else tk.getUTF8String(i).getBytes)
+    val grams = new Array[Long](nG)
+    var any = false
+    var i = 0
+    while (i < nG) {
+      var len = 4 // the four joining spaces
+      var t = 0
+      while (t < 5) { len += toks(i + t).length; t += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      t = 0
+      while (t < 5) {
+        if (t > 0) { buf(p) = ' '; p += 1 }
+        System.arraycopy(toks(i + t), 0, buf, p, toks(i + t).length)
+        p += toks(i + t).length
+        t += 1
+      }
+      // the canonical xxhash64 entry — bit-identical to the builtin
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromBytes(buf), StringType, 42L)
+      grams(i) = h
+      if (!any && union.contains(h)) any = true
+      i += 1
+    }
+    if (!any) return zero
+    var hits = 0
+    var mr = 0
+    var it = 0
+    while (it < items.length) {
+      val set = items(it)
+      var cur = 0
+      var best = 0
+      var g = 0
+      while (g < nG) {
+        if (set.contains(grams(g))) { cur += 1; if (cur > best) best = cur }
+        else cur = 0
+        g += 1
+      }
+      if (best > 0) { hits += 1; if (best > mr) mr = best }
+      it += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(hits, mr)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DecontamVerdictExpr = copy(left = l, right = r)
+  override def prettyName: String = "decontam_verdict"
+}
+
+object DecontamVerdictExpr {
+  def decontam_verdict(tokens: Column, bs: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      DecontamVerdictExpr(
+        org.apache.spark.sql.graftshim.shims.expression(tokens),
+        org.apache.spark.sql.graftshim.shims.expression(bs)))
+}

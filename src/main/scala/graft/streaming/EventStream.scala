@@ -1221,48 +1221,30 @@ object EventStream {
       .filter(col("doc_id") < benchBelow)
       .select(col("doc_id").cast("long").as("bid"),
         array_distinct(gramsOf(split(col("text"), " "))).as("bset"))
-    // Union-set prefilter riding the same broadcast row: almost every
-    // arriving doc shares NO gram with the eval suite, and for those the
-    // per-item positional folds (10 × |bset| compares PER GRAM) are pure
-    // waste. `array_intersect` builds a hash set of one side, so one
-    // doc-vs-union probe is O(|gs| + |union|) — it replaces the
-    // O(|gs| × Σ|bset|) fold stack for clean docs, and the same per-item
-    // gate inside the dirty branch skips every untouched benchmark item
-    // (a contaminated doc usually touches one item, not ten). Exact set
-    // semantics — the emitted decisions are bitwise unchanged.
-    val union = benchDocs
-      .select(explode(col("bset")).as("g")).distinct()
-      .agg(collect_list(col("g")).as("uni"))
     val bench = benchDocs
       .agg(collect_list(struct(col("bid"), col("bset"))).as("bs"))
-      .crossJoin(union)
-    // Longest consecutive run of hit positions, folded in-row: the
-    // (cur, best) accumulator is the streaming-safe gaps-and-islands.
-    def longestRun(bset: Column): Column =
-      aggregate(
-        transform(col("gs"), g => array_contains(bset, g)),
-        struct(lit(0).as("cur"), lit(0).as("best")),
-        (acc, hit) => {
-          val nc = when(hit, acc.getField("cur") + 1).otherwise(lit(0))
-          struct(nc.as("cur"), greatest(acc.getField("best"), nc).as("best"))
-        },
-        acc => acc.getField("best"))
-    val anyHit = size(array_intersect(col("gs"), col("uni"))) > 0
-    val per = when(anyHit,
-      transform(col("bs"), b =>
-        when(size(array_intersect(col("gs"), b.getField("bset"))) > 0,
-          longestRun(b.getField("bset"))).otherwise(lit(0))))
-      .otherwise(transform(col("bs"), _ => lit(0)))
+    // Fused verdict kernel (r16): the former union-prefilter +
+    // per-item array_intersect + longestRun `aggregate` HOF stack
+    // evaluated interpreted per (gram × item) with a linear array_contains
+    // scan per probe; [[graft.ops.DecontamVerdictExpr]] computes the
+    // identical (hits, longest-run) pair — same xxhash64 grams, same
+    // union short-circuit, same per-item gating and degenerate (0, 0)
+    // results — with each item's gram set loaded ONCE per broadcast value
+    // into an open-addressing long set. The 10× stress had s17 at 4.8×
+    // corpus-linear, dominated by exactly this fold.
+    val v = graft.ops.DecontamVerdictExpr.decontam_verdict(
+      split(col("text"), " "), col("bs"))
     val out = streamReader(session, dir, glob, maxFilesPerTrigger)
       .filter(col("doc_id") >= benchBelow)
       .repartition(16) // single-file source: restore scan parallelism (s06 lesson)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        gramsOf(split(col("text"), " ")).as("gs"))
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .crossJoin(broadcast(bench))
-      .select(col("doc_id"),
-        size(filter(per, p => p > 0)).cast("long").as("n_bench_hits"),
-        coalesce(array_max(per), lit(0)).as("__mr"))
-      .select(col("doc_id"), col("n_bench_hits"),
+      // the kernel is aliased in its OWN projection: CollapseProject does
+      // not inline a non-cheap expression referenced twice, so it runs
+      // once per row (guide §4.4's duplication hazard)
+      .select(col("doc_id"), v.as("__v"))
+      .select(col("doc_id"), col("__v.hits").as("__h"), col("__v.mr").as("__mr"))
+      .select(col("doc_id"), col("__h").cast("long").as("n_bench_hits"),
         when(col("__mr") > 0, col("__mr") + 4).otherwise(lit(0))
           .cast("long").as("max_span_tokens"),
         (col("__mr") >= 9).as("quarantine"))

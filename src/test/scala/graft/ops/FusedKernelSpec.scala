@@ -94,4 +94,85 @@ class FusedKernelSpec extends SparkSpec {
       .agg(VecAgg.outer_sum(col("q"))).collect()(0).getSeq[Long](0)
     assert(a.toSeq == b.toSeq)
   }
+
+  /** Pre-r16 s17 verdict stack: union prefilter + per-item
+    * array_intersect gate + longestRun aggregate fold over xxhash64
+    * 5-grams (the exact runDecontamGate HOF chain it replaced). */
+  private def chainVerdict(docs: org.apache.spark.sql.DataFrame,
+                           benchDocs: org.apache.spark.sql.DataFrame) = {
+    def gramsOf(tk: org.apache.spark.sql.Column) =
+      when(size(tk) >= 5, transform(sequence(lit(1), size(tk) - 4),
+        i => xxhash64(concat_ws(" ", (0 until 5).map(o => element_at(tk, i + o)): _*))))
+        .otherwise(array().cast("array<bigint>"))
+    val bset = benchDocs.select(col("doc_id").as("bid"),
+      array_distinct(gramsOf(split(col("text"), " "))).as("bset"))
+    val union = bset.select(explode(col("bset")).as("g")).distinct()
+      .agg(collect_list(col("g")).as("uni"))
+    val bench = bset.agg(collect_list(struct(col("bid"), col("bset"))).as("bs"))
+      .crossJoin(union)
+    def longestRun(b: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(col("gs"), g => array_contains(b, g)),
+        struct(lit(0).as("cur"), lit(0).as("best")),
+        (acc, hit) => {
+          val nc = when(hit, acc.getField("cur") + 1).otherwise(lit(0))
+          struct(nc.as("cur"), greatest(acc.getField("best"), nc).as("best"))
+        },
+        acc => acc.getField("best"))
+    val anyHit = size(array_intersect(col("gs"), col("uni"))) > 0
+    val per = when(anyHit,
+      transform(col("bs"), b =>
+        when(size(array_intersect(col("gs"), b.getField("bset"))) > 0,
+          longestRun(b.getField("bset"))).otherwise(lit(0))))
+      .otherwise(transform(col("bs"), _ => lit(0)))
+    docs.select(col("doc_id"), gramsOf(split(col("text"), " ")).as("gs"))
+      .crossJoin(bench)
+      .select(col("doc_id"),
+        size(filter(per, p => p > 0)).as("hits"),
+        coalesce(array_max(per), lit(0)).as("mr"))
+  }
+
+  private def fusedVerdict(docs: org.apache.spark.sql.DataFrame,
+                           benchDocs: org.apache.spark.sql.DataFrame) = {
+    def gramsOf(tk: org.apache.spark.sql.Column) =
+      when(size(tk) >= 5, transform(sequence(lit(1), size(tk) - 4),
+        i => xxhash64(concat_ws(" ", (0 until 5).map(o => element_at(tk, i + o)): _*))))
+        .otherwise(array().cast("array<bigint>"))
+    val bench = benchDocs.select(col("doc_id").as("bid"),
+        array_distinct(gramsOf(split(col("text"), " "))).as("bset"))
+      .agg(collect_list(struct(col("bid"), col("bset"))).as("bs"))
+    val v = DecontamVerdictExpr.decontam_verdict(split(col("text"), " "), col("bs"))
+    docs.crossJoin(bench)
+      .select(col("doc_id"), v.as("__v"))
+      .select(col("doc_id"), col("__v.hits").as("hits"), col("__v.mr").as("mr"))
+  }
+
+  test("decontam_verdict matches the HOF verdict stack row-for-row") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"),
+      (3L, "x y z w v u t s r q")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, ""),                                            // empty
+      (11L, "too short"),                                   // <5 tokens
+      (12L, "alpha beta gamma delta epsilon"),               // exact 5-token hit of item 1
+      (13L, "no overlap here with anything benchmarked at all"),
+      (14L, "pad alpha beta gamma delta epsilon zeta pad2 one two three four five"), // two items
+      (15L, "one two three four five six seven and then one two three four five"),   // long + repeated run
+      (16L, "alpha beta gamma delta epsilon zeta eta theta " * 3)                     // full item, multiple runs
+    ).toDF("doc_id", "text")
+    val got = fusedVerdict(docs, bench).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val expect = chainVerdict(docs, bench).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    assert(expect.exists(_._2 > 0) && expect.exists(_._3 > 1)) // fixture exercises hits and runs
+  }
+
+  test("decontam_verdict with an empty benchmark yields (0,0) for every doc") {
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = fusedVerdict(docs, bench).collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0, 0)))
+  }
 }
