@@ -1142,6 +1142,10 @@ object Dedup {
     val src = new java.io.File(dir, "documents.parquet")
     val parts: Seq[java.io.File] =
       if (src.isDirectory) src.listFiles().toSeq.filter(_.isFile) else Seq(src)
+    // Empty-dir guard (r16 ADVICE, same idiom as driftModelArtifact): .max
+    // on an empty Seq throws a useless UnsupportedOperationException.
+    if (parts.isEmpty)
+      throw new IllegalStateException(s"documents.parquet missing or empty under $dir")
     val fp = s"${parts.map(_.length).sum}-${parts.map(_.lastModified).max}"
     val key = s"$dir|$fp|$excludeSource|$runTokens|$capTokens"
     labelArtifacts.computeIfAbsent(key, _ => {

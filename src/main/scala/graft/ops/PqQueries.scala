@@ -123,12 +123,39 @@ object PqQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Exact brute-force ground truth, shared (r17, r16 verdict #2): the
+    * |Q|·corpus int8 top-10 per query — (qid, top: array<struct<d2,
+    * vec_id>>, ascending) over the SAME derived query set (vec_id % QMod
+    * == 0 AND vec_id < QCap) that x116's recall audit and x135's MRR
+    * ground truth each paid privately. One corpus-scale exact pass per
+    * pipeline run instead of two; the result frame is |Q|-bounded (21
+    * rows × 10 structs at sf0.1). x116 reads the full top-10; x135 reads
+    * element 0 (TopKMinExpr output is ascending, so top[0] IS topk_min
+    * with k=1 under the identical (d2, vec_id) total order). */
+  private[ops] def sharedBruteTop10(s: SparkSession, d: String): DataFrame =
+    graft.util.SharedStages.cached(s"pq-gt10|$d|${System.identityHashCode(s)}") {
+      val qb = ClusterQueries.sharedInt8(s, d)
+      val qv = qb.filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
+        .limit(QMax) // no-op on the predicate rows; PlanGuard-visible bound
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+      qb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          KMeans.int8Dist2(col("qqv"), col("qv")).as("d2"))
+        .groupBy("qid")
+        .agg(TopK.topk_min(struct(col("d2"), col("vec_id")), TopN).as("top"))
+        .limit(QMax) // one row per capped query id
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** PQ shared stages for the bench's pre-build pass. `driftmodel` builds
     * the per-JVM drift-model artifact eagerly (a parquet write action);
     * the returned scan is the noop-timed remainder — the sublabels
-    * discipline. */
+    * discipline. `gt10` is the shared exact-ground-truth pass
+    * (x116 + x135). */
   private[graft] def stageBuilders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "pq" -> (sharedPqCodes(_, _)),
+    "gt10" -> (sharedBruteTop10(_, _)),
     "driftmodel" -> ((s, d) => s.read.parquet(driftModelArtifact(s, d))))
 
   // Per-JVM drift-model artifact registry — the substring-label pattern
@@ -171,6 +198,10 @@ object PqQueries {
     val src = new java.io.File(dir, "embeddings.parquet")
     val parts: Seq[java.io.File] =
       if (src.isDirectory) src.listFiles().toSeq.filter(_.isFile) else Seq(src)
+    // Empty-dir guard (r16 ADVICE): .max on an empty Seq throws a useless
+    // UnsupportedOperationException; name the actual problem instead.
+    if (parts.isEmpty)
+      throw new IllegalStateException(s"embeddings.parquet missing or empty under $dir")
     val fp = s"${parts.map(_.length).sum}-${parts.map(_.lastModified).max}"
     val key = s"$dir|$fp"
     driftArtifacts.computeIfAbsent(key, _ => {
@@ -548,19 +579,14 @@ object PqQueries {
           FROM q LEFT JOIN nc USING (qid) LEFT JOIN t1 USING (qid)
           LEFT JOIN hits USING (qid)""") { (s, d) =>
       val IvfpqSearch(q, cand, topk) = ivfpqSearch(s, d, QMod, QCap, QMax)
-      // Exact brute-force audit: |Q| broadcast over the code frame, one
-      // int8 kernel per (query, vector) — the recall ground truth. r16:
-      // the kernel output feeds a bounded topk_min heap directly (same
-      // (d2, vec_id) total order as the row_number window it replaces),
-      // so the |Q|·corpus distance frame is never materialized, persisted
-      // or window-sorted — TopN rows per (map partition, qid) shuffle.
+      // Exact brute-force audit — read from the SHARED ground-truth stage
+      // (r17): the |Q|·corpus int8 kernel pass is paid once per pipeline
+      // run (the `gt10` stage) and consumed by both this recall audit and
+      // x135's MRR truth, instead of each query repeating the corpus-scale
+      // exact pass. Same query set, same kernel, same (d2, vec_id) heap
+      // order — see sharedBruteTop10.
       val qb0 = ClusterQueries.sharedInt8(s, d)
-      val gt = qb0
-        .crossJoin(broadcast(q.select(col("qid"), col("qv").as("qqv"))))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), KMeans.int8Dist2(col("qqv"), col("qv")).as("d2"))
-        .groupBy("qid")
-        .agg(TopK.topk_min(struct(col("d2"), col("vec_id")), TopN).as("top"))
+      val gt = sharedBruteTop10(s, d)
         .select(col("qid"), explode(col("top")).as("hit"))
         .select(col("qid"), col("hit.vec_id").as("vec_id"))
       // limit(QMax): no-ops — one row per capped query id;
@@ -721,17 +747,12 @@ object PqQueries {
         .select(col("qid"), col("hit.vec_id").as("gt_vec_id"),
           (col("p") + 1).cast("long").as("rnk"))
         .limit(QMax * TopN)
-      val qb = ClusterQueries.sharedInt8(s, d)
-      val qv = qb.filter(col("vec_id") % QMod === 0 && col("vec_id") < QCap)
-        .limit(QMax) // no-op on the predicate rows; PlanGuard-visible bound
-        .select(col("vec_id").as("qid"), col("qv").as("qqv"))
-      val gt = qb.crossJoin(broadcast(qv))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          graft.ops.KMeans.int8Dist2(col("qqv"), col("qv")).as("d2"))
-        .groupBy("qid")
-        .agg(TopK.topk_min(struct(col("d2"), col("vec_id")), 1).as("t1"))
-        .select(col("qid"), col("t1")(0).getField("vec_id").as("gt_vec_id"))
+      // Ground truth from the SHARED brute-force stage (r17): element 0 of
+      // the ascending top-10 heap IS the k=1 heap under the identical
+      // (d2, vec_id) order — the |Q|·corpus exact pass is paid once per
+      // pipeline run (`gt10`), not re-run here.
+      val gt = sharedBruteTop10(s, d)
+        .select(col("qid"), col("top")(0).getField("vec_id").as("gt_vec_id"))
         .limit(QMax) // one ground-truth row per capped qid
       val rr = gt.join(top, Seq("qid", "gt_vec_id"), "left")
         .withColumn("rrfp",

@@ -21,12 +21,17 @@ import org.apache.spark.sql.types._
   * sums stay exact order-free integer adds — bit-identical to the
   * exploded form's sums.
   *
-  * Overflow bound (documented, not checked per-add): with |x| ≤ B the
-  * outer-sum cell magnitude is ≤ rows·B². x132's code units have B ≈ 10³
-  * (products ≤ ~10⁶), so a signed long overflows only past ~9·10¹² rows —
-  * ~40× beyond a 100 TB embedding corpus (~2·10¹¹ rows at 64 dims). The
-  * downstream decimal(38,0) arithmetic is unchanged; only the raw moment
-  * sums ride in longs. */
+  * Overflow posture (r16 ADVICE: guarded, not just documented): with
+  * |x| ≤ B the outer-sum cell magnitude is ≤ rows·B². x132's code units
+  * have B ≈ 10³ (products ≤ ~10⁶), so a signed long overflows only past
+  * ~9·10¹² rows — ~40× beyond a 100 TB embedding corpus (~2·10¹¹ rows at
+  * 64 dims). Out-of-contract inputs now RAISE instead of silently
+  * wrapping: every accumulation goes through `Math.addExact` (an
+  * intrinsic — the overflow check is a branch the predictor never takes
+  * on valid data), and the outer product additionally asserts
+  * |x| ≤ 2²⁰ per element so the d² products themselves cannot overflow
+  * before the guarded add sees them. The downstream decimal(38,0)
+  * arithmetic is unchanged; only the raw moment sums ride in longs. */
 abstract class LongVecAgg extends TypedImperativeAggregate[Array[Long]] {
   def child: Expression
   override def children: Seq[Expression] = Seq(child)
@@ -60,7 +65,7 @@ abstract class LongVecAgg extends TypedImperativeAggregate[Array[Long]] {
     require(a.length == b.length,
       s"$prettyName: merging buffers of different vector lengths")
     var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
     a
   }
 
@@ -93,7 +98,7 @@ case class VecSumExpr(
   override protected def bufLen(d: Int): Int = d
   override protected def fold(buf: Array[Long], v: ArrayData): Unit = {
     var i = 0
-    while (i < buf.length) { buf(i) += v.getLong(i); i += 1 }
+    while (i < buf.length) { buf(i) = Math.addExact(buf(i), v.getLong(i)); i += 1 }
   }
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(child = c.head)
@@ -116,13 +121,23 @@ case class OuterSumExpr(
     val d = v.numElements()
     val x = new Array[Long](d)
     var i = 0
-    while (i < d) { x(i) = v.getLong(i); i += 1 }
+    while (i < d) {
+      val xi = v.getLong(i)
+      // |x| ≤ 2²⁰ keeps every product below 2⁴⁰ — overflow-free before
+      // the guarded add; anything larger is out of the documented input
+      // contract and must fail loudly, not wrap.
+      if (xi > OuterSumExpr.MaxAbs || xi < -OuterSumExpr.MaxAbs)
+        throw new ArithmeticException(
+          s"outer_sum: |element| $xi exceeds the 2^20 input bound")
+      x(i) = xi
+      i += 1
+    }
     i = 0
     while (i < d) {
       val xi = x(i)
       val base = i * d
       var j = 0
-      while (j < d) { buf(base + j) += xi * x(j); j += 1 }
+      while (j < d) { buf(base + j) = Math.addExact(buf(base + j), xi * x(j)); j += 1 }
       i += 1
     }
   }
@@ -133,6 +148,12 @@ case class OuterSumExpr(
   override def withNewInputAggBufferOffset(o: Int): OuterSumExpr =
     copy(inputAggBufferOffset = o)
   override def prettyName: String = "outer_sum"
+}
+
+object OuterSumExpr {
+  /** Per-element magnitude bound: products of two in-bound elements stay
+    * below 2⁴⁰, so only the (addExact-guarded) accumulation can overflow. */
+  val MaxAbs: Long = 1L << 20
 }
 
 object VecAgg {
