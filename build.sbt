@@ -45,3 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 1 GiB is reserved virtual address space, committed only as used.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )
+// Diagnostic passthrough for A/B-ing JVM flags and spark.* defaults without
+// code edits (system properties seed SparkConf; explicit .config() calls in
+// the mains still win). Unset in normal/driver runs — a no-op there.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -121,6 +121,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffle WRITER strategy (r16 verdict #4 — the 32-core suite ran
+      // slower than the 8-core one): below this partition-count threshold
+      // Spark's bypass-merge writer opens ONE FILE PER REDUCE PARTITION
+      // per map task (numPartitions temp files + concat), so every tiny
+      // stage paid ~cores file-creates per task — thread dumps showed map
+      // tasks pinned in FileOutputStream.open0/FileChannel.map, a fixed
+      // ~0.3-0.6 s per task on this filesystem, and total executor time
+      // scaled with the core count (8x more CPU at local[32] than
+      // local[8] for identical queries). 1 = always use the sort-based
+      // writer: one data file + one index per map task at ANY partition
+      // count. Core (not SQL) conf — must be set before the context
+      // exists; child sessions (streaming replay) inherit it.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       // The warmup pass only de-colds the timed pass if the compiled codegen
       // classes SURVIVE until it: the cache defaults to 100 entries and the
       // suite compiles several stages per query × 74 queries, so by the time

@@ -15,14 +15,21 @@ object BenchOne {
     // Default (release) times query + full stage rebuild, which drowns a
     // query-level plan change for stage-heavy queries (kmeans/pq/int8).
     val keepStages = args.contains("keepstages")
+    // Same core-count contract as Bench (default 32, the box width): lets
+    // the 8-vs-32-core scaling gap be reproduced per query.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // match Bench: sort-based shuffle writer (one file per map task, not
+      // one per reduce partition) — see the Bench.scala comment
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       // match Bench: codegen classes must survive across rounds (see Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()

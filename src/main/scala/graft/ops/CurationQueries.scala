@@ -379,58 +379,71 @@ object CurationQueries {
           .withColumn("sh", array_distinct(OpsQueries.shingles(toks)))
           .select(col("rid"), col("m"), col("sig"), col("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // persisted: the bucket-size agg AND both sides of the self-join read
-      // it (without the persist each consumer re-derives the 4-config union
-      // — 8+ passes of band hashing)
-      val bands = graft.util.PersistScope.track(
-        Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) =>
-          reps.select(lit(b).as("b"), lit(r).as("r"), col("rid"), col("m"),
-            posexplode(transform(sequence(lit(0), lit(b - 1)),
-              i => md5(concat_ws(",", slice(col("sig"), i * r + 1, lit(r))))))
-              .as(Seq("band", "bh")))
-        }.reduce(_ union _)
+      // ALL FOUR configs' band rows in ONE pass over reps (r17; was a
+      // 4-branch union = 4 scans): 8+4+2+1 = 15 (b, r, band, bh) structs
+      // per rep, built in-row and exploded. bh is the UNHEXED md5 — the
+      // identical 128-bit value as the hex string (unhex is injective), at
+      // half the shuffle/persist bytes; bh never reaches the output.
+      val bandArr = flatten(array(Seq((8, 1), (4, 2), (2, 4), (1, 8)).map {
+        case (b, r) =>
+          transform(sequence(lit(0), lit(b - 1)), i =>
+            struct(lit(b).as("b"), lit(r).as("r"), i.as("band"),
+              unhex(md5(concat_ws(",", slice(col("sig"), i * r + 1, lit(r)))))
+                .as("bh")))
+      }: _*))
+      val bands = reps.select(col("rid"), col("m"), explode(bandArr).as("e"))
+        .select(col("e.b").as("b"), col("e.r").as("r"), col("e.band").as("band"),
+          col("e.bh").as("bh"), col("rid"), col("m"))
+      // ONE bucket roll-up replaces the hot-agg + anti-join + SELF-JOIN
+      // chain (r16 verdict #1 / guide §2.4 — the old shape shuffled the
+      // band frame four times: hot counts, the anti-join, and both sides
+      // of the pair self-join): per (config, band, hash) bucket, the doc
+      // weight Σm decides hot-vs-kept, and a BOUNDED topk_min heap carries
+      // the membership — ≤ cap+1 structs per bucket, because a kept bucket
+      // has docs ≤ 128 so at most 128 reps, while a hot bucket's
+      // (truncated) membership is never read. O(cap) state per group at
+      // ANY corpus scale — the mega-bucket that would have made a
+      // collect_list OOM is exactly the bucket the cap discards.
+      val buckets = graft.util.PersistScope.track(
+        bands.groupBy("b", "r", "band", "bh")
+          .agg(sum("m").as("docs"),
+            TopK.topk_min(struct(col("rid"), col("m")), 129).as("mem"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      // Hot buckets are the fingerprints MORE common than the 128-DOC cap
-      // (bucket size = Σm over its reps); the C(docs,2) sum makes the
-      // dropped coverage auditable per config. NOT broadcast-hinted: the
-      // over-cap bucket count is ≤ postings/cap — small in practice but
-      // corpus-LINEAR in the worst case (templated crawls), so a hint is
-      // a deferred OOM; AQE broadcasts it at runtime while it fits.
-      val hot = graft.util.PersistScope.track(
-        bands.groupBy("b", "r", "band", "bh").agg(sum("m").as("docs"))
-          .filter(col("docs") > 128)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val capstat = hot.groupBy("b", "r")
+      // Hot buckets: MORE doc weight than the 128-doc cap; the C(docs,2)
+      // sum makes the dropped coverage auditable per config.
+      val capstat = buckets.filter(col("docs") > 128).groupBy("b", "r")
         .agg(count(lit(1)).as("capped_buckets"),
           sum(expr("docs * (docs - 1) div 2")).as("dropped_candidates"))
-      val bk = bands.join(hot.select("b", "r", "band", "bh"),
-        Seq("b", "r", "band", "bh"), "left_anti")
-      // Inter-group candidate pairs (rep space, weight m₁·m₂)...
+      // Inter-group candidate pairs (rep space, weight m₁·m₂): generated
+      // IN-ROW from each kept bucket's complete, rid-ascending membership
+      // (i < j ⇒ r1 < r2 — the heap output is sorted and rids are unique
+      // per bucket), exactly the old self-join's pair set; the distinct
+      // dedups pairs sharing several bands, as before.
+      val kept = buckets.filter(col("docs") <= 128 && size(col("mem")) >= 2)
+      val pairArr = flatten(transform(sequence(lit(0), size(col("mem")) - 2), i =>
+        transform(sequence(i + 1, size(col("mem")) - 1), j =>
+          struct(element_at(col("mem"), i + 1).getField("rid").as("r1"),
+            element_at(col("mem"), j + 1).getField("rid").as("r2"),
+            element_at(col("mem"), i + 1).getField("m").as("m1"),
+            element_at(col("mem"), j + 1).getField("m").as("m2")))))
       val cand = graft.util.PersistScope.track(
-        bk.select(col("b"), col("r"), col("band"), col("bh"),
-            col("rid").as("r1"), col("m").as("m1"))
-          .join(bk.select(col("b"), col("r"), col("band"), col("bh"),
-            col("rid").as("r2"), col("m").as("m2")), Seq("b", "r", "band", "bh"))
-          .filter(col("r1") < col("r2"))
-          .select("b", "r", "r1", "r2", "m1", "m2").distinct()
+        kept.select(col("b"), col("r"), explode(pairArr).as("p"))
+          .select(col("b"), col("r"), col("p.r1").as("r1"), col("p.r2").as("r2"),
+            col("p.m1").as("m1"), col("p.m2").as("m2"))
+          .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // ...and intra-group pairs: C(m,2) for every multi-doc group that
-      // retains at least one uncapped band in the config. Presence is
-      // computed from its COMPLEMENT — a group is absent from config c iff
-      // ALL c.b of its bands were capped — because the complement derives
-      // from the small hot set (a semi-join over cached bands + a
-      // small-group count; AQE broadcasts the hot side at runtime), where
-      // the direct form pays a full bands-sized distinct.
+      // retains at least one uncapped band in the config. Presence IS
+      // membership in some kept bucket (a group absent from every kept
+      // bucket had all b of its bands capped — the old fullyCapped
+      // anti-join, flipped to a semi-join on the kept side).
       val cfg = s.createDataFrame(Seq((8, 1), (4, 2), (2, 4), (1, 8))).toDF("b", "r")
-      val fullyCapped = bands
-        .join(hot.select("b", "r", "band", "bh"),
-          Seq("b", "r", "band", "bh"), "left_semi")
-        .groupBy("b", "r", "rid").agg(count(lit(1)).as("__nhot"))
-        .filter(col("__nhot") === col("b"))
-        .select("b", "r", "rid")
+      val presence = buckets.filter(col("docs") <= 128)
+        .select(col("b"), col("r"), explode(col("mem")).as("e"))
+        .select(col("b"), col("r"), col("e.rid").as("rid"))
       val intra = reps.filter(col("m") >= 2).select(col("rid"), col("m"))
         .crossJoin(broadcast(cfg))
-        .join(fullyCapped, Seq("b", "r", "rid"), "left_anti")
+        .join(presence, Seq("b", "r", "rid"), "left_semi")
       // Weighted candidate contributions per config; intra rows key as
       // (rid, rid), disjoint from inter keys (strictly r1 < r2).
       val candW = cand

@@ -645,11 +645,18 @@ object Dedup {
     // no broadcast question (the hot set is corpus-LINEAR in the worst
     // case — templated crawls), and no second pass over the posting frame.
     val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    // __nr = reps sharing the fp, computed in the SAME fp-partitioned
+    // window shuffle as the hot cap (r17): a fingerprint held by ONE rep
+    // cannot produce a cross pair, so the self-join's inputs drop every
+    // singleton posting before the join — identical pair output, a
+    // fraction of the join bytes (most fps are unique in a real corpus).
     val p = graft.util.PersistScope.track(
       p0.withColumn("__m", sum(col("m")).over(pw))
-        .filter(col("__m") <= maxPosting).select("rep", "fp")
+        .withColumn("__nr", count(lit(1)).over(pw))
+        .filter(col("__m") <= maxPosting).select("rep", "fp", "__nr")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cross = p.as("a").join(p.as("b"),
+    val pp = p.filter(col("__nr") >= 2).select("rep", "fp")
+    val cross = pp.as("a").join(pp.as("b"),
         col("a.fp") === col("b.fp") && col("a.rep") < col("b.rep"))
       .groupBy(col("a.rep").as("r1"), col("b.rep").as("r2"))
       .agg(count(lit(1)).as("shared_fps"))
@@ -733,12 +740,16 @@ object Dedup {
       // per-fp count window rides the fp partitioning instead of staging a
       // separate hot frame for an anti-join.
       val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      // __m doubles as the pair-pruning count (r17): a fingerprint held by
+      // one doc produces no ordered pair, so the self-join drops singleton
+      // postings on both sides — identical output, fewer join bytes.
       val p = graft.util.PersistScope.track(
         p0.withColumn("__m", count(lit(1)).over(pw))
-          .filter(col("__m") <= maxPosting).drop("__m")
+          .filter(col("__m") <= maxPosting)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nf = p.groupBy(col(idCol).as("inner_id")).agg(count(lit(1)).as("n_fp"))
-      p.as("a").join(p.as("b"),
+      val pp = p.filter(col("__m") >= 2).drop("__m")
+      pp.as("a").join(pp.as("b"),
           col("a.fp") === col("b.fp") && col(s"a.$idCol") =!= col(s"b.$idCol"))
         .groupBy(col(s"a.$idCol").as("inner_id"), col(s"b.$idCol").as("outer_id"))
         .agg(count(lit(1)).as("shared_fps"))
@@ -768,12 +779,18 @@ object Dedup {
       // fp is the summed clone multiplicity, identical to the id-level
       // row count — the cap decision cannot depend on the collapse.
       val pw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      // __nr = reps sharing the fp (r17): singleton postings cannot form a
+      // cross pair — both self-join sides drop them before the join;
+      // identical pair output, fewer join bytes. Computed in the same
+      // fp-partitioned window shuffle as the hot cap.
       val p = graft.util.PersistScope.track(
         p0.withColumn("__m", sum(col("m")).over(pw))
-          .filter(col("__m") <= maxPosting).select("rep", "fp")
+          .withColumn("__nr", count(lit(1)).over(pw))
+          .filter(col("__m") <= maxPosting).select("rep", "fp", "__nr")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nf = p.groupBy("rep").agg(count(lit(1)).as("n_fp"))
-      val cross = p.as("a").join(p.as("b"),
+      val pp = p.filter(col("__nr") >= 2).select("rep", "fp")
+      val cross = pp.as("a").join(pp.as("b"),
           col("a.fp") === col("b.fp") && col("a.rep") =!= col("b.rep"))
         .groupBy(col("a.rep").as("ri"), col("b.rep").as("ro"))
         .agg(count(lit(1)).as("shared_fps"))

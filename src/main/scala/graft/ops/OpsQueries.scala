@@ -978,10 +978,18 @@ object OpsQueries {
       val sh = sharedShingles(s, d)
       val bench = sh.filter(col("doc_id") < 10)
         .agg(array_distinct(flatten(collect_list(col("s")))).as("bset"))
-      val frac = size(array_intersect(col("s"), col("bset"))).cast("double") /
-        greatest(size(col("s")), lit(1))
+      // member_count kernel (r17, the s17 verdict-kernel shape for the
+      // batch contamination family): `s` is distinct, so the hit count
+      // equals size(array_intersect(s, bset)) — but the benchmark set
+      // loads into a hash set ONCE per value instead of ArrayIntersect
+      // rebuilding it per row (and the old frac expression appeared in
+      // TWO output columns — §4.4 duplication — so per row it built the
+      // eval-suite-sized set twice). Aliased in its own projection so
+      // CollapseProject cannot duplicate the kernel either.
+      val frac = col("__hits").cast("double") / greatest(size(col("s")), lit(1))
       sh.filter(col("doc_id") >= 10)
         .crossJoin(broadcast(bench))
+        .withColumn("__hits", MemberCountExpr.member_count(col("s"), col("bset")))
         .select(col("doc_id"),
           round(frac, 6).as("contamination"),
           (frac >= 0.5).as("contaminated"))

@@ -990,3 +990,75 @@ object DecontamVerdictExpr {
         org.apache.spark.sql.graftshim.shims.expression(tokens),
         org.apache.spark.sql.graftshim.shims.expression(bs)))
 }
+
+/** `member_count(arr, set)` → int: how many elements of `arr` (ignoring
+  * nulls) are members of the string array `set`. Semantically identical to
+  * `size(array_intersect(arr, set))` when `arr` is DISTINCT (which every
+  * call site guarantees — x23's shingle arrays are list_distinct), but the
+  * membership set loads ONCE per distinct set value into a hash set
+  * instead of ArrayIntersect rebuilding it per evaluation — per ROW, and
+  * twice per row when two output columns reference the intersect (the
+  * §4.4 CollapseProject duplication). Cache key = the s17 kernel's
+  * structural-fingerprint idiom (length + first/last element hashes):
+  * UnsafeRow.getArray allocates a fresh wrapper per row, so reference
+  * identity never hits; a fingerprint miss just rebuilds. */
+case class MemberCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def dataType: DataType = IntegerType
+
+  @transient private var cachedKey: Array[Long] = null
+  @transient private var cachedSet: java.util.HashSet[UTF8String] = null
+
+  private def fingerprint(bs: ArrayData): Array[Long] = {
+    val n = bs.numElements()
+    def h(i: Int): Long =
+      if (bs.isNullAt(i)) Long.MinValue else bs.getUTF8String(i).hashCode().toLong
+    Array(n.toLong, if (n > 0) h(0) else 0L, if (n > 0) h(n - 1) else 0L,
+      if (n > 1) h(n / 2) else 0L)
+  }
+
+  private def prepare(bs: ArrayData): java.util.HashSet[UTF8String] = {
+    val key = fingerprint(bs)
+    if (cachedKey != null && java.util.Arrays.equals(cachedKey, key)) return cachedSet
+    val n = bs.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(n * 2, 16))
+    var i = 0
+    while (i < n) {
+      // clone: the UTF8String may point into a reused row buffer
+      if (!bs.isNullAt(i)) set.add(bs.getUTF8String(i).clone())
+      i += 1
+    }
+    cachedKey = key; cachedSet = set
+    set
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bsAny = right.eval(input)
+    if (bsAny == null) return null
+    val arrAny = left.eval(input)
+    if (arrAny == null) return null
+    val set = prepare(bsAny.asInstanceOf[ArrayData])
+    val arr = arrAny.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MemberCountExpr = copy(left = l, right = r)
+  override def prettyName: String = "member_count"
+}
+
+object MemberCountExpr {
+  def member_count(arr: Column, set: Column): Column =
+    org.apache.spark.sql.graftshim.shims.column(
+      MemberCountExpr(
+        org.apache.spark.sql.graftshim.shims.expression(arr),
+        org.apache.spark.sql.graftshim.shims.expression(set)))
+}
