@@ -20,7 +20,9 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench: data-size-derived partitions (util.BenchConf)
+      .config("spark.sql.shuffle.partitions",
+        graft.util.BenchConf.shufflePartitions(dir, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,7 +23,9 @@ object DumpPlans {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench: data-size-derived partitions (util.BenchConf)
+      .config("spark.sql.shuffle.partitions",
+        graft.util.BenchConf.shufflePartitions(sfDir, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
